@@ -1,0 +1,56 @@
+"""Table catalog over the driver-provided parquet directories.
+
+TESTDATA.md: tables ``region nation customer supplier part orders
+lineitem events documents embeddings`` live as one parquet file each
+under ``/root/testdata/sf{0.001,0.01,0.1}``. At cluster scale the
+same loader points at partitioned parquet/Delta directories; nothing
+here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-set so sessions built outside session.get_spark (e.g.
+    # the driver's own) can also read TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is physically TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
+    # nanoseconds. Convert to a microsecond TimestampType (integral
+    # `div` — double division would lose precision at 1e18 ns).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every catalog table lazily; nothing is scanned until an
+    action runs, so loading all ten is free."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

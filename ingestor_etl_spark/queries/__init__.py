@@ -1,0 +1,52 @@
+"""Declared-query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 that is expressible over the driver
+tables gets a named entry here: a Spark callable ``(spark, sf_dir)
+-> DataFrame`` plus (when SQL-expressible) a DuckDB oracle string.
+``__spark_entry__.py`` re-exports this registry to the driver.
+
+Parity conventions (see tests/test_oracle_parity.py):
+- money/quantity aggregates go through explicit decimal casts so
+  sums are exact and engine-independent, then cast to DOUBLE;
+- every computed column is aliased identically on both sides;
+- timestamps stay naive-UTC (session timezone pinned in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side-effect: fills REGISTRY)."""
+    from ingestor_etl_spark.queries import (  # noqa: F401
+        events_ops,
+        relational,
+        text_ops,
+        vector_ops,
+    )
+
+    return REGISTRY

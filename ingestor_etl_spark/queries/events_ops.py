@@ -1,0 +1,324 @@
+"""SURVEY §2 dataflow-operator semantics over the ``events`` table.
+
+The reference's engine-like operators — request/response correlation
+(J1, diameter.py:302-339), group-wise identifier propagation (J2,
+gtp_ingestor.py:42-71), sessionization (J6, sigshark.py:426-545),
+transaction semi-filter (J7, sigshark.py:557-576), retransmission
+dedup (O3) and processed/not_processed counters (A1/A2, §2.8) — are
+declared here over the driver's ``events`` stream table so the
+DuckDB oracle can check them. The reusable operator implementations
+live in ``ingestor_etl_spark.operators``; these queries call them.
+
+Scale notes: every operator keys its shuffle on (user_id[, session])
+— the same partitioning the streaming variants use for keyed state,
+so one exchange serves lag/session/aggregate stages. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.functions.scalar import dec
+from ingestor_etl_spark.operators.correlate import correlate_full_outer
+from ingestor_etl_spark.operators.enrich import propagate_group_value
+from ingestor_etl_spark.operators.sessionize import sessionize
+from ingestor_etl_spark.queries import register
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+
+
+_SQL_EVENTS = (
+    "SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
+)
+
+
+@register(
+    "j1_request_response",
+    oracle=f"""
+    WITH e AS ({_SQL_EVENTS}),
+    req AS (SELECT user_id, k, event_id AS req_event_id,
+                   epoch_us(ts) AS req_ts_us, value AS req_value
+            FROM e WHERE event_type = 'click'),
+    res AS (SELECT user_id, k, event_id AS res_event_id,
+                   epoch_us(ts) AS res_ts_us, value AS res_value
+            FROM e WHERE event_type = 'purchase')
+    SELECT COALESCE(req.user_id, res.user_id) AS user_id,
+           COALESCE(req.k, res.k) AS k,
+           req_event_id, res_event_id, req_ts_us, res_ts_us,
+           COALESCE(req_value, res_value) AS enriched_value,
+           (req_event_id IS NOT NULL AND res_event_id IS NOT NULL) AS matched
+    FROM req FULL OUTER JOIN res USING (user_id, k)
+    ORDER BY user_id, k, req_event_id, res_event_id
+    """,
+    tags=("correlation", "full-outer", "J1"),
+)
+def j1_request_response(spark, sf_dir):
+    """J1: request↔response correlation as a full-outer self-join on
+    the transaction key, with bidirectional value enrichment and
+    unmatched leftovers emitted (diameter.py:302-339, 580-589)."""
+    e = _events(spark, sf_dir)
+    req = e.where(F.col("event_type") == "click").select(
+        "user_id", "k",
+        F.col("event_id").alias("req_event_id"),
+        F.unix_micros("ts").alias("req_ts_us"),
+        F.col("value").alias("req_value"),
+    )
+    res = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "k",
+        F.col("event_id").alias("res_event_id"),
+        F.unix_micros("ts").alias("res_ts_us"),
+        F.col("value").alias("res_value"),
+    )
+    out = correlate_full_outer(req, res, on=["user_id", "k"], enrich={"enriched_value": ("req_value", "res_value")})
+    return out.select(
+        "user_id", "k", "req_event_id", "res_event_id", "req_ts_us", "res_ts_us",
+        "enriched_value", "matched",
+    ).orderBy("user_id", "k", "req_event_id", "res_event_id")
+
+
+@register(
+    "a2_unmatched_census",
+    oracle=f"""
+    WITH e AS ({_SQL_EVENTS}),
+    req AS (SELECT user_id, k, event_id AS req_event_id
+            FROM e WHERE event_type = 'click'),
+    res AS (SELECT user_id, k, event_id AS res_event_id
+            FROM e WHERE event_type = 'purchase'),
+    j AS (SELECT req_event_id, res_event_id
+          FROM req FULL OUTER JOIN res USING (user_id, k))
+    SELECT CASE WHEN req_event_id IS NOT NULL AND res_event_id IS NOT NULL THEN 'matched'
+                WHEN req_event_id IS NOT NULL THEN 'request_only'
+                ELSE 'response_only' END AS disposition,
+           COUNT(*) AS n
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("correlation", "A2"),
+)
+def a2_unmatched_census(spark, sf_dir):
+    """A2: census of matched / request-only / response-only rows at
+    EOF (diameter.py:469-478)."""
+    e = _events(spark, sf_dir)
+    req = e.where(F.col("event_type") == "click").select(
+        "user_id", "k", F.col("event_id").alias("req_event_id")
+    )
+    res = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "k", F.col("event_id").alias("res_event_id")
+    )
+    j = correlate_full_outer(req, res, on=["user_id", "k"])
+    disposition = (
+        F.when(F.col("matched"), "matched")
+        .when(F.col("req_event_id").isNotNull(), "request_only")
+        .otherwise("response_only")
+    )
+    return (
+        j.select(disposition.alias("disposition"))
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("disposition")
+    )
+
+
+@register(
+    "j2_group_enrich",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, CAST(MIN(value) AS DOUBLE) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value, s.signup_value
+    FROM events e LEFT JOIN signup s USING (user_id)
+    ORDER BY e.event_id
+    """,
+    tags=("enrichment", "J2"),
+)
+def j2_group_enrich(spark, sf_dir):
+    """J2: propagate a group-scoped identifier (the user's signup
+    value) to every row of the group — the copy_msisdn/copy_imsi
+    pattern (gtp_ingestor.py:42-71). Min-aggregate + broadcastable
+    re-join; deterministic under multiple candidates."""
+    e = load_table(spark, sf_dir, "events")
+    out = propagate_group_value(
+        e,
+        group_cols=["user_id"],
+        value_col="value",
+        present_when=F.col("event_type") == "signup",
+        out_col="signup_value",
+    )
+    return out.select("event_id", "user_id", "event_type", "value", "signup_value").orderBy(
+        "event_id"
+    )
+
+
+_SQL_SESSIONIZED = f"""
+    WITH ordered AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessioned AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "j6_sessionize",
+    oracle=f"""
+    {_SQL_SESSIONIZED}
+    SELECT user_id, session_no,
+           MIN(epoch_us(ts)) AS session_start_us, MAX(epoch_us(ts)) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    tags=("sessionization", "J6"),
+)
+def j6_sessionize(spark, sf_dir):
+    """J6: gap-based sessionization (30-min inactivity), the batch
+    analogue of sigshark's transaction assembly (sigshark.py:426-545)
+    — lag/flag/running-sum over one (user_id) shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, partition_cols=["user_id"], ts_col="ts", order_cols=["event_id"], gap_us=_SESSION_GAP_US)
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "j7_error_sessions",
+    oracle=f"""
+    {_SQL_SESSIONIZED}
+    , error_sessions AS (
+      SELECT DISTINCT user_id, session_no FROM sessioned WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_no, COUNT(*) AS n_events,
+           MIN(epoch_us(s.ts)) AS session_start_us
+    FROM sessioned s
+    JOIN error_sessions USING (user_id, session_no)
+    GROUP BY s.user_id, s.session_no
+    ORDER BY s.user_id, s.session_no
+    """,
+    tags=("sessionization", "semi-join", "J7"),
+)
+def j7_error_sessions(spark, sf_dir):
+    """J7: keep whole sessions where ≥1 member row matches a
+    predicate — transaction-granular left-semi join
+    (sigshark.py:557-576)."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, partition_cols=["user_id"], ts_col="ts", order_cols=["event_id"], gap_us=_SESSION_GAP_US)
+    errors = s.where(F.col("event_type") == "error").select("user_id", "session_no").distinct()
+    return (
+        s.join(errors, ["user_id", "session_no"], "left_semi")
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "o3_dedup_events",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("dedup", "O3"),
+)
+def o3_dedup_events(spark, sf_dir):
+    """O3: retransmission-style dedup — one representative (lowest
+    event_id) per logical key, with the duplicate count retained
+    (http_ingestor.py:412-414; diameter.py:307-309 drop semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "a1_counters",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_processed,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_processed
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("counters", "A1", "error-isolation"),
+)
+def a1_counters(spark, sf_dir):
+    """A1 + §2.8: processed / not_processed counters with
+    PERMISSIVE-style error isolation — a malformed props payload
+    counts instead of aborting (diameter.py:454-457 semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    bad = F.get_json_object("props", "$.k").isNull()
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_processed"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_not_processed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("aggregation", "time-rollup"),
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Event-time hourly rollup — the batch shape of the streaming
+    windowed aggregation (SURVEY §2.9); JSON projection stays native
+    (get_json_object)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("hour_us", "event_type")
+    )

@@ -1,0 +1,261 @@
+"""Core relational queries over the star schema.
+
+These exercise the engine's scan→filter→join→aggregate→sort spine
+(SURVEY §2.5-§2.6 aggregations/sorts + §4 Catalyst mapping). All
+money arithmetic goes through explicit decimal casts so Spark and
+the DuckDB oracle produce bit-identical sums (decimal addition is
+exact; double addition is order-dependent and is NOT used for
+accumulation).
+
+Scale notes (100 TB): every query here is a straight Catalyst plan —
+filters and projections push into the parquet scan, `region`/
+`nation` are broadcast (catalog.BROADCAST_TABLES), and the big
+fact-fact joins shuffle on their natural keys with AQE handling
+skew/coalescing. No UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.functions.scalar import dec
+from ingestor_etl_spark.queries import register
+
+# (1 - l_discount) / (1 + l_tax) as exact small decimals; the double
+# rounds to the same 2-digit decimal in both engines. Lazy functions:
+# Column construction needs an active SparkContext.
+def _disc_price():
+    one_minus_disc = (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)).cast(
+        "decimal(4,2)"
+    )
+    return (dec("l_extendedprice") * one_minus_disc).cast("decimal(16,4)")
+
+
+def _charge():
+    one_plus_tax = (F.lit(1).cast("decimal(4,2)") + dec("l_tax", 4, 2)).cast("decimal(4,2)")
+    return (_disc_price() * one_plus_tax).cast("decimal(20,6)")
+
+_SQL_ONE_MINUS_DISC = "CAST(1 - l_discount AS DECIMAL(4,2))"
+_SQL_ONE_PLUS_TAX = "CAST(1 + l_tax AS DECIMAL(4,2))"
+_SQL_DISC_PRICE = f"CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * {_SQL_ONE_MINUS_DISC} AS DECIMAL(16,4))"
+_SQL_CHARGE = f"CAST({_SQL_DISC_PRICE} * {_SQL_ONE_PLUS_TAX} AS DECIMAL(20,6))"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "flagship"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (flagship; SURVEY §2.5 A1-A3
+    aggregation family). Single scan, map-side partial aggregation,
+    6-group result."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount", 4, 2)).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter → fact join → grouped
+    revenue → top-k. Deterministic tiebreak on l_orderkey."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: two broadcast dims
+    (region, nation — catalog.BROADCAST_TABLES) + three shuffled
+    fact joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("semi-join",),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-style EXISTS as a left-semi join (the J7
+    transaction-display-filter shape, sigshark.py:557-576)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "pushdown"),
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6-style: all predicates push to the parquet scan
+    (verify via .explain → PushedFilters), single global aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 4, 2)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "topk_accounts",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit", "broadcast"),
+)
+def topk_accounts(spark, sf_dir):
+    """Global top-k with broadcast dim join (SURVEY §2.6 O1/O2 sort
+    family): Spark plans TakeOrderedAndProject — no full sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(25)
+    )

