@@ -179,6 +179,14 @@ def tbcd(digits: str) -> bytes:
     return bytes(int(digits[i + 1] + digits[i], 16) for i in range(0, len(digits), 2))
 
 
+def gtpv1_ie_tv(ie_type: int, data: bytes) -> bytes:
+    return bytes([ie_type]) + data
+
+
+def gtpv2_ie(ie_type: int, data: bytes) -> bytes:
+    return struct.pack("!BHB", ie_type, len(data), 0) + data
+
+
 # ---------------------------------------------------------------- SMPP
 def smpp_pdu(command_id: int, status: int, seq: int, body: bytes = b"") -> bytes:
     return struct.pack("!4I", 16 + len(body), command_id, status, seq) + body
