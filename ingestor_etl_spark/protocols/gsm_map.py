@@ -1,0 +1,444 @@
+"""GSM-MAP / SS7: M3UA → SCCP → TCAP decode with XUDT reassembly.
+
+SURVEY §2.2 P7 (M3UA PPID filter, gsm_map.py:128-132), P8 (M3UA TLV
+walk → OPC/DPC/SCCP, gsm_map.py:134-159), P9 (raw-MTP3 DLT 141,
+gsm_map.py:160-177), P10 (SCCP UDT/XUDT parse, gsm_map.py:182-254),
+P13-P16 (TCAP decode + classification, gsm_map.py:256-361), P17/P18
+(IMSI/MSISDN BCD, gsm_map.py:312-347), §2.3 R3 (XUDT segmentation
+reassembly, gsm_map.py:211-242).
+
+The reference decodes TCAP with pycrate's full ASN.1 runtime; this
+engine carries a ~60-line BER walker instead — the reference only
+ever reads a dozen leaves out of the decoded AST (otid, dtid,
+dialogue result, opcode, errcode, imsi, msisdn, sm-RP-UI, first
+component tag), all reachable by tag inspection without schema
+compilation. Extraction rules are documented per-field below and
+golden-tested against hand-built BER fixtures.
+
+Spark shape: stage-1 mapInPandas (M3UA/MTP3/SCCP walk) → R3 as a
+groupBy on the 3-byte segmentation local reference (only segmented
+rows shuffle; unsegmented pass straight through) → stage-2
+mapInPandas (TCAP field extraction). All filters before stage 1 are
+native (SCTP PPID == 3 — P7 — prunes non-M3UA chunks inside the
+parquet/Arrow scan before any Python runs).
+"""
+
+from __future__ import annotations
+
+import struct
+from binascii import hexlify
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ingestor_etl_spark.sources.pcap import DLT_MTP3
+
+M3UA_PPID = 3
+
+# ------------------------------------------------------------------ BER
+def ber_children(buf: bytes) -> Iterator[tuple[int, bytes, bool]]:
+    """Iterate one BER level: (tag, value, constructed). Single-byte
+    tags + short/long definite lengths — TCAP-over-SCCP never needs
+    more."""
+    pos = 0
+    n = len(buf)
+    while pos + 2 <= n:
+        tag = buf[pos]
+        constructed = bool(tag & 0x20)
+        ln = buf[pos + 1]
+        pos += 2
+        if ln & 0x80:
+            k = ln & 0x7F
+            if k == 0 or pos + k > n:
+                return  # indefinite/overrun: stop the walk
+            ln = int.from_bytes(buf[pos : pos + k], "big")
+            pos += k
+        if pos + ln > n:
+            return
+        yield tag, buf[pos : pos + ln], constructed
+        pos += ln
+
+
+def ber_find(buf: bytes, want: int, max_depth: int = 8) -> bytes | None:
+    """DFS first-match by tag — the tag-level analogue of the
+    reference's get_value() name search (gsm_map.py:28-54)."""
+    if max_depth == 0:
+        return None
+    for tag, value, constructed in ber_children(buf):
+        if tag == want:
+            return value
+        if constructed:
+            found = ber_find(value, want, max_depth - 1)
+            if found is not None:
+                return found
+    return None
+
+
+# ------------------------------------------------------------------ MTP
+def parse_m3ua(chunk: bytes) -> tuple[int, int, bytes] | None:
+    """P8: require message class 1 / type 1, walk TLV params, tag
+    528 (0x210 protocol data) → OPC, DPC, SCCP payload (the 4 bytes
+    si/ni/mp/sls between DPC and payload are skipped)."""
+    if len(chunk) < 8:
+        return None
+    mclass, mtype, mlen = struct.unpack("!2BI", chunk[2:8])
+    if not (mclass == 1 and mtype == 1) or mlen != len(chunk):
+        return None
+    pos = 8
+    while pos + 4 <= len(chunk):
+        tag, plen = struct.unpack("!2H", chunk[pos : pos + 4])
+        if plen < 4:
+            break
+        if tag == 528:
+            opc, dpc = struct.unpack("!2I", chunk[pos + 4 : pos + 12])
+            return opc, dpc, chunk[pos + 16 : pos + plen]
+        pos += plen + ((-plen) % 4)
+    return None
+
+
+def parse_mtp3(packet: bytes) -> tuple[int, int, bytes] | None:
+    """P9: raw MTP3 (DLT 141). Service indicator must be SCCP (3);
+    OPC/DPC unpacked from the little-endian-reversed routing label
+    (gsm_map.py:160-177 bit masks preserved)."""
+    if len(packet) < 5 or (packet[0] & 3) != 3:
+        return None
+    word = struct.unpack("!I", packet[1:5][::-1])[0]
+    opc = (word & 268419072) >> 14
+    dpc = word & 16383
+    return opc, dpc, packet[5:]
+
+
+# ------------------------------------------------------------------ SCCP
+def parse_sccp(sccp: bytes) -> dict | None:
+    """P10: UDT(9)/XUDT(17)/XUDTS(18) via the pointer fields; returns
+    tcap bytes + segmentation metadata (optional-part tag 16:
+    first-bit, remaining count, 3-byte local reference) feeding R3."""
+    if len(sccp) < 5:
+        return None
+    mtype = sccp[0]
+    if mtype not in (9, 17, 18):
+        return None
+    if mtype == 9:
+        pbase = 2
+        ptr = sccp[2:5]
+        opt_ptr = None
+    else:
+        if len(sccp) < 7:
+            return None
+        pbase = 3
+        ptr = sccp[3:6]
+        opt_ptr = sccp[6]
+    data_pos = pbase + 2 + ptr[2]
+    if data_pos + 1 > len(sccp):
+        return None
+    dlen = sccp[data_pos]
+    tcap = sccp[data_pos + 1 : data_pos + 1 + dlen]
+    out = {"tcap": tcap, "seg_first": None, "seg_remaining": None, "seg_ref": None}
+    if opt_ptr:
+        pos = pbase + 3 + opt_ptr
+        while pos + 2 <= len(sccp):
+            tag = sccp[pos]
+            if tag == 0:  # end of optional parameters
+                break
+            tlen = sccp[pos + 1]
+            if tag == 16 and tlen == 4:
+                seg = sccp[pos + 2]
+                out["seg_first"] = seg >> 7
+                out["seg_remaining"] = seg & 0x0F
+                out["seg_ref"] = int.from_bytes(sccp[pos + 3 : pos + 6], "big")
+            pos += 2 + tlen
+    return out
+
+
+# ------------------------------------------------------------------ TCAP
+_MESS_TYPES = {0x61: "unidirectional", 0x62: "begin", 0x64: "end", 0x65: "continue", 0x67: "abort"}
+_COMPONENT_CODE = {0xA1: 1, 0xA2: 2, 0xA3: 3, 0xA4: 4}  # P16
+
+
+def _tid(value: bytes) -> int | None:
+    """3-byte tids left-pad to 4 then !I (gsm_map.py:275-298)."""
+    if not 1 <= len(value) <= 4:
+        return None
+    return int.from_bytes(value.rjust(4, b"\x00"), "big")
+
+
+def _bcd_imsi(raw: bytes) -> str | None:
+    """P17: last 8 bytes, hexlify, swap nibble pairs, drop the
+    trailing filler digit (gsm_map.py:312-322 exact semantics)."""
+    s = hexlify(raw[-8:]).decode()
+    swapped = "".join(s[i : i + 2][::-1] for i in range(0, len(s), 2))
+    return swapped[:-1] or None
+
+
+def _bcd_msisdn(raw: bytes) -> str | None:
+    """P18 tail: last 6 bytes, swap, strip 'f' fillers
+    (gsm_map.py:340-347)."""
+    s = hexlify(raw[-6:]).decode()
+    swapped = "".join(s[i : i + 2][::-1] for i in range(0, len(s), 2))
+    return swapped.replace("f", "") or None
+
+
+def parse_tcap(tcap: bytes) -> dict | None:
+    """P13-P18 field extraction over the BER tree.
+
+    Leaf-location rules (mirroring what the reference reads out of
+    the pycrate AST, gsm_map.py:275-361):
+    - otid/dtid: APPLICATION 8/9 (0x48/0x49) at message level
+    - dialogue result: INTEGER inside context [2] under the
+      dialoguePortion (0x6B)
+    - components (0x6C): first child tag → component 1..4
+    - opcode/errcode: 2nd INTEGER of invoke/returnResult; the
+      INTEGER following the invokeID in returnError
+    - imsi: first OCTET STRING of length 8-9 in the component
+    - msisdn: ops 44/46 → sm-RP-UI TPDU slice (submit bit, TON/NPI
+      1/1); otherwise a 7-8 byte address-string leaf
+    """
+    if not tcap:
+        return None
+    try:
+        tag, body, _ = next(iter(ber_children(tcap)))
+    except StopIteration:
+        return None
+    mess = _MESS_TYPES.get(tag)
+    if mess is None:
+        return None
+    out: dict = {"tcap_mess_type": mess}
+    otid = ber_find(body, 0x48, 1)
+    dtid = ber_find(body, 0x49, 1)
+    out["tcap_otid"] = _tid(otid) if otid is not None else None
+    out["tcap_dtid"] = _tid(dtid) if dtid is not None else None
+    out["tcap_tid"] = (
+        out["tcap_otid"] if mess in ("begin", "continue") else out["tcap_dtid"]
+    )
+    dialogue = ber_find(body, 0x6B, 1)
+    if dialogue is not None:
+        assoc = ber_find(dialogue, 0xA2)  # result field of AARE
+        if assoc is not None:
+            val = ber_find(assoc, 0x02) or assoc  # INTEGER inside [2]
+            if val and len(val) <= 4:
+                out["tcap_result"] = int.from_bytes(val, "big")
+    components = ber_find(body, 0x6C, 1)
+    if components is not None:
+        comp_list = list(ber_children(components))
+        if comp_list:
+            ctag, cbody, _ = comp_list[0]
+            out["gsm_component"] = _COMPONENT_CODE.get(ctag)
+            ints = [v for t, v, _ in ber_children(cbody) if t == 0x02]
+            if ctag in (0xA1,) and len(ints) >= 2:  # invoke: id, opcode
+                out["gsm_op_code"] = int.from_bytes(ints[1], "big")
+            elif ctag == 0xA2:  # returnResult: opcode inside SEQUENCE
+                seq = ber_find(cbody, 0x30)
+                if seq is not None:
+                    op = ber_find(seq, 0x02)
+                    if op:
+                        out["gsm_op_code"] = int.from_bytes(op, "big")
+            elif ctag == 0xA3 and len(ints) >= 2:  # returnError: id, errcode
+                out["gsm_error_code"] = int.from_bytes(ints[1], "big")
+            _extract_identities(cbody, out)
+    return out
+
+
+def _walk_leaves(buf: bytes, depth: int = 6) -> Iterator[tuple[int, bytes]]:
+    for tag, value, constructed in ber_children(buf):
+        if constructed and depth:
+            yield from _walk_leaves(value, depth - 1)
+        else:
+            yield tag, value
+
+
+def _extract_identities(component_body: bytes, out: dict) -> None:
+    leaves = list(_walk_leaves(component_body))
+    imsi = next((v for t, v in leaves if t == 0x04 and len(v) in (8, 9)), None)
+    if imsi is not None:
+        out["imsi"] = _bcd_imsi(imsi)
+    if out.get("gsm_op_code") in (44, 46):  # SMS transfer: parse sm-RP-UI
+        tpdu = next((v for t, v in leaves if t == 0x04 and len(v) > 10), None)
+        if tpdu is not None:
+            is_submit = tpdu[0] & 3
+            ton_npi = tpdu[2]
+            if (ton_npi & 112) >> 4 == 1 and ton_npi & 15 == 1:
+                raw = tpdu[2:10] if is_submit == 1 else tpdu[1:9]
+                out["msisdn"] = _bcd_msisdn(raw)
+    else:
+        addr = next(
+            (v for t, v in leaves if t in (0x80, 0x82, 0x04) and len(v) in (7, 8)), None
+        )
+        if addr is not None:
+            out["msisdn"] = _bcd_msisdn(addr)
+
+
+# ------------------------------------------------------------------ Spark
+_SCCP_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("frame_no", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("src_ip", StringType()),
+        StructField("dst_ip", StringType()),
+        StructField("mtp3_opc", LongType()),
+        StructField("mtp3_dpc", LongType()),
+        StructField("tcap_bytes", BinaryType()),
+        StructField("seg_first", IntegerType()),
+        StructField("seg_remaining", IntegerType()),
+        StructField("seg_ref", LongType()),
+    ]
+)
+
+GSM_MAP_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("frames_list", ArrayType(LongType())),
+        StructField("ts_us", LongType()),
+        StructField("src_ip", StringType()),
+        StructField("dst_ip", StringType()),
+        StructField("mtp3_opc", LongType()),
+        StructField("mtp3_dpc", LongType()),
+        StructField("tcap_mess_type", StringType()),
+        StructField("tcap_tid", LongType()),
+        StructField("tcap_otid", LongType()),
+        StructField("tcap_dtid", LongType()),
+        StructField("tcap_result", IntegerType()),
+        StructField("gsm_op_code", IntegerType()),
+        StructField("gsm_component", IntegerType()),
+        StructField("gsm_error_code", IntegerType()),
+        StructField("msisdn", StringType()),
+        StructField("imsi", StringType()),
+    ]
+)
+_OUT_COLS = [f.name for f in GSM_MAP_SCHEMA.fields]
+
+
+def _sccp_rows(segments: DataFrame, frames: DataFrame | None) -> DataFrame:
+    """Stage 1: M3UA chunks (P7/P8) + optional raw-MTP3 frames (P9)
+    → SCCP-level rows."""
+
+    def gen_m3ua(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, frame_no, ts_us, sip, dip, payload in zip(
+                pdf["file"], pdf["frame_no"], pdf["ts_us"], pdf["src_ip"],
+                pdf["dst_ip"], pdf["payload"],
+            ):
+                try:
+                    m3ua = parse_m3ua(bytes(payload))
+                    if m3ua is None:
+                        continue
+                    opc, dpc, sccp = m3ua
+                    info = parse_sccp(sccp)
+                    if info is None:
+                        continue
+                    rows.append(
+                        (file, frame_no, ts_us, sip, dip, opc, dpc, info["tcap"],
+                         info["seg_first"], info["seg_remaining"], info["seg_ref"])
+                    )
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=[f.name for f in _SCCP_SCHEMA.fields])
+
+    m3ua_src = segments.where(
+        (F.col("ip_proto") == 132) & (F.col("sctp_ppid") == M3UA_PPID)
+    ).select("file", "frame_no", "ts_us", "src_ip", "dst_ip", "payload")
+    out = m3ua_src.mapInPandas(gen_m3ua, _SCCP_SCHEMA)
+
+    if frames is not None:
+        def gen_mtp3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for file, frame_no, ts_us, pkt in zip(
+                    pdf["file"], pdf["frame_no"], pdf["ts_us"], pdf["payload"]
+                ):
+                    try:
+                        mtp3 = parse_mtp3(bytes(pkt))
+                        if mtp3 is None:
+                            continue
+                        opc, dpc, sccp = mtp3
+                        info = parse_sccp(sccp)
+                        if info is None:
+                            continue
+                        rows.append(
+                            (file, frame_no, ts_us, None, None, opc, dpc, info["tcap"],
+                             info["seg_first"], info["seg_remaining"], info["seg_ref"])
+                        )
+                    except Exception:
+                        continue
+                yield pd.DataFrame(rows, columns=[f.name for f in _SCCP_SCHEMA.fields])
+
+        raw = frames.where((F.col("dlt") == DLT_MTP3) & F.col("error").isNull()).select(
+            "file", "frame_no", F.unix_micros("ts").alias("ts_us"), "payload"
+        )
+        out = out.unionByName(raw.mapInPandas(gen_mtp3, _SCCP_SCHEMA))
+    return out
+
+
+def _reassemble_xudt(sccp_rows: DataFrame) -> DataFrame:
+    """R3: concat segmented XUDT payloads per 3-byte local ref in
+    frame order; incomplete groups (no final segment) are dropped —
+    the reference returns None for them (gsm_map.py:230-236)."""
+    unsegmented = sccp_rows.where(F.col("seg_ref").isNull()).withColumn(
+        "frames_list", F.array("frame_no")
+    )
+    segmented = sccp_rows.where(F.col("seg_ref").isNotNull())
+    key = ["file", "src_ip", "dst_ip", "seg_ref"]
+    merged = (
+        segmented.groupBy(*key)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("frame_no", "tcap_bytes"))).alias("parts"),
+            F.min("ts_us").alias("ts_us"),
+            F.min("mtp3_opc").alias("mtp3_opc"),
+            F.min("mtp3_dpc").alias("mtp3_dpc"),
+            F.max(F.when(F.col("seg_first") == 1, 1).otherwise(0)).alias("has_first"),
+            F.max(F.when(F.col("seg_remaining") == 0, 1).otherwise(0)).alias("has_last"),
+        )
+        .where((F.col("has_first") == 1) & (F.col("has_last") == 1))
+        .withColumn(
+            "tcap_bytes",
+            F.aggregate(
+                "parts", F.lit(b""), lambda acc, x: F.concat(acc, x["tcap_bytes"])
+            ),
+        )
+        .withColumn("frames_list", F.transform("parts", lambda x: x["frame_no"]))
+        .select(
+            "file", "frames_list", "ts_us", "src_ip", "dst_ip",
+            "mtp3_opc", "mtp3_dpc", "tcap_bytes",
+        )
+    )
+    return unsegmented.select(*merged.columns).unionByName(merged)
+
+
+def decode_gsm_map(segments: DataFrame, frames: DataFrame | None = None) -> DataFrame:
+    """Full pipeline: M3UA/MTP3 → SCCP → R3 → TCAP fields. Pass the
+    raw frames DataFrame too when the capture may be DLT 141."""
+    sccp = _reassemble_xudt(_sccp_rows(segments, frames))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, frames_list, ts_us, sip, dip, opc, dpc, tcap in zip(
+                pdf["file"], pdf["frames_list"], pdf["ts_us"], pdf["src_ip"],
+                pdf["dst_ip"], pdf["mtp3_opc"], pdf["mtp3_dpc"], pdf["tcap_bytes"],
+            ):
+                try:
+                    fields = parse_tcap(bytes(tcap))
+                except Exception:
+                    fields = None
+                if fields is None:
+                    continue
+                rows.append(
+                    (file, list(frames_list), ts_us, sip, dip, opc, dpc)
+                    + tuple(fields.get(c) for c in _OUT_COLS[7:])
+                )
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    out = sccp.mapInPandas(gen, GSM_MAP_SCHEMA)
+    return out.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")

@@ -187,6 +187,83 @@ def gtpv2_ie(ie_type: int, data: bytes) -> bytes:
     return struct.pack("!BHB", ie_type, len(data), 0) + data
 
 
+# ---------------------------------------------------------------- SS7 / TCAP
+def ber(tag: int, content: bytes) -> bytes:
+    n = len(content)
+    if n < 0x80:
+        return bytes([tag, n]) + content
+    lb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([tag, 0x80 | len(lb)]) + lb + content
+
+
+def tcap_invoke(opcode: int, param: bytes = b"", invoke_id: int = 1) -> bytes:
+    return ber(0xA1, ber(0x02, bytes([invoke_id])) + ber(0x02, bytes([opcode])) + param)
+
+
+def tcap_return_result(opcode: int, param: bytes = b"", invoke_id: int = 1) -> bytes:
+    return ber(0xA2, ber(0x02, bytes([invoke_id])) + ber(0x30, ber(0x02, bytes([opcode])) + param))
+
+
+def tcap_return_error(errcode: int, invoke_id: int = 1) -> bytes:
+    return ber(0xA3, ber(0x02, bytes([invoke_id])) + ber(0x02, bytes([errcode])))
+
+
+def tcap_msg(
+    mess_type: str,
+    otid: int | None = None,
+    dtid: int | None = None,
+    components: list[bytes] = (),
+    dialogue_result: int | None = None,
+) -> bytes:
+    tags = {"unidirectional": 0x61, "begin": 0x62, "end": 0x64, "continue": 0x65, "abort": 0x67}
+    body = b""
+    if otid is not None:
+        body += ber(0x48, struct.pack("!I", otid))
+    if dtid is not None:
+        body += ber(0x49, struct.pack("!I", dtid))
+    if dialogue_result is not None:
+        body += ber(0x6B, ber(0x28, ber(0x61, ber(0xA2, ber(0x02, bytes([dialogue_result]))))))
+    if components:
+        body += ber(0x6C, b"".join(components))
+    return ber(tags[mess_type], body)
+
+
+def sccp_udt(tcap: bytes, called: bytes = b"\x42\x08", calling: bytes = b"\x43\x09") -> bytes:
+    params = bytes([len(called)]) + called + bytes([len(calling)]) + calling
+    p_called = 5
+    p_calling = p_called + 1 + len(called)
+    p_data = p_calling + 1 + len(calling)
+    hdr = bytes([9, 0, p_called - 2, p_calling - 3, p_data - 4])
+    return hdr + params + bytes([len(tcap)]) + tcap
+
+
+def sccp_xudt(
+    tcap_part: bytes,
+    first: bool,
+    remaining: int,
+    ref: int,
+    called: bytes = b"\x42\x08",
+    calling: bytes = b"\x43\x09",
+) -> bytes:
+    params = bytes([len(called)]) + called + bytes([len(calling)]) + calling
+    p_called = 7
+    p_calling = p_called + 1 + len(called)
+    p_data = p_calling + 1 + len(calling)
+    p_opt = p_data + 1 + len(tcap_part)
+    hdr = bytes([17, 0, 15, p_called - 3, p_calling - 4, p_data - 5, p_opt - 6])
+    seg = bytes([((0x80 if first else 0) | remaining)]) + ref.to_bytes(3, "big")
+    optional = bytes([16, 4]) + seg + b"\x00"
+    return hdr + params + bytes([len(tcap_part)]) + tcap_part + optional
+
+
+def m3ua(sccp: bytes, opc: int = 101, dpc: int = 202) -> bytes:
+    value = struct.pack("!2I", opc, dpc) + b"\x03\x02\x00\x00" + sccp
+    plen = 4 + len(value)
+    param = struct.pack("!2H", 0x0210, plen) + value + b"\x00" * ((-plen) % 4)
+    total = 8 + len(param)
+    return struct.pack("!BBBBI", 1, 0, 1, 1, total) + param
+
+
 # ---------------------------------------------------------------- SMPP
 def smpp_pdu(command_id: int, status: int, seq: int, body: bytes = b"") -> bytes:
     return struct.pack("!4I", 16 + len(body), command_id, status, seq) + body
