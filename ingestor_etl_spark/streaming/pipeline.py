@@ -1,0 +1,271 @@
+"""Streaming pcap pipeline (SURVEY §2.9, R1/R2/J1 streaming forms).
+
+The reference is batch-per-file, driven by a queue table; its
+dict-based reassembly/correlation state is file-scoped and flushed
+at EOF (diameter.py:580-589). The streaming engine maps this to:
+
+- file-source ``readStream`` over a capture drop directory (the
+  queue table's role is played by the checkpoint + ledger),
+- ``applyInPandasWithState`` keyed exactly like the batch groupBy
+  (stream 5-tuple for reassembly, txn 4-tuple for correlation),
+- state **timeouts** as the EOF-flush analogue: when a key sees no
+  traffic for the timeout, pending bytes / unmatched requests are
+  emitted with ``matched = false``,
+- ``foreachBatch`` sinks + ledger append (S10) for exactly-once
+  bookkeeping.
+
+Scale: state lives in the state store (RocksDB on a real cluster),
+partitioned by key hash — the same partitioning the batch shuffle
+uses, but bounded by the timeout instead of file EOF.
+
+Topology note: Spark allows at most ONE applyInPandasWithState per
+streaming query, so decode (R1/R2 state) and correlation (J1 state)
+run as two chained queries with an intermediate parquet/Delta stage
+— which is also the operationally sane layout: the decoded message
+log is replayable and each stage checkpoints independently."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ingestor_etl_spark.protocols.diameter import (
+    MESSAGE_SCHEMA,
+    parse_message,
+)
+from ingestor_etl_spark.sources.pcap import FRAME_SCHEMA, iter_frames
+
+_COLS = [f.name for f in MESSAGE_SCHEMA.fields]
+
+
+def stream_frames(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
+    """S2/S3 as a stream: new capture files appearing under ``path``
+    become frame rows. One file = one task, same as batch."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                rows: list[tuple] = []
+                try:
+                    for frame_no, ts_us, dlt, orig_len, payload in iter_frames(bytes(content)):
+                        rows.append((fname, frame_no, ts_us, dlt, orig_len, payload, None))
+                except Exception as exc:
+                    rows.append((fname, None, None, None, None, None, str(exc)))
+                yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    frames = files.select("path", "content").mapInPandas(parse, FRAME_SCHEMA)
+    return frames.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
+_STITCH_STATE = StructType(
+    [
+        StructField("pending", BinaryType()),
+        StructField("pending_frames", StringType()),  # csv of frame numbers
+    ]
+)
+
+
+def stream_decode_diameter(
+    segments: DataFrame, timeout_ms: int = 60_000, port: int = 3868
+) -> DataFrame:
+    """R1/R2 as keyed streaming state: per stream key, segments are
+    stitched with the same stash-and-retry walk as the batch path;
+    a processing-time timeout discards stale partial buffers (the
+    reference's implicit EOF flush)."""
+    flows = segments.where(
+        (F.col("src_port") == port) | (F.col("dst_port") == port)
+    ).where(F.col("tcp_flags").isNull() | F.col("tcp_flags").isin(16, 24))
+    key_cols = ["file", "src_ip", "dst_ip", "src_port", "dst_port", "sctp_sid", "sctp_ssn"]
+
+    def stitch(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pending, frames_csv = state.get if state.exists else (b"", "")
+        pending = bytes(pending or b"")
+        frames = [int(x) for x in frames_csv.split(",") if x]
+        file, src, dst = key[0], key[1], key[2]
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("frame_no")
+            for frame_no, ts_us, payload in zip(pdf["frame_no"], pdf["ts_us"], pdf["payload"]):
+                buf = pending + bytes(payload)
+                fl = frames + [int(frame_no)]
+                pos = 0
+                while pos < len(buf):
+                    msg, consumed = parse_message(buf[pos:])
+                    if consumed == -1:
+                        break
+                    if msg is not None and msg.get("command_code") != 280:
+                        rows.append(
+                            (file, fl, int(ts_us), src, dst)
+                            + tuple(msg.get(c) for c in _COLS[5:])
+                        )
+                        fl = [int(frame_no)]
+                    pos += consumed
+                pending = buf[pos:]
+                frames = fl if pending else []
+        state.update((pending, ",".join(str(f) for f in frames)))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    out = (
+        flows.select(*key_cols, "frame_no", "ts_us", "payload")
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            stitch,
+            MESSAGE_SCHEMA,
+            _STITCH_STATE,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return out.withColumn("ts", F.timestamp_micros("ts_us"))
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("command_code", LongType()),
+        StructField("hop_by_hop_id", LongType()),
+        StructField("end_to_end_id", LongType()),
+        StructField("session_id", StringType()),
+        StructField("msisdn", StringType()),
+        StructField("imsi", StringType()),
+        StructField("result_code", LongType()),
+        StructField("matched", StringType()),  # matched | request_only | response_only
+    ]
+)
+_CORR_STATE = StructType(
+    [
+        StructField("req_msisdn", StringType()),
+        StructField("req_imsi", StringType()),
+        StructField("have_req", StringType()),
+    ]
+)
+
+
+def stream_correlate_diameter(messages: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
+    """J1 streaming: requests park in keyed state; the answer joins
+    them (bidirectional msisdn/imsi coalesce) and emits the pair.
+    Timed-out keys emit ``request_only`` — the EOF leftover census
+    (diameter.py:469-478, 580-589)."""
+    key_cols = ["command_code", "hop_by_hop_id", "end_to_end_id", "session_id"]
+
+    def correlate(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cmd, hbh, e2e, sess = key
+        if state.hasTimedOut:
+            req_msisdn, req_imsi, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(cmd, hbh, e2e, sess, req_msisdn, req_imsi, None, "request_only")],
+                columns=[f.name for f in _PAIR_SCHEMA.fields],
+            )
+            return
+        req_msisdn = req_imsi = None
+        have_req = ""
+        if state.exists:
+            req_msisdn, req_imsi, have_req = state.get
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("ts_us").iterrows():
+                if r["request"]:
+                    if not have_req:  # duplicate request = retransmission, dropped
+                        have_req = "y"
+                        req_msisdn, req_imsi = r["msisdn"], r["imsi"]
+                else:
+                    rows.append(
+                        (
+                            cmd, hbh, e2e, sess,
+                            req_msisdn if req_msisdn is not None else r["msisdn"],
+                            req_imsi if req_imsi is not None else r["imsi"],
+                            r["result_code"],
+                            "matched" if have_req else "response_only",
+                        )
+                    )
+                    have_req = ""
+                    req_msisdn = req_imsi = None
+        if have_req:
+            state.update((req_msisdn, req_imsi, have_req))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in _PAIR_SCHEMA.fields])
+
+    src = messages.select(
+        *key_cols, "request", F.unix_micros("ts").alias("ts_us"),
+        "msisdn", "imsi", "result_code",
+    )
+    return src.groupBy(*key_cols).applyInPandasWithState(
+        correlate,
+        _PAIR_SCHEMA,
+        _CORR_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def write_stream_with_ledger(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    ledger_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch sink: append batch output as parquet + one
+    ledger row per source file (S10). Returns the query handle."""
+    from ingestor_etl_spark.sinks.ledger import file_counters, ledger_rows
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(out_path)
+            if ledger_path and "file" in batch.columns:
+                ledger_rows(file_counters(batch)).write.mode("append").parquet(ledger_path)
+        finally:
+            batch.unpersist()
+
+    writer = df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time session windows over a stream — the streaming
+    counterpart of operators.sessionize (J6's gap semantics) using
+    the built-in session_window aggregation + watermark for late
+    data."""
+    with_wm = events.withWatermark(ts_col, f"{gap_seconds * 2} seconds")
+    return with_wm.groupBy(
+        F.col(user_col),
+        F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("session"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )

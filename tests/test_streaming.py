@@ -1,0 +1,124 @@
+"""Streaming pipeline tests: frames stream → stateful decode →
+correlation → foreachBatch sink + ledger (availableNow triggers)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.sinks.ledger import current_ledger_state, pending_files
+from ingestor_etl_spark.protocols.net import expand_l4
+from ingestor_etl_spark.streaming.pipeline import (
+    stream_correlate_diameter,
+    stream_decode_diameter,
+    stream_frames,
+    stream_sessionize,
+    write_stream_with_ledger,
+)
+from tests import pcapgen as g
+from tests.test_diameter import _cca, _ccr
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+def test_streaming_diameter_end_to_end(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ccr, cca = _ccr(), _cca()
+    split_point = len(ccr) // 2
+    frames = [
+        # TCP-segmented request (streaming R2) + SCTP answer
+        (2400, 0, g.eth(g.ipv4(g.tcp(ccr[:split_point], 40001, 3868, seq=1, ack=1), 6))),
+        (2400, 1, g.eth(g.ipv4(g.tcp(ccr[split_point:], 40001, 3868, seq=1 + split_point, ack=1), 6))),
+        (2401, 0, g.eth(g.ipv4(g.sctp([(1, 0, 46, cca)], 3868, 40001), 132, src="10.0.0.2", dst="10.0.0.1"))),
+    ]
+    (drop / "cap1.pcap").write_bytes(g.pcap(frames))
+
+    segs = expand_l4(stream_frames(spark, str(drop) + "/*.pcap"))
+    msgs = stream_decode_diameter(segs)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+    q = write_stream_with_ledger(msgs.drop("ts"), out_dir, ckpt, ledger)
+    _await(q)
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values("hop_by_hop_id")
+    assert len(got) == 2
+    req = got[got.request].iloc[0]
+    assert list(req.frames_list) == [1, 2]  # streaming reassembly
+    assert req.msisdn == "5215550001"
+
+    # S10: ledger recorded the source file as processed
+    state = current_ledger_state(spark, ledger).toPandas()
+    assert len(state) == 1 and state.iloc[0].processed == 2
+    assert pending_files(spark, ledger, [state.iloc[0].filename, "other.pcap"]) == [
+        "other.pcap"
+    ]
+
+
+def test_streaming_correlation(spark, tmp_path):
+    """Stage 2 of the chained topology: decoded-message stream →
+    keyed correlation state (one applyInPandasWithState per query)."""
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    frames = [
+        (2500, 0, g.eth(g.ipv4(g.sctp([(1, 0, 46, _ccr())], 40001, 3868), 132))),
+        (2500, 1, g.eth(g.ipv4(g.sctp([(1, 0, 46, _cca())], 3868, 40001), 132, src="10.0.0.2", dst="10.0.0.1"))),
+    ]
+    (drop / "cap.pcap").write_bytes(g.pcap(frames))
+    segs = expand_l4(stream_frames(spark, str(drop) + "/*.pcap"))
+    msgs = stream_decode_diameter(segs)
+    mid_dir, ckpt1 = str(tmp_path / "mid"), str(tmp_path / "ckpt1")
+    q1 = msgs.drop("ts").writeStream.format("parquet").option("path", mid_dir).option(
+        "checkpointLocation", ckpt1
+    ).trigger(availableNow=True).start()
+    _await(q1)
+
+    decoded = (
+        spark.readStream.schema(spark.read.parquet(mid_dir).schema)
+        .parquet(mid_dir)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    pairs = stream_correlate_diameter(decoded)
+    out_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt2")
+    q = pairs.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    _await(q)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.matched == "matched"
+    assert row.msisdn == "5215550001"  # enriched from request side
+    assert row.result_code == 2001  # from answer side
+
+
+def test_stream_sessionize(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),  # > 30 min gap → new session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts")
+    df.write.parquet(str(src_dir))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src_dir))
+    sessions = stream_sessionize(stream, gap_seconds=1800)
+    out_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "ckpt3")
+    q = sessions.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append").trigger(availableNow=True).start()
+    _await(q)
+    got = spark.read.parquet(out_dir).toPandas() if glob.glob(out_dir + "/*.parquet") else None
+    # append mode emits only windows the watermark has passed: the
+    # two 10:00 sessions close (watermark = 12:00 - 1h = 11:00); the
+    # 12:00 session correctly stays open in state awaiting more data
+    assert got is not None and len(got) == 2
+    assert sorted(got.n_events) == [1, 2]
