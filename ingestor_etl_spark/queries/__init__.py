@@ -43,7 +43,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: fills REGISTRY)."""
     from ingestor_etl_spark.queries import (  # noqa: F401
+        dedup_ops,
         events_ops,
+        multimodal_ops,
         relational,
         text_ops,
         vector_ops,

