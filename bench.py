@@ -33,6 +33,12 @@ HEADLINE = [
     "exact_dedup",
     "text_quality",
     "ann_cosine_topk",
+    "minhash_lsh_pairs",
+    "simhash_clusters",
+    "ann_lsh_bucketed",
+    "lang_id",
+    "multimodal_features",
+    "pcap_diameter_correlated",
 ]
 
 

@@ -271,9 +271,16 @@ def _extract_identities(component_body: bytes, out: dict) -> None:
                 raw = tpdu[2:10] if is_submit == 1 else tpdu[1:9]
                 out["msisdn"] = _bcd_msisdn(raw)
     else:
+        # address-string leaves are context-tagged; a plain OCTET
+        # STRING is only considered if it isn't the imsi leaf
         addr = next(
-            (v for t, v in leaves if t in (0x80, 0x82, 0x04) and len(v) in (7, 8)), None
+            (v for t, v in leaves if t in (0x80, 0x82) and len(v) in (7, 8)), None
         )
+        if addr is None:
+            addr = next(
+                (v for t, v in leaves if t == 0x04 and len(v) in (7, 8) and v != imsi),
+                None,
+            )
         if addr is not None:
             out["msisdn"] = _bcd_msisdn(addr)
 

@@ -1,0 +1,423 @@
+"""Protocol-pipeline demo queries — the SURVEY §2 decode surface,
+registered for the driver's correctness gate.
+
+The driver's tables carry no packet captures, so each query here
+builds a DETERMINISTIC capture (ingestor_etl_spark.capturegen —
+byte-identical every run), runs the full pipeline (source → decode
+→ reassemble → correlate), and returns a stable projection. The
+DuckDB oracles are golden-row VALUES relations: the expected output
+of each pipeline, independently verified by the byte-level golden
+tests in tests/test_{diameter,gtp,sip,smpp,gsm_map,http_sig}.py.
+
+``sf_dir`` is accepted (driver contract) but unused — protocol
+inputs are self-contained."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark import capturegen as g
+from ingestor_etl_spark.operators.transactions import tcap_transactions
+from ingestor_etl_spark.protocols.cap import decode_cap, read_tshark_json
+from ingestor_etl_spark.protocols.diameter import correlate_diameter, decode_diameter
+from ingestor_etl_spark.protocols.gsm_map import decode_gsm_map
+from ingestor_etl_spark.protocols.gtp import decode_gtp, enrich_gtp_transactions
+from ingestor_etl_spark.protocols.http_sig import extract_ocs, http_messages, link_http
+from ingestor_etl_spark.protocols.net import expand_l4
+from ingestor_etl_spark.protocols.sip import call_summary, decode_sip
+from ingestor_etl_spark.protocols.smpp import decode_smpp, group_smpp_transactions
+from ingestor_etl_spark.queries import register
+from ingestor_etl_spark.sources.pcap import read_pcap
+
+_VERSION = "v1"  # bump when any fixture changes
+
+
+def _demo_dir() -> str:
+    d = os.path.join(
+        tempfile.gettempdir(), f"ingestor_etl_spark_demo_{_VERSION}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_once(name: str, data: bytes) -> str:
+    path = os.path.join(_demo_dir(), name)
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+    return path
+
+
+# ------------------------------------------------------------- fixtures
+def _diameter_capture() -> str:
+    sess = b"sess;demo;1"
+    ccr = g.diameter_msg(
+        272, True, hbh=0x1001, e2e=0x2001,
+        avps=[
+            g.diameter_avp(263, sess),
+            g.diameter_avp(264, b"client.demo"),
+            g.diameter_avp(296, b"demo.realm"),
+            g.subscription_id(0, "5215550001"),
+            g.subscription_id(1, "334020000000001"),
+        ],
+    )
+    cca = g.diameter_msg(
+        272, False, hbh=0x1001, e2e=0x2001,
+        avps=[
+            g.diameter_avp(263, sess),
+            g.diameter_avp(264, b"server.demo"),
+            g.diameter_avp(268, struct.pack("!I", 2001)),
+            g.diameter_avp(297, g.diameter_avp(298, struct.pack("!I", 5030))),
+        ],
+    )
+    dwr = g.diameter_msg(280, True, 5, 5, [g.diameter_avp(264, b"peer")])
+    orphan = g.diameter_msg(
+        272, True, 0x1002, 0x2002, [g.diameter_avp(263, b"orphan;sess")]
+    )
+    split = g.diameter_msg(
+        272, True, 0x1003, 0x2003,
+        [g.diameter_avp(263, b"tcp;sess"), g.subscription_id(0, "5215550002")],
+    )
+    half = len(split) // 2
+    frames = [
+        (1700, 1, g.eth(g.ipv4(g.sctp([(1, 0, 46, ccr)], 40001, 3868), 132))),
+        (1700, 2, g.eth(g.ipv4(g.sctp([(1, 0, 46, dwr)], 40001, 3868), 132))),
+        (1701, 0, g.eth(g.ipv4(g.sctp([(1, 0, 46, cca)], 3868, 40001), 132, src="10.0.0.2", dst="10.0.0.1"))),
+        (1702, 0, g.eth(g.ipv4(g.sctp([(2, 0, 46, orphan)], 40001, 3868), 132))),
+        (1703, 0, g.eth(g.ipv4(g.tcp(split[:half], 50000, 3868, seq=1, ack=1), 6))),
+        (1703, 5, g.eth(g.ipv4(g.tcp(split[half:], 50000, 3868, seq=1 + half, ack=1), 6))),
+    ]
+    return _write_once("diameter.pcap", g.pcap(frames))
+
+
+def _gtp_capture() -> str:
+    req = g.gtpv2(
+        32, 0, 777,
+        g.gtpv2_ie(1, g.tbcd("334020123456789")) + g.gtpv2_ie(76, g.tbcd("5215550100")),
+    )
+    res = g.gtpv2(33, 1, 777, g.gtpv2_ie(2, b"\x10\x00"))
+    v1req = g.gtpv1(16, 9, 42, g.gtpv1_ie_tv(2, g.tbcd("334020999888777f")))
+    frames = [
+        (1800, 0, g.eth(g.ipv4(g.udp(req, 40000, 2123), 17))),
+        (1800, 1, g.eth(g.ipv4(g.udp(res, 2123, 40000), 17, src="10.0.0.2", dst="10.0.0.1"))),
+        (1800, 2, g.eth(g.ipv4(g.udp(v1req, 40000, 2123), 17))),
+    ]
+    return _write_once("gtp.pcap", g.pcap(frames))
+
+
+def _sip_capture() -> str:
+    def invite(call_id, frm, to, sdp):
+        lines = [
+            f"INVITE sip:{to}@demo SIP/2.0",
+            f"From: <sip:{frm}@demo>;tag=1",
+            f"To: <sip:{to}@demo>",
+            f"Call-ID: {call_id}",
+        ]
+        body = f"v=0\r\no=- {sdp[0]} {sdp[1]} IN IP4 10.1.1.1\r\n" if sdp else ""
+        return ("\r\n".join(lines) + "\r\n\r\n" + body).encode()
+
+    ok = (
+        "SIP/2.0 200 OK\r\nCall-ID: call-a\r\nFrom: <sip:100@demo>;tag=1\r\n"
+        "To: <sip:200@demo>;tag=2\r\n\r\n"
+    ).encode()
+    frames = [
+        (1900, 0, g.eth(g.ipv4(g.udp(invite("call-a", "100", "200", (4242, 1)), 5060, 5060), 17))),
+        (1900, 1, g.eth(g.ipv4(g.udp(ok, 5060, 5060), 17, src="10.0.0.2", dst="10.0.0.1"))),
+        (1900, 2, g.eth(g.ipv4(g.udp(invite("call-b", "300", "400", None), 5060, 5060), 17))),
+    ]
+    return _write_once("sip.pcap", g.pcap(frames))
+
+
+def _smpp_capture() -> str:
+    submit = g.smpp_pdu(0x4, 0, 7, g.smpp_submit_body("100", "200"))
+    resp = g.smpp_pdu(0x80000004, 0, 7, b"ID\x00")
+    deliver = g.smpp_pdu(0x5, 0, 8, g.smpp_submit_body("300", "400"))
+    frames = [
+        (2000, 0, g.eth(g.ipv4(g.tcp(submit, 40000, 2775, flags=24), 6))),
+        (2000, 1, g.eth(g.ipv4(g.tcp(resp, 2775, 40000, flags=24), 6, src="10.0.0.2", dst="10.0.0.1"))),
+        (2000, 2, g.eth(g.ipv4(g.tcp(deliver, 2775, 40000, flags=24), 6, src="10.0.0.2", dst="10.0.0.1"))),
+    ]
+    return _write_once("smpp.pcap", g.pcap(frames))
+
+
+def _gsm_map_capture() -> str:
+    imsi = g.tbcd("334020123456789f")
+    begin = g.tcap_msg(
+        "begin", otid=0x11, components=[g.tcap_invoke(2, g.ber(0x30, g.ber(0x04, imsi)))]
+    )
+    cont = g.tcap_msg("continue", otid=0x99, dtid=0x11)
+    end = g.tcap_msg("end", dtid=0x99, components=[g.tcap_return_result(2)])
+    seg = g.tcap_msg(
+        "begin", otid=0x55,
+        components=[g.tcap_invoke(45, g.ber(0x30, g.ber(0x80, b"\x91" + g.tbcd("521555019900"))))],
+    )
+    half = len(seg) // 2
+    frames = [
+        (2100, 0, g.eth(g.ipv4(g.sctp([(0, 0, 3, g.m3ua(g.sccp_udt(begin)))], 2905, 2905), 132))),
+        (2100, 1, g.eth(g.ipv4(g.sctp([(0, 1, 3, g.m3ua(g.sccp_udt(cont)))], 2905, 2905), 132, src="10.0.0.2", dst="10.0.0.1"))),
+        (2100, 2, g.eth(g.ipv4(g.sctp([(0, 2, 3, g.m3ua(g.sccp_udt(end)))], 2905, 2905), 132))),
+        (2100, 3, g.eth(g.ipv4(g.sctp([(0, 3, 3, g.m3ua(g.sccp_xudt(seg[:half], True, 1, 0x70001)))], 2905, 2905), 132))),
+        (2100, 4, g.eth(g.ipv4(g.sctp([(0, 4, 3, g.m3ua(g.sccp_xudt(seg[half:], False, 0, 0x70001)))], 2905, 2905), 132))),
+    ]
+    return _write_once("gsm_map.pcap", g.pcap(frames))
+
+
+def _http_ocs_capture() -> str:
+    body = (
+        b'<mo-acr-request id="7"><msisdn>5215550001</msisdn>'
+        b"<callactive>true</callactive><calling>100</calling>"
+        b"<called>200</called></mo-acr-request>"
+    )
+    res_body = b'<mo-acr-response id="7"><result>0</result></mo-acr-response>'
+    req = (
+        b"POST /ocs HTTP/1.1\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\nContent-Type: text/xml\r\n\r\n" + body
+    )
+    res = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: " + str(len(res_body)).encode()
+        + b"\r\nContent-Type: text/xml\r\n\r\n" + res_body
+    )
+    cut = len(req) // 2
+    frames = [
+        (2200, 0, g.eth(g.ipv4(g.tcp(req[:cut], 45000, 8080, seq=1000, ack=555, flags=24), 6, src="10.1.1.1", dst="10.1.1.2"))),
+        (2200, 1, g.eth(g.ipv4(g.tcp(req[cut:], 45000, 8080, seq=1000 + cut, ack=555, flags=24), 6, src="10.1.1.1", dst="10.1.1.2"))),
+        (2200, 2, g.eth(g.ipv4(g.tcp(res, 8080, 45000, seq=555, ack=1000 + len(req), flags=24), 6, src="10.1.1.2", dst="10.1.1.1"))),
+    ]
+    return _write_once("http_ocs.pcap", g.pcap(frames))
+
+
+def _cap_json() -> str:
+    pkts = [
+        {
+            "_source": {
+                "layers": {
+                    "frame.number": ["1"],
+                    "frame.time_epoch": ["1700000000.123456789"],
+                    "ip.src": ["10.5.5.1"],
+                    "ip.dst": ["10.5.5.2"],
+                    "camel.local": ["0"],
+                    "tcap.otid": ["00a1b2c3"],
+                    "m3ua.protocol_data_opc": ["301"],
+                    "m3ua.protocol_data_dpc": ["302"],
+                    "e164.msisdn": [" 5215550001 "],
+                    "e212.imsi": ["334020123456789"],
+                }
+            }
+        },
+        {
+            "_source": {
+                "layers": {
+                    "frame.number": ["2"],
+                    "frame.time_epoch": ["1700000001.000001"],
+                    "ip.src": ["10.5.5.2"],
+                    "ip.dst": ["10.5.5.1"],
+                    "camel.local": ["31"],
+                    "tcap.dtid": ["00a1b2c3"],
+                    "mtp3.opc": ["401"],
+                    "mtp3.dpc": ["402"],
+                }
+            }
+        },
+    ]
+    return _write_once("cap.json", json.dumps(pkts, indent=1).encode())
+
+
+# ------------------------------------------------------------- queries
+@register(
+    "pcap_diameter_correlated",
+    oracle="""
+    SELECT * FROM (VALUES
+      (272, 4097, 8193, 'sess;demo;1', TRUE, '5215550001', '334020000000001', 2001, 5030),
+      (272, 4098, 8194, 'orphan;sess', FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)),
+      (272, 4099, 8195, 'tcp;sess', FALSE, '5215550002', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER))
+    ) AS t(command_code, hop_by_hop_id, end_to_end_id, session_id, matched,
+           msisdn, imsi, result_code, exp_result_code)
+    ORDER BY hop_by_hop_id
+    """,
+    tags=("protocol", "diameter", "pcap"),
+)
+def pcap_diameter_correlated(spark, sf_dir):
+    """Full Diameter pipeline on a deterministic capture: pcap →
+    SCTP/TCP segments → reassembled messages (R1/R2) → DWR drop →
+    J1 full-outer correlation with bidirectional enrichment."""
+    msgs = decode_diameter(expand_l4(read_pcap(spark, _diameter_capture())))
+    corr = correlate_diameter(msgs)
+    return corr.select(
+        "command_code",
+        "hop_by_hop_id",
+        "end_to_end_id",
+        "session_id",
+        "matched",
+        "msisdn",
+        "imsi",
+        "result_code",
+        "exp_result_code",
+    ).orderBy("hop_by_hop_id")
+
+
+@register(
+    "pcap_gtp_enriched",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'create_pdp_context_request', 42, CAST(NULL AS INTEGER), '334020999888777', CAST(NULL AS VARCHAR)),
+      (2, 'create_session_request', 777, CAST(NULL AS INTEGER), '334020123456789', '5215550100'),
+      (2, 'create_session_response', 777, 16, '334020123456789', '5215550100')
+    ) AS t(gtp_version, msg_name, seq, cause, imsi, msisdn)
+    ORDER BY seq, msg_name
+    """,
+    tags=("protocol", "gtp", "pcap"),
+)
+def pcap_gtp_enriched(spark, sf_dir):
+    """GTP v1+v2 decode + J2 seq-group identifier propagation."""
+    msgs = decode_gtp(expand_l4(read_pcap(spark, _gtp_capture())))
+    return enrich_gtp_transactions(msgs).select(
+        "gtp_version", "msg_name", "seq", "cause", "imsi", "msisdn"
+    ).orderBy("seq", "msg_name")
+
+
+@register(
+    "pcap_sip_calls",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('call-a', 2, 'INVITE', 200),
+      ('call-b', 1, 'INVITE', CAST(NULL AS INTEGER))
+    ) AS t(call_id, n_messages, methods, max_status)
+    ORDER BY call_id
+    """,
+    tags=("protocol", "sip", "pcap"),
+)
+def pcap_sip_calls(spark, sf_dir):
+    """SIP decode → per-call rollup (J5 call grouping)."""
+    msgs = decode_sip(expand_l4(read_pcap(spark, _sip_capture())))
+    return call_summary(msgs).select(
+        "call_id",
+        "n_messages",
+        F.concat_ws(",", "methods").alias("methods"),
+        "max_status",
+    ).orderBy("call_id")
+
+
+@register(
+    "pcap_smpp_transactions",
+    oracle="""
+    SELECT * FROM (VALUES
+      (7, 'submit_sm', FALSE, '100', '200', 2),
+      (7, 'submit_sm_resp', TRUE, '100', '200', 2),
+      (8, 'deliver_sm', FALSE, '300', '400', 1)
+    ) AS t(sequence_number, command, is_response, source_addr, destination_addr, txn_size)
+    ORDER BY sequence_number, command
+    """,
+    tags=("protocol", "smpp", "pcap"),
+)
+def pcap_smpp_transactions(spark, sf_dir):
+    """SMPP PDU decode + J3 direction-normalized grouping."""
+    msgs = decode_smpp(expand_l4(read_pcap(spark, _smpp_capture())))
+    return group_smpp_transactions(msgs).select(
+        "sequence_number", "command", "is_response", "source_addr",
+        "destination_addr", "txn_size",
+    ).orderBy("sequence_number", "command")
+
+
+@register(
+    "pcap_gsm_map_decoded",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('begin',    17, 17, CAST(NULL AS BIGINT), 2,  1, '334020123456789', CAST(NULL AS VARCHAR), 101, 202, '1'),
+      ('continue', 153, 153, 17, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 101, 202, '2'),
+      ('end',      153, CAST(NULL AS BIGINT), 153, 2, 2, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 101, 202, '3'),
+      ('begin',    85, 85, CAST(NULL AS BIGINT), 45, 1, CAST(NULL AS VARCHAR), '521555019900', 101, 202, '4 5')
+    ) AS t(tcap_mess_type, tcap_tid, tcap_otid, tcap_dtid, gsm_op_code,
+           gsm_component, imsi, msisdn, mtp3_opc, mtp3_dpc, frames)
+    ORDER BY frames
+    """,
+    tags=("protocol", "ss7", "pcap"),
+)
+def pcap_gsm_map_decoded(spark, sf_dir):
+    """GSM-MAP pipeline: M3UA → SCCP (XUDT reassembly, R3) → TCAP
+    field extraction, frames_list in sink string form."""
+    out = decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
+    return out.select(
+        "tcap_mess_type", "tcap_tid", "tcap_otid", "tcap_dtid", "gsm_op_code",
+        "gsm_component", "imsi", "msisdn", "mtp3_opc", "mtp3_dpc",
+        F.concat_ws(" ", "frames_list").alias("frames"),
+    ).orderBy("frames")
+
+
+@register(
+    "pcap_tcap_transactions",
+    oracle="""
+    SELECT * FROM (VALUES (17, 3, '1 2 3', 1, 1)) AS
+    t(txn, n_messages, frames, has_begin, has_end)
+    """,
+    tags=("protocol", "ss7", "sessionize"),
+)
+def pcap_tcap_transactions(spark, sf_dir):
+    """J6 over the decoded GSM-MAP stream: begin/continue/end
+    assembled into one transaction via tid aliasing."""
+    msgs = decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
+    tas = tcap_transactions(msgs)
+    return tas.select(
+        "txn", "n_messages", F.concat_ws(" ", "frames").alias("frames"),
+        "has_begin", "has_end",
+    ).orderBy("txn")
+
+
+@register(
+    "pcap_http_ocs_linked",
+    oracle="""
+    SELECT * FROM (VALUES
+      (TRUE, 'POST', 200, 'mo-acr-request', '5215550001', '100', '200', '1 2', 3),
+      (FALSE, CAST(NULL AS VARCHAR), 200, 'mo-acr-response', '5215550001', '100', '200', '3', CAST(NULL AS BIGINT))
+    ) AS t(http_is_request, method, status, type, msisdn, calling, called, frames, http_response_in)
+    ORDER BY http_is_request DESC
+    """,
+    tags=("protocol", "http", "pcap"),
+)
+def pcap_http_ocs_linked(spark, sf_dir):
+    """HTTP-OCS pipeline: R5/R6 reassembly + pairing, P31 XML
+    extraction, J4 linking with pre-generated response ids (S9
+    redesign) and bidirectional enrichment."""
+    msgs = http_messages(expand_l4(read_pcap(spark, _http_ocs_capture())))
+    linked = link_http(extract_ocs(msgs), enrich_cols=["msisdn", "calling", "called"])
+    status = F.max("http_response_code").over(Window.partitionBy("pair_id"))
+    return linked.select(
+        "http_is_request",
+        F.col("http_request_method").alias("method"),
+        status.alias("status"),
+        "type",
+        "msisdn",
+        "calling",
+        "called",
+        F.concat_ws(" ", "frames_list").alias("frames"),
+        "http_response_in",
+    ).orderBy(F.desc("http_is_request"))
+
+
+@register(
+    "tshark_cap_camel",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'initialDP', 10597059, 10597059, 301, 302, '5215550001', '334020123456789'),
+      (2, 'continue', 10597059, 10597059, 401, 402, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+    ) AS t(frame_no, tcap_mess_type, tcap_tid, tid_check, mtp3_opc, mtp3_dpc, msisdn, imsi)
+    ORDER BY frame_no
+    """,
+    tags=("protocol", "camel", "tshark-json"),
+)
+def tshark_cap_camel(spark, sf_dir):
+    """CAP pipeline: tshark JSON export → native projections (S5 +
+    P33), opc/dpc coalesce and initialDP tid rule."""
+    out = decode_cap(read_tshark_json(spark, _cap_json()))
+    return out.select(
+        "frame_no", "tcap_mess_type", "tcap_tid",
+        F.col("tcap_tid").alias("tid_check"),
+        "mtp3_opc", "mtp3_dpc", "msisdn", "imsi",
+    ).orderBy("frame_no")
