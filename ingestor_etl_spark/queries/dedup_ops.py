@@ -145,13 +145,17 @@ def minhash_lsh_pairs(spark, sf_dir):
     base = _shingled(spark, sf_dir).selectExpr(
         "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
     )
-    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST)
-    long_form = None
-    for i in range(N_BANDS):
-        part = banded.select(
-            "doc_id", F.lit(i).alias("band_no"), F.col(f"band{i}").alias("band_key")
-        )
-        long_form = part if long_form is None else long_form.unionByName(part)
+    # Materialize the signatures: they are tiny (7 longs/doc) and
+    # every downstream branch (3 bands × 2 join sides) would other-
+    # wise recompute the full shingle+md5 pass — in a production
+    # LSH system signatures are always a stored artifact.
+    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST).persist()
+    long_form = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
+            "band_no", "band_key"
+        ),
+    )
     a = long_form.alias("a")
     b = long_form.alias("b")
     return (
@@ -200,7 +204,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
     pair join runs only over shared shingles — at corpus scale this
     is the LSH verifier stage, fed by minhash_lsh_pairs candidates
     rather than all shingles."""
-    shingled = _shingled(spark, sf_dir)
+    # shingle lists feed three branches (two join sides + sizes):
+    # materialize once instead of re-running the tokenize+distinct
+    shingled = _shingled(spark, sf_dir).persist()
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
