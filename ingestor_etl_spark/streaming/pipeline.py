@@ -250,6 +250,18 @@ def write_stream_with_ledger(
     return writer.start()
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Late/duplicate-frame handling (§2.9): event-time watermark +
+    dropDuplicatesWithinWatermark on the retransmission key — the
+    streaming form of O3's dropDuplicates with bounded state."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -1,0 +1,68 @@
+"""Sink tests: schema-parity helpers, pcap round-trip, ledger,
+streaming dedup."""
+
+from __future__ import annotations
+
+from ingestor_etl_spark import capturegen as g
+from ingestor_etl_spark.sinks.jdbc import frames_list_as_string, with_epoch_columns
+from ingestor_etl_spark.sinks.ledger import append_ledger, current_ledger_state, file_counters, ledger_rows
+from ingestor_etl_spark.sinks.pcap_sink import write_pcap_files
+from ingestor_etl_spark.sources.pcap import read_pcap
+from ingestor_etl_spark.streaming.pipeline import stream_dedup
+
+UDP = g.eth(g.ipv4(g.udp(b"x" * 10, 1, 2), 17))
+
+
+def test_schema_parity_helpers(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], "2024-01-01 00:00:00.123456")],
+        "frames_list array<long>, ts string",
+    ).selectExpr("frames_list", "cast(ts as timestamp) ts")
+    out = with_epoch_columns(frames_list_as_string(df)).collect()[0]
+    assert out.frames_list == "1 2 3"  # models.py String form
+    assert out.useconds_epoch == 123456
+    assert out.time_epoch == 1704067200
+
+
+def test_pcap_sink_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.pcap"
+    src.write_bytes(g.pcap([(100, 5, UDP), (101, 6, UDP)]))
+    frames = read_pcap(spark, str(src))
+    counts = write_pcap_files(frames, str(tmp_path / "out"))
+    assert sum(counts.values()) == 2
+    # round-trip: the re-written capture decodes identically
+    (out_path,) = counts
+    again = read_pcap(spark, out_path).orderBy("frame_no").collect()
+    assert [r.frame_no for r in again] == [1, 2]
+    assert bytes(again[0].payload) == UDP
+
+
+def test_ledger_lifecycle(spark, tmp_path):
+    decoded = spark.createDataFrame(
+        [("a.pcap", None), ("a.pcap", None), ("a.pcap", "bad frame"), ("b.pcap", None)],
+        "file string, error string",
+    )
+    counters = file_counters(decoded)
+    path = str(tmp_path / "ledger")
+    append_ledger(ledger_rows(counters), path)
+    state = current_ledger_state(spark, path).toPandas().set_index("filename")
+    assert state.loc["a.pcap"].processed == 2
+    assert state.loc["a.pcap"].not_processed == 1
+    assert state.loc["b.pcap"].processed == 1
+
+
+def test_stream_dedup(spark, tmp_path):
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00"), (2, "k", "2024-01-01 00:00:01"), (3, "j", "2024-01-01 00:00:02")],
+        "id long, k string, ts string",
+    ).selectExpr("id", "k", "cast(ts as timestamp) ts").write.parquet(str(src))
+    stream = spark.readStream.schema("id long, k string, ts timestamp").parquet(str(src))
+    deduped = stream_dedup(stream, ["k"], watermark="1 minute")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = deduped.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.k) == ["j", "k"]  # duplicate 'k' row dropped
