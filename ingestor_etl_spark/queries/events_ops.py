@@ -322,3 +322,54 @@ def events_hourly_rollup(spark, sf_dir):
         )
         .orderBy("hour_us", "event_type")
     )
+
+
+@register(
+    "asof_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id, p.ts_us,
+           CAST(p.value AS DECIMAL(12,2))::DOUBLE AS purchase_value,
+           v.view_event_id,
+           v.ts_us AS asof_matched_ts
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    ORDER BY p.user_id, p.event_id
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def asof_attribution(spark, sf_dir):
+    """As-of join (custom operator, operators/asof.py): attribute
+    each purchase to the user's latest view at-or-before it — the
+    union-and-carry window plan, one shuffle on user_id, no range
+    explosion. Right side pre-deduped per (user, ts) so ties are
+    deterministic in both engines."""
+    from ingestor_etl_spark.operators.asof import asof_join_backward
+
+    e = _events(spark, sf_dir)
+    purchases = e.where("event_type = 'purchase'").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        dec("value").cast("double").alias("purchase_value"),
+    )
+    views = (
+        e.where("event_type = 'view'")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join_backward(
+        purchases, views, by=["user_id"], ts_col="ts_us", carry_cols=["view_event_id"]
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us", "purchase_value", "view_event_id",
+        "asof_matched_ts",
+    ).orderBy("user_id", "event_id")
