@@ -28,7 +28,13 @@ from ingestor_etl_spark.protocols.cap import decode_cap, read_tshark_json
 from ingestor_etl_spark.protocols.diameter import correlate_diameter, decode_diameter
 from ingestor_etl_spark.protocols.gsm_map import decode_gsm_map
 from ingestor_etl_spark.protocols.gtp import decode_gtp, enrich_gtp_transactions
-from ingestor_etl_spark.protocols.http_sig import extract_ocs, http_messages, link_http
+from ingestor_etl_spark.protocols.http_sig import (
+    extract_generic,
+    extract_ocs,
+    extract_ss7sms,
+    http_messages,
+    link_http,
+)
 from ingestor_etl_spark.protocols.net import expand_l4
 from ingestor_etl_spark.protocols.sip import call_summary, decode_sip
 from ingestor_etl_spark.protocols.smpp import decode_smpp, group_smpp_transactions
@@ -421,3 +427,88 @@ def tshark_cap_camel(spark, sf_dir):
         F.col("tcap_tid").alias("tid_check"),
         "mtp3_opc", "mtp3_dpc", "msisdn", "imsi",
     ).orderBy("frame_no")
+
+
+def _http_generic_capture() -> str:
+    camel_body = (
+        b'<dialog localId="10" remoteId="20">'
+        b'<initialDP_Request><imsi number="334020123456789"/></initialDP_Request>'
+        b'<origAddress><gt digits="5215550001"/></origAddress>'
+        b'<destAddress><gt digits="5215550002"/></destAddress></dialog>'
+    )
+    diam_body = (
+        b"<diameter><e2e>42</e2e>"
+        b'<avp code="263" value="sess;x"/><avp code="264" value="host.a"/>'
+        b'<avp code="268" value="null"/><avp code="1" value="334020777"/></diameter>'
+    )
+    def post(path, body):
+        return (
+            b"POST " + path + b" HTTP/1.1\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\nContent-Type: text/xml\r\n\r\n" + body
+        )
+    frames = [
+        (2600, 0, g.eth(g.ipv4(g.tcp(post(b"/camel", camel_body), 46000, 8081, seq=10, ack=20, flags=24), 6))),
+        (2600, 1, g.eth(g.ipv4(g.tcp(post(b"/diam", diam_body), 46002, 8081, seq=30, ack=40, flags=24), 6))),
+    ]
+    return _write_once("http_generic.pcap", g.pcap(frames))
+
+
+@register(
+    "pcap_http_camel_diameter",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CAMEL', '10', '20', '334020123456789', '5215550001', '5215550002',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      ('DIAMETER', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '334020777',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '42', 'sess;x', '0')
+    ) AS t(type, tcap_otid, tcap_dtid, imsi, camel_orig_address,
+           camel_dest_address, diam_e2e_id, diam_session_id, diam_result_code)
+    ORDER BY type
+    """,
+    tags=("protocol", "http", "xml-dialects"),
+)
+def pcap_http_camel_diameter(spark, sf_dir):
+    """P30: the generic-HTTP XML extractor's CAMEL and DIAMETER
+    dialects over one capture (dialect chosen per message by URI
+    here; the reference takes it as a process argument)."""
+    msgs = http_messages(expand_l4(read_pcap(spark, _http_generic_capture())))
+    camel = extract_generic(msgs.where(F.col("http_request_uri").contains("/camel")), "CAMEL")
+    diam = extract_generic(msgs.where(F.col("http_request_uri").contains("/diam")), "DIAMETER")
+    cols = [
+        "type", "tcap_otid", "tcap_dtid", "imsi", "camel_orig_address",
+        "camel_dest_address", "diam_e2e_id", "diam_session_id", "diam_result_code",
+    ]
+    return camel.select(*cols).unionByName(diam.select(*cols)).orderBy("type")
+
+
+def _http_ss7_capture() -> str:
+    sms = (
+        b"<smsmo><orig ton=\"1\">5215550011</orig><dest ton=\"1\">5215550022</dest>"
+        b"<msc ton=\"1\">msc77</msc><imsi>334020111222333</imsi>"
+        b"<smsSubmit><udhi>true</udhi></smsSubmit>"
+        b"<sessionId>s-778</sessionId></smsmo>"
+    )
+    req = (
+        b"POST /ss7 HTTP/1.1\r\nContent-Length: " + str(len(sms)).encode()
+        + b"\r\nContent-Type: text/xml\r\n\r\n" + sms
+    )
+    frames = [(2700, 0, g.eth(g.ipv4(g.tcp(req, 47000, 8082, seq=5, ack=6, flags=24), 6)))]
+    return _write_once("http_ss7.pcap", g.pcap(frames))
+
+
+@register(
+    "pcap_http_ss7sms",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('smsmo', '5215550011', '5215550022', 'msc77', '334020111222333', 's-778', TRUE)
+    ) AS t(type, msisdn_orig, msisdn_dest, msc, imsi, session_id, udhi)
+    """,
+    tags=("protocol", "http", "ss7-sms"),
+)
+def pcap_http_ss7sms(spark, sf_dir):
+    """P32: SS7-SMS XML dialect (root-tag switch, udhi bool,
+    sessionId) over the HTTP pipeline."""
+    msgs = http_messages(expand_l4(read_pcap(spark, _http_ss7_capture())))
+    return extract_ss7sms(msgs).select(
+        "type", "msisdn_orig", "msisdn_dest", "msc", "imsi", "session_id", "udhi"
+    )
