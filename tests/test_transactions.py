@@ -89,3 +89,15 @@ def test_diameter_transactions(spark):
     full = tas.iloc[0]
     assert full.has_request == 1 and full.has_answer == 1
     assert list(full.frames) == [10, 11]
+
+
+def test_asof_tolerance(spark):
+    from ingestor_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([("u", 100, 1), ("u", 500, 2)], "k string, ts long, lid int")
+    right = spark.createDataFrame([("u", 90, "recent")], "k string, ts long, tag string")
+    out = asof_join_backward(
+        left, right, by=["k"], ts_col="ts", carry_cols=["tag"], tolerance_us=50
+    ).toPandas().sort_values("lid")
+    assert out.iloc[0].tag == "recent"  # 100-90 = 10 <= 50
+    assert out.iloc[1].tag is None  # 500-90 = 410 > 50 → nulled
