@@ -512,3 +512,29 @@ def pcap_http_ss7sms(spark, sf_dir):
     return extract_ss7sms(msgs).select(
         "type", "msisdn_orig", "msisdn_dest", "msc", "imsi", "session_id", "udhi"
     )
+
+
+@register(
+    "pcap_diameter_transactions",
+    oracle="""
+    SELECT * FROM (VALUES
+      (4097, 8193, 1, 1, '1 3'),
+      (4098, 8194, 1, 0, '4'),
+      (4099, 8195, 1, 0, '5 6')
+    ) AS t(hop_by_hop_id, end_to_end_id, has_request, has_answer, frames)
+    ORDER BY hop_by_hop_id
+    """,
+    tags=("protocol", "diameter", "sessionize"),
+)
+def pcap_diameter_transactions(spark, sf_dir):
+    """sigshark's Diameter transaction grouping (J6 second half,
+    sigshark.py:524-539): messages grouped by (hbh, e2e) with
+    request/answer presence flags and member frames."""
+    from ingestor_etl_spark.operators.transactions import diameter_transactions
+
+    msgs = decode_diameter(expand_l4(read_pcap(spark, _diameter_capture())))
+    tas = diameter_transactions(msgs)
+    return tas.select(
+        "hop_by_hop_id", "end_to_end_id", "has_request", "has_answer",
+        F.concat_ws(" ", "frames").alias("frames"),
+    ).orderBy("hop_by_hop_id")

@@ -138,3 +138,31 @@ def test_correlate_diameter_j1(spark, diameter_capture):
     assert row.exp_result_code == 5030
     unmatched = corr[~corr.matched]
     assert len(unmatched) == 2  # orphan + tcp-split requests
+
+
+def test_no_cross_file_stitching(spark, tmp_path):
+    """Two captures with IDENTICAL flow tuples: the reassembly key
+    includes the file, so each capture stitches independently (the
+    per-file isolation the one-process-per-pcap reference gets
+    implicitly)."""
+    split = _ccr()
+    half = len(split) // 2
+    # file A carries only the first half; file B carries only the
+    # second half on the same 5-tuple — neither must produce a row
+    a = g.pcap([(1, 0, g.eth(g.ipv4(g.tcp(split[:half], 50000, 3868, seq=1, ack=1), 6)))])
+    b = g.pcap([(1, 1, g.eth(g.ipv4(g.tcp(split[half:], 50000, 3868, seq=1 + half, ack=1), 6)))])
+    (tmp_path / "a.pcap").write_bytes(a)
+    (tmp_path / "b.pcap").write_bytes(b)
+    msgs = decode_diameter(expand_l4(read_pcap(spark, str(tmp_path) + "/*.pcap")))
+    assert msgs.count() == 0
+    # sanity: the same two halves in ONE file do decode
+    both = g.pcap(
+        [
+            (1, 0, g.eth(g.ipv4(g.tcp(split[:half], 50000, 3868, seq=1, ack=1), 6))),
+            (1, 1, g.eth(g.ipv4(g.tcp(split[half:], 50000, 3868, seq=1 + half, ack=1), 6))),
+        ]
+    )
+    (tmp_path / "c_only" ).mkdir()
+    (tmp_path / "c_only" / "c.pcap").write_bytes(both)
+    msgs2 = decode_diameter(expand_l4(read_pcap(spark, str(tmp_path / "c_only"))))
+    assert msgs2.count() == 1
