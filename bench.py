@@ -67,6 +67,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    protocol = bench_protocol_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -75,10 +77,71 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "protocol_throughput": protocol,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+# number of request/answer transactions per generated capture file
+_TXNS_PER_FILE = 2500
+_N_FILES = 8
+
+
+def bench_protocol_throughput(spark) -> dict:
+    """End-to-end pcap → decode → J1-correlate rate on a synthetic
+    Diameter workload (the reference's actual job shape; its only
+    published metric is per-file processed counts, BASELINE.md).
+
+    8 files × 2500 txns × 2 messages = 40k messages; files are the
+    parallelism unit exactly as in production."""
+    import glob
+    import struct as _s
+    import tempfile
+
+    from ingestor_etl_spark import capturegen as g
+    from ingestor_etl_spark.protocols.diameter import correlate_diameter, decode_diameter
+    from ingestor_etl_spark.protocols.net import expand_l4
+    from ingestor_etl_spark.sources.pcap import read_pcap
+
+    cap_dir = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_bench_caps_v1")
+    os.makedirs(cap_dir, exist_ok=True)
+    if len(glob.glob(cap_dir + "/*.pcap")) != _N_FILES:
+        for fno in range(_N_FILES):
+            frames = []
+            for i in range(_TXNS_PER_FILE):
+                hbh = fno * _TXNS_PER_FILE + i
+                sess = f"sess;{fno};{i}".encode()
+                ccr = g.diameter_msg(
+                    272, True, hbh, hbh,
+                    [g.diameter_avp(263, sess), g.subscription_id(0, f"52155{i:07d}")],
+                )
+                cca = g.diameter_msg(
+                    272, False, hbh, hbh,
+                    [g.diameter_avp(263, sess), g.diameter_avp(268, _s.pack("!I", 2001))],
+                )
+                frames.append((1700 + i, 0, g.eth(g.ipv4(g.sctp([(i % 4, 0, 46, ccr)], 40001, 3868), 132))))
+                frames.append((1700 + i, 500, g.eth(g.ipv4(g.sctp([(i % 4, 0, 46, cca)], 3868, 40001), 132, src="10.0.0.2", dst="10.0.0.1"))))
+            with open(os.path.join(cap_dir, f"bench{fno}.pcap"), "wb") as fh:
+                fh.write(g.pcap(frames))
+
+    n_messages = _N_FILES * _TXNS_PER_FILE * 2
+    df = correlate_diameter(
+        decode_diameter(expand_l4(read_pcap(spark, cap_dir + "/*.pcap")))
+    )
+    df.write.format("noop").mode("overwrite").save()  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return {
+        "pipeline": "pcap->decode->correlate (diameter)",
+        "n_messages": n_messages,
+        "sec": round(best, 3),
+        "msgs_per_sec": round(n_messages / best),
+    }
 
 
 if __name__ == "__main__":

@@ -14,44 +14,54 @@ import struct
 
 
 # ---------------------------------------------------------------- containers
-def pcap(frames: list[tuple[int, int, bytes]], dlt: int = 1, nsec: bool = False) -> bytes:
-    """frames = [(ts_sec, ts_frac, payload)] → classic pcap (little-endian)."""
+def pcap(
+    frames: list[tuple[int, int, bytes]],
+    dlt: int = 1,
+    nsec: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """frames = [(ts_sec, ts_frac, payload)] → classic pcap."""
     magic = 0xA1B23C4D if nsec else 0xA1B2C3D4
-    out = [struct.pack("<IHHiIII", magic, 2, 4, 0, 0, 65535, dlt)]
+    e = ">" if big_endian else "<"
+    out = [struct.pack(e + "IHHiIII", magic, 2, 4, 0, 0, 65535, dlt)]
     for ts_sec, ts_frac, payload in frames:
-        out.append(struct.pack("<4I", ts_sec, ts_frac, len(payload), len(payload)))
+        out.append(struct.pack(e + "4I", ts_sec, ts_frac, len(payload), len(payload)))
         out.append(payload)
     return b"".join(out)
 
 
 def pcapng(
-    frames: list[tuple[int, bytes]], dlt: int = 1, tsresol: int | None = None
+    frames: list[tuple[int, bytes]],
+    dlt: int = 1,
+    tsresol: int | None = None,
+    big_endian: bool = False,
 ) -> bytes:
     """frames = [(ts_us, payload)] → pcapng with one interface.
 
     ``tsresol`` is the raw if_tsresol option byte (e.g. 9 → 10^-9);
     timestamps in ``frames`` are ALWAYS microseconds and are scaled
     into the interface resolution here."""
+    e = ">" if big_endian else "<"
 
     def block(btype: int, body: bytes) -> bytes:
         pad = (-len(body)) % 4
         total = 12 + len(body) + pad
         return (
-            struct.pack("<II", btype, total) + body + b"\x00" * pad + struct.pack("<I", total)
+            struct.pack(e + "II", btype, total) + body + b"\x00" * pad + struct.pack(e + "I", total)
         )
 
-    shb = block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    shb = block(0x0A0D0D0A, struct.pack(e + "IHHq", 0x1A2B3C4D, 1, 0, -1))
     options = b""
     per_sec = 1_000_000
     if tsresol is not None:
-        options = struct.pack("<HHB3x", 9, 1, tsresol) + struct.pack("<HH", 0, 0)
+        options = struct.pack(e + "HHB3x", 9, 1, tsresol) + struct.pack(e + "HH", 0, 0)
         per_sec = 2 ** (tsresol & 0x7F) if tsresol & 0x80 else 10 ** (tsresol & 0x7F)
-    idb = block(1, struct.pack("<HHI", dlt, 0, 65535) + options)
+    idb = block(1, struct.pack(e + "HHI", dlt, 0, 65535) + options)
     out = [shb, idb]
     for ts_us, payload in frames:
         ticks = ts_us * per_sec // 1_000_000
         body = struct.pack(
-            "<IIIII", 0, ticks >> 32, ticks & 0xFFFFFFFF, len(payload), len(payload)
+            e + "IIIII", 0, ticks >> 32, ticks & 0xFFFFFFFF, len(payload), len(payload)
         ) + payload
         out.append(block(6, body))
     return b"".join(out)

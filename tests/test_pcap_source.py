@@ -115,3 +115,35 @@ def test_ip_fragments_flagged(spark, tmp_path):
     assert out[1].more_frags == 0 and out[1].frag_off == 16
     assert bytes(out[1].payload) == b"part2tail"
     assert out[1].src_port is None
+
+
+def test_big_endian_pcap():
+    """S1: byte-order sniffing — a big-endian writer's capture
+    parses identically (diameter.py:99-109 endian dispatch)."""
+    buf = g.pcap([(1700000000, 42, UDP_PKT)], big_endian=True)
+    (frame,) = iter_frames(buf)
+    assert frame[1] == 1700000000_000042
+    assert frame[4] == UDP_PKT
+
+
+def test_big_endian_pcapng():
+    buf = g.pcapng([(1700000000_000042, UDP_PKT)], big_endian=True)
+    (frame,) = iter_frames(buf)
+    assert frame[1] == 1700000000_000042
+    assert frame[4] == UDP_PKT
+
+
+def test_pcapng_unknown_blocks_skipped():
+    """Name-resolution / statistics blocks interleaved with packets
+    are skipped, not fatal (diameter.py:489-561 only consumes block
+    type 6)."""
+    import struct as _s
+
+    buf = g.pcapng([(1, UDP_PKT), (2, UDP_PKT)])
+    # splice a Name Resolution Block (type 4) between SHB+IDB and packets
+    # SHB(28) + IDB(20) for default builder
+    nrb_body = b"\x00" * 8
+    nrb = _s.pack("<II", 4, 12 + len(nrb_body)) + nrb_body + _s.pack("<I", 12 + len(nrb_body))
+    spliced = buf[:48] + nrb + buf[48:]
+    frames = list(iter_frames(spliced))
+    assert [f[0] for f in frames] == [1, 2]
