@@ -538,3 +538,44 @@ def pcap_diameter_transactions(spark, sf_dir):
         "hop_by_hop_id", "end_to_end_id", "has_request", "has_answer",
         F.concat_ws(" ", "frames").alias("frames"),
     ).orderBy("hop_by_hop_id")
+
+
+def _sip_legs_capture() -> str:
+    def invite(call_id, frm, to, sdp, src, dst):
+        lines = [
+            f"INVITE sip:{to}@demo SIP/2.0",
+            f"From: <sip:{frm}@demo>;tag=1",
+            f"To: <sip:{to}@demo>",
+            f"Call-ID: {call_id}",
+        ]
+        body = f"v=0\r\no=- {sdp[0]} {sdp[1]} IN IP4 10.1.1.1\r\n"
+        raw = ("\r\n".join(lines) + "\r\n\r\n" + body).encode()
+        return g.eth(g.ipv4(g.udp(raw, 5060, 5060), 17, src=src, dst=dst))
+
+    frames = [
+        (2800, 0, invite("pm-1", "anonymous", "anonymous", (9001, 2), "10.9.9.1", "10.9.9.2")),
+        (2800, 1, invite("ice-1", "5215550123", "5215550456", (9001, 2), "10.8.8.1", "10.8.8.2")),
+    ]
+    return _write_once("sip_legs.pcap", g.pcap(frames))
+
+
+@register(
+    "pcap_sip_leg_rewrite",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pm-1', '5215550123', 'anonymous', '5215550456', 'ice-1')
+    ) AS t(call_id, from_user, from_original, to_user, peer_call_id)
+    """,
+    tags=("protocol", "sip", "leg-correlation"),
+)
+def pcap_sip_leg_rewrite(spark, sf_dir):
+    """J5 cross-leg correlation: the anonymous PM-leg call gets its
+    users rewritten from the ICE leg sharing the SDP owner key,
+    originals preserved (sip_ingestor.py:398-433)."""
+    from ingestor_etl_spark.protocols.sip import correlate_sip_legs
+
+    msgs = decode_sip(expand_l4(read_pcap(spark, _sip_legs_capture())))
+    out = correlate_sip_legs(msgs, ["10.9.9.1"], ["10.8.8.1"])
+    return out.where(F.col("call_id") == "pm-1").select(
+        "call_id", "from_user", "from_original", "to_user", "peer_call_id"
+    )
