@@ -38,9 +38,15 @@ def tcap_transactions(
     ``keep_incomplete``, transactions missing a begin or an
     end/abort are dropped (the --incomplete flag,
     sigshark.py:543-546)."""
-    msgs = messages.select(
-        "file", "frames_list", "ts", "tcap_mess_type", "tcap_otid", "tcap_dtid",
-        "gsm_op_code", "gsm_component",
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # begins/continues/probe-resolution are three consumers of the
+    # decoded message stream — evaluate it once
+    msgs = materialize(
+        messages.select(
+            "file", "frames_list", "ts", "tcap_mess_type", "tcap_otid", "tcap_dtid",
+            "gsm_op_code", "gsm_component",
+        )
     )
     begins = msgs.where("tcap_mess_type = 'begin' AND tcap_otid IS NOT NULL")
     conts = msgs.where("tcap_mess_type = 'continue'")

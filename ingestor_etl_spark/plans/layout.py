@@ -123,3 +123,18 @@ def plan_facts(df: DataFrame) -> dict[str, object]:
         "read_schemas": [ln.strip() for ln in lines if "ReadSchema" in ln],
         "codegen_stages": len(codegen_ids),
     }
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Stage materialization for multi-consumer lineages.
+
+    When a decode stage feeds several join branches (requests/
+    responses/continuations...), Spark's lazy lineage re-executes
+    the decode once PER BRANCH — at 100 TB that is 2-4× the most
+    expensive work in the pipeline. Persisting (memory, spill to
+    disk) evaluates it once; in a production pipeline the same role
+    is played by writing the decoded message log to parquet/Delta
+    between stages (see streaming/pipeline.py's chained topology)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

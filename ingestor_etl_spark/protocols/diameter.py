@@ -207,6 +207,10 @@ def correlate_diameter(messages: DataFrame) -> DataFrame:
     retransmission drop (duplicate request key, diameter.py:307-309).
     Unmatched leftovers surface with ``matched = false`` — the EOF
     flush (diameter.py:580-589) for free."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # request/answer split = two consumers of the decode stage
+    messages = materialize(messages)
     req = (
         messages.where("request")
         .dropDuplicates(TXN_KEY)

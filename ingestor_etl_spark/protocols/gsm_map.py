@@ -392,6 +392,10 @@ def _reassemble_xudt(sccp_rows: DataFrame) -> DataFrame:
     """R3: concat segmented XUDT payloads per 3-byte local ref in
     frame order; incomplete groups (no final segment) are dropped —
     the reference returns None for them (gsm_map.py:230-236)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # two consumers (segmented/unsegmented split): decode stage 1 once
+    sccp_rows = materialize(sccp_rows)
     unsegmented = sccp_rows.where(F.col("seg_ref").isNull()).withColumn(
         "frames_list", F.array("frame_no")
     )

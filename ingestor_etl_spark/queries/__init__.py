@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         multimodal_ops,
         protocol_ops,
         relational,
+        relational_sub,
         text_ops,
         vector_ops,
     )
