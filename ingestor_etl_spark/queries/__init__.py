@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
         dedup_ops,
         events_ops,
         multimodal_ops,
+        pipeline_ops,
         protocol_ops,
         relational,
         relational_sub,

@@ -1,0 +1,278 @@
+"""Training-data pipeline operators, second wave.
+
+Builds on text_ops/dedup_ops with the steps a corpus-preparation
+pipeline runs after candidate generation: near-dup **cluster
+assignment** (connected components over the LSH pair graph),
+**token-budget packing** of documents into training shards,
+deterministic **stratified sampling**, **text normalization**, and a
+temporal **conversion funnel** over the events stream.
+
+Cross-engine determinism: hashes are md5 (identical in Spark and
+DuckDB); threshold sampling uses a 32-bit hex prefix of md5 so both
+engines compute the identical bucket; all window frames are ROWS
+with a total order (doc_id) inside each partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.operators.graph import connected_components
+from ingestor_etl_spark.queries import register
+from ingestor_etl_spark.queries.dedup_ops import (
+    N_BANDS,
+    SALTS,
+    _SPARK_BAND_LIST,
+    _SQL_BANDS,
+    _SQL_SHINGLED,
+    _shingled,
+    _spark_minhash,
+    _sql_minhash,
+)
+from ingestor_etl_spark.queries.text_ops import STOPWORDS, _SQL_STOP, _SQL_TOKENS
+
+_SQL_PAIRS = f"""
+    shingled AS ({_SQL_SHINGLED}),
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (
+        SELECT doc_id, {_SQL_BANDS} FROM sigs
+    ),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long_form a JOIN long_form b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    tags=("dedup", "connected-components", "iterative"),
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs →
+    connected components (operators/graph.py, iterative min-label
+    propagation; the oracle walks the same graph with a recursive
+    CTE). The full dedup story: pairs alone can't answer "which doc
+    do I keep" — components can (keep min doc_id per cluster)."""
+    base = _shingled(spark, sf_dir).selectExpr(
+        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    )
+    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST)
+    long_form = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
+            "band_no", "band_key"
+        ),
+    )
+    a, b = long_form.alias("a"), long_form.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_pack_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 2000 AS pack_id
+    FROM cum ORDER BY source, doc_id
+    """,
+    tags=("packing", "window"),
+)
+def doc_pack_budget(spark, sf_dir):
+    """Token-budget packing: assign documents to ~2000-token training
+    shards by cumulative token count within each source, in doc_id
+    order (deterministic). Integer division keeps both engines exact.
+    One shuffle on source; at 100 TB, source is the natural shard
+    key and each partition packs independently — no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split(F.trim(F.lower("text")), r" +")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", F.expr("(cum_tokens - n_tokens) div 2000"))
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM hashed
+    WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 40 WHEN 'fr' THEN 40
+                             ELSE 60 END
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "deterministic"),
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates
+    applied by hashing doc_id into 100 buckets (md5 prefix — no RNG,
+    so the sample is reproducible across runs/engines and stable
+    under repartitioning, unlike ``df.sample``). Pure filter — no
+    shuffle, fully pushed into the scan pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang").isin("es", "fr"), 40)
+        .otherwise(60)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter({_SQL_TOKENS}, t -> t NOT IN ({_SQL_STOP})), ' ') AS norm_text
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm_text) AS norm_fp,
+           length(norm_text) AS norm_chars,
+           len(string_split(norm_text, ' ')) AS kept_tokens
+    FROM norm ORDER BY doc_id
+    """,
+    tags=("text", "normalize"),
+)
+def text_normalize(spark, sf_dir):
+    """Normalization pass: lowercase, whitespace collapse, stopword
+    removal → canonical text fingerprint. The cleaned-text md5 is
+    the dedup key for 'normalized-exact' dedup (stricter than raw
+    exact, cheaper than MinHash). Narrow per-doc pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r" +")
+    norm = F.array_join(F.filter(toks, lambda t: ~t.isin(*STOPWORDS)), " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).alias("norm_chars"),
+        F.size(F.split(norm, " ")).alias("kept_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT c.user_id, MIN(e.ts) AS first_purchase
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.first_click
+        GROUP BY c.user_id
+    )
+    SELECT c.user_id,
+           epoch_us(first_click) AS first_click_us,
+           epoch_us(first_purchase) AS first_purchase_us,
+           (first_purchase IS NOT NULL
+            AND first_purchase <= first_click + INTERVAL 1 HOUR) AS converted_1h
+    FROM c LEFT JOIN p ON p.user_id = c.user_id
+    ORDER BY c.user_id
+    """,
+    tags=("funnel", "temporal"),
+)
+def events_funnel(spark, sf_dir):
+    """Click→purchase conversion funnel: per user, first click, the
+    first purchase strictly after it, and whether conversion happened
+    within one hour. Both aggregates and the join key on user_id —
+    one exchange serves all three stages."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        clicks.join(
+            e.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") > F.col("first_click")),
+        )
+        .groupBy(F.col("user_id").alias("pp_user"))
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return (
+        clicks.join(purchases, clicks.user_id == F.col("pp_user"), "left_outer")
+        .select(
+            "user_id",
+            F.unix_micros("first_click").alias("first_click_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            (
+                F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+            ).alias("converted_1h"),
+        )
+        .orderBy("user_id")
+    )
