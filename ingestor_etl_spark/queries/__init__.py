@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         protocol_ops,
         relational,
         relational_sub,
+        relational_wide,
         text_ops,
         vector_ops,
     )
