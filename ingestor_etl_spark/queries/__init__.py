@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: fills REGISTRY)."""
     from ingestor_etl_spark.queries import (  # noqa: F401
+        analytic_ops,
         dedup_ops,
         events_ops,
         multimodal_ops,
