@@ -104,6 +104,44 @@ def pivot_user_event_matrix(spark, sf_dir):
 
 
 @register(
+    "interval_join_events",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS win_id, ts AS win_start,
+               ts + INTERVAL 30 MINUTE AS win_end
+        FROM events WHERE event_id % 97 = 0
+    )
+    SELECT e.event_id, w.win_id
+    FROM events e JOIN w
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    ORDER BY e.event_id, w.win_id
+    """,
+    tags=("range-join", "interval"),
+)
+def interval_join_events(spark, sf_dir):
+    """Interval (range) join: every event against every 30-minute
+    window containing it (windows derived deterministically from
+    every 97th event). Runs through operators/rangejoin.py's
+    time-bin equi-join — NOT the BroadcastNestedLoop Spark would
+    otherwise plan for a pure range predicate; the oracle states the
+    naive BETWEEN join."""
+    from ingestor_etl_spark.operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    points = e.select("event_id", "ts")
+    windows = e.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    return (
+        interval_join(points, windows, "ts", "win_start", "win_end", bin_width_s=1800)
+        .select("event_id", "win_id")
+        .orderBy("event_id", "win_id")
+    )
+
+
+@register(
     "sketch_distinct_users",
     oracle=None,  # estimator-specific output; see module docstring
     tags=("sketch", "hll", "approx"),
