@@ -104,6 +104,45 @@ def pivot_user_event_matrix(spark, sf_dir):
 
 
 @register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT epoch_us(cohort_week) AS cohort_week_us,
+           epoch_us(act_week) AS act_week_us,
+           COUNT(*) AS n_users
+    FROM first_seen JOIN active USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("retention", "cohort", "datetime"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: users bucketed by first-seen week
+    (ISO Monday truncation — identical in Spark and DuckDB), counted
+    in every week they were active. Both aggregates share the
+    user_id exchange; the matrix is cohorts x weeks — tiny."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select("user_id", F.date_trunc("week", "ts").alias("act_week")).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.unix_micros("act_week").alias("act_week_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week_us", "act_week_us")
+    )
+
+
+@register(
     "interval_join_events",
     oracle="""
     WITH w AS (

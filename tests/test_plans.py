@@ -83,3 +83,39 @@ def test_explode_hot_keys_join_parity(spark):
     salted = big_s.join(small_s, ["k", "__salt"]).select("k", "v", "tag")
     plain = big.join(small, "k").select("k", "v", "tag")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both join sides on the key pre-shuffles data at
+    write time — the join then plans with ZERO Exchange nodes. At
+    100 TB this converts every repeated fact-fact join on the same
+    key from a full shuffle into a local merge (the Spark analogue
+    of the reference's per-key dict partitioning)."""
+    base = str(tmp_path_factory.mktemp("buckets"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", base + "/orders_b").mode("overwrite").saveAsTable("orders_b"))
+    (l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", base + "/lineitem_b").mode("overwrite").saveAsTable("lineitem_b"))
+    try:
+        ob = spark.table("orders_b").hint("merge")
+        lb = spark.table("lineitem_b")
+        joined = ob.join(lb, F.col("o_orderkey") == F.col("l_orderkey"))
+        facts = plan_facts(joined)
+        assert facts["sort_merge_joins"] == 1
+        assert facts["n_exchanges"] == 0, facts
+        # and it still computes the right thing
+        n = joined.count()
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
