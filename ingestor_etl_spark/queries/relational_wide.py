@@ -203,3 +203,111 @@ def q19_disjunctive_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT year(o_orderdate) AS o_year,
+               {_SQL_DISC_PRICE} AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("join", "market-share"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8-style market share: NATION_3 suppliers' slice of
+    ASIA-customer revenue by order year. Six joins — region/nation
+    broadcast twice (customer and supplier sides), facts shuffled on
+    natural keys; the share is one double division of two exact
+    decimal sums."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")))
+    volume = _disc_price()
+    nation3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation3).cast("double") / F.sum(volume).cast("double")).alias("mkt_share"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST({_SQL_DISC_PRICE} AS DECIMAL(24,4))
+                    - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+    tags=("join", "like-filter"),
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9-style product-line profit by supplier nation and
+    year (adapted: p_retailprice*quantity stands in for the absent
+    partsupp supplycost). The LIKE filter pushes to the part scan
+    as a string-contains; all money arithmetic stays decimal until
+    the final double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = _disc_price().cast("decimal(24,4)") - (
+        dec("p_retailprice") * dec("l_quantity")
+    ).cast("decimal(24,4)")
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
