@@ -27,3 +27,12 @@ def test_chain_converges_past_one_hop(spark):
     got = connected_components(edges, src="a", dst="b").collect()
     assert {r.component for r in got} == {0}
     assert len(got) == 6
+
+
+def test_empty_edges(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("a", LongType()), StructField("b", LongType())])
+    )
+    assert connected_components(empty, src="a", dst="b").count() == 0

@@ -47,3 +47,22 @@ def test_overlapping_windows_multiple_matches(spark):
         ).collect()
     )
     assert got == [1, 2]
+
+
+def test_empty_windows(spark):
+    import pyspark.sql.types as T
+
+    points = spark.createDataFrame([(1, _ts(0))], ["pid", "ts"])
+    windows = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("win_id", T.LongType()),
+                T.StructField("win_start", T.TimestampType()),
+                T.StructField("win_end", T.TimestampType()),
+            ]
+        ),
+    )
+    assert (
+        interval_join(points, windows, "ts", "win_start", "win_end").count() == 0
+    )
