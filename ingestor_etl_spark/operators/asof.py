@@ -63,9 +63,16 @@ def asof_join_backward(
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     out = out.where(F.col(_SIDE) == 1).drop(_SIDE)
     if tolerance_us is not None:
-        stale = F.col("__asof_rts").isNull() | (
-            (F.col(ts_col) - F.col("__asof_rts")) > tolerance_us
-        )
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(left.schema[ts_col].dataType, TimestampType):
+            # timestamp - timestamp yields an interval, which can't be
+            # compared to a numeric literal — measure the age in
+            # microseconds explicitly.
+            age = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__asof_rts"))
+        else:
+            age = F.col(ts_col) - F.col("__asof_rts")
+        stale = F.col("__asof_rts").isNull() | (age > tolerance_us)
         for c in carry_cols:
             out = out.withColumn(c, F.when(~stale, F.col(c)))
         out = out.withColumn("__asof_rts", F.when(~stale, F.col("__asof_rts")))

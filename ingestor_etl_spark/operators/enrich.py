@@ -32,5 +32,8 @@ def propagate_group_value(
     candidate = F.col(value_col)
     if present_when is not None:
         candidate = F.when(present_when, candidate)
-    groups = df.groupBy(*group_cols).agg(F.min(candidate).cast("double").alias(out_col))
+    # keep the value column's own type — casting to double would mangle
+    # string identifiers (leading zeros, non-numeric → null); callers
+    # that need a specific type cast the output column themselves.
+    groups = df.groupBy(*group_cols).agg(F.min(candidate).alias(out_col))
     return df.join(groups, on=group_cols, how="left")

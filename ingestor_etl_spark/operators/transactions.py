@@ -14,9 +14,11 @@ Spark shape: the sequential state machine becomes two joins —
 (2) every message resolves its transaction id through the alias
     table (root ids resolve to themselves).
 Then one groupBy(txn) assembles members in frame order. The alias
-table is begins+continues only and is broadcast when small; the
-only full shuffle is the final assembly — same key the reference
-hashed its dicts by."""
+table has one row per transaction — it grows linearly with input,
+so it is NOT force-broadcast: the resolution joins shuffle on
+(file, tid) and AQE converts them to broadcast at runtime only
+when the map actually fits. The final assembly shuffles on the
+same transaction key the reference hashed its dicts by."""
 
 from __future__ import annotations
 
@@ -80,8 +82,10 @@ def tcap_transactions(
     a1 = alias_map.withColumnRenamed("tid", "p1").withColumnRenamed("txn", "txn1")
     a2 = alias_map.withColumnRenamed("tid", "p2").withColumnRenamed("txn", "txn2")
     resolved = (
-        with_probes.join(F.broadcast(a1), ["file", "p1"], "left")
-        .join(F.broadcast(a2), ["file", "p2"], "left")
+        # no forced broadcast: the alias map is unbounded (one row per
+        # transaction). Shuffle-join and let AQE pick broadcast when small.
+        with_probes.join(a1, ["file", "p1"], "left")
+        .join(a2, ["file", "p2"], "left")
         .withColumn("txn", F.coalesce("txn1", "txn2"))
         .where(F.col("txn").isNotNull())
     )

@@ -127,7 +127,9 @@ def correlate_sip_legs(
             F.min("call_id").alias("b_call_id"),
         )
     )
-    joined = a.join(F.broadcast(b), ["sdp_session_id", "sdp_version"], "left")
+    # b grows with the number of B-leg calls — unbounded, so no forced
+    # broadcast; AQE upgrades the shuffle join to broadcast when it fits.
+    joined = a.join(b, ["sdp_session_id", "sdp_version"], "left")
     return (
         joined.withColumn("from_user", F.coalesce("b_from_user", "from_user"))
         .withColumn("to_user", F.coalesce("b_to_user", "to_user"))

@@ -182,43 +182,89 @@ def interval_join_events(spark, sf_dir):
 
 @register(
     "sketch_distinct_users",
-    oracle=None,  # estimator-specific output; see module docstring
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("sketch", "hll", "approx"),
 )
 def sketch_distinct_users(spark, sf_dir):
-    """HLL++ distinct-user estimate per event type next to the group
-    size. At 100 TB this replaces exact COUNT(DISTINCT): the sketch
-    is fixed-size mergeable per-partition state (no shuffle of the
-    full key space). Accuracy asserted in tests against the exact
-    count (rsd=0.01 → well under 5% error)."""
+    """HLL++ distinct-user estimate per event type, with a
+    deterministic oracle surface: the query ALSO computes the exact
+    count and emits ``within_bound`` = the sketch landed within its
+    error budget (max(1, 5% of exact) — rsd=0.01 gives well under
+    that). The oracle asserts the exact values and
+    ``within_bound = true``; the approx column itself is
+    estimator-specific and stays out of the projection. At 100 TB
+    you drop the exact column and keep only the sketch — fixed-size
+    mergeable per-partition state, no shuffle of the key space."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .withColumn(
+            "within_bound",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.05),
+        )
+        .select("event_type", "exact_users", "n_events", "within_bound")
         .orderBy("event_type")
     )
 
 
 @register(
     "sketch_value_quantiles",
-    oracle=None,  # estimator-specific output; see module docstring
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           round(quantile_cont(value, 0.99), 4) AS p99_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("sketch", "quantile", "approx"),
 )
 def sketch_value_quantiles(spark, sf_dir):
-    """Approximate value quantiles (p50/p95/p99) per event type via
-    percentile_approx (Greenwald-Khanna sketch — mergeable, bounded
-    memory; the 100 TB answer to percentiles). Error bound asserted
-    in tests against DuckDB's exact quantiles."""
+    """Approximate p50/p95/p99 per event type via percentile_approx
+    (Greenwald-Khanna sketch — mergeable, bounded memory; the 100 TB
+    answer to percentiles), with a deterministic oracle surface: the
+    query also computes the exact interpolated percentiles and emits
+    ``within_bound`` = every approx value within 5% (plus epsilon)
+    of its exact counterpart. The oracle asserts exact values and
+    ``within_bound = true``. At 100 TB the exact columns drop and
+    only the sketch runs."""
     e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.95)).alias("e95"),
+        F.percentile("value", F.lit(0.99)).alias("e99"),
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+        F.percentile_approx("value", 0.99, 10000).alias("a99"),
+    )
+
+    def ok(a, ex):
+        return F.abs(F.col(a) - F.col(ex)) <= F.greatest(
+            F.abs(F.col(ex)) * 0.05, F.lit(1e-6)
+        )
+
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.95, 10000).alias("p95"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        agg.withColumn(
+            "within_bound", ok("a50", "e50") & ok("a95", "e95") & ok("a99", "e99")
+        )
+        .select(
+            "event_type",
+            F.round("e50", 4).alias("p50_exact"),
+            F.round("e95", 4).alias("p95_exact"),
+            F.round("e99", 4).alias("p99_exact"),
+            "within_bound",
         )
         .orderBy("event_type")
     )

@@ -150,6 +150,9 @@ def j2_group_enrich(spark, sf_dir):
         present_when=F.col("event_type") == "signup",
         out_col="signup_value",
     )
+    # the oracle declares CAST(... AS DOUBLE); propagate_group_value now
+    # preserves the source type, so the double cast lives here.
+    out = out.withColumn("signup_value", F.col("signup_value").cast("double"))
     return out.select("event_id", "user_id", "event_type", "value", "signup_value").orderBy(
         "event_id"
     )

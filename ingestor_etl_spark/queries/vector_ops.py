@@ -84,57 +84,20 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-NEAR_DUP_THRESHOLD = 0.45
-
-
-@register(
-    "embedding_near_dup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) >= {NEAR_DUP_THRESHOLD}
-    ORDER BY vec_a, vec_b
-    """,
-    tags=("vector", "dedup"),
-)
-def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above a threshold.
-
-    Test-scale plan is the honest all-pairs join; at corpus scale
-    the identical select runs over LSH-bucket candidates
-    (ann_lsh_bucketed's bucketing) instead of the cross join — the
-    threshold filter and cosine algebra are unchanged."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(sim >= NEAR_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
-
-
 # ---------------------------------------------------------------- LSH buckets
 DIM = 64
 N_PLANES = 4
+N_TABLES = 10  # independent hash tables for the near-dup candidate union
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(tbl: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Knuth-LCG values in
     [-1, 1] with exact 3-decimal literals so Spark and DuckDB parse
-    bit-identical doubles)."""
+    bit-identical doubles). ``tbl`` selects an independent table;
+    table 0 is the ann_lsh_bucketed table."""
     return [
-        [(((j * DIM + k) * 2654435761) % 2001 - 1000) / 1000.0 for k in range(DIM)]
+        [((((tbl * N_PLANES + j) * DIM + k) * 2654435761) % 2001 - 1000) / 1000.0
+         for k in range(DIM)]
         for j in range(N_PLANES)
     ]
 
@@ -147,15 +110,120 @@ def _plane_literal_spark(plane: list[float]) -> str:
     return "array(" + ", ".join(f"{x:.3f}D" for x in plane) + ")"
 
 
-_SQL_BUCKET = " + ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
-    for j, p in enumerate(_hyperplanes())
+def _sql_bucket(tbl: int = 0) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_hyperplanes(tbl))
+    )
+
+
+def _spark_bucket(tbl: int = 0) -> str:
+    return " + ".join(
+        "(CASE WHEN aggregate(zip_with(v, {pl}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
+        "THEN {w} ELSE 0 END)".format(pl=_plane_literal_spark(p), w=1 << j)
+        for j, p in enumerate(_hyperplanes(tbl))
+    )
+
+
+_SQL_BUCKET = _sql_bucket(0)
+_SPARK_BUCKET = _spark_bucket(0)
+
+
+NEAR_DUP_THRESHOLD = 0.45
+_NEAR_DUP_KEYS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {t} AS tbl, {_sql_bucket(t)} AS bucket FROM e"
+    for t in range(N_TABLES)
 )
-_SPARK_BUCKET = " + ".join(
-    "(CASE WHEN aggregate(zip_with(v, {pl}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
-    "THEN {w} ELSE 0 END)".format(pl=_plane_literal_spark(p), w=1 << j)
-    for j, p in enumerate(_hyperplanes())
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    keys AS (
+{_NEAR_DUP_KEYS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keys a JOIN keys b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= {NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("vector", "dedup", "lsh"),
 )
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a threshold,
+    generated from multi-table LSH bucket candidates — the 100 TB
+    shape. {n_tables} independent {n_planes}-bit hyperplane tables
+    each contribute a bucket equi-join; candidate (a, b) pairs are
+    deduped across tables, then verified with the exact cosine.
+    No all-pairs join anywhere: the joins shuffle on (tbl, bucket)
+    and vec_id only. The exact all-pairs form survives only as the
+    sf0.01 recall cross-check in tests/test_vectors.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    keys = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.expr(_spark_bucket(t)).alias("bucket"))
+                for t in range(N_TABLES)
+            ])
+        ).alias("k"),
+    ).select("vec_id", "k.tbl", "k.bucket")
+    a = keys.select(F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_a"))
+    b = keys.select(F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+embedding_near_dup.__doc__ = embedding_near_dup.__doc__.format(
+    n_tables=N_TABLES, n_planes=N_PLANES
+)
+
+
+def embedding_near_dup_exact(spark, sf_dir):
+    """All-pairs exact form — NOT registered (O(n²) theta-join, dead
+    at corpus scale). Kept solely as the recall cross-check oracle
+    for the LSH-bucketed query above."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 @register(
@@ -291,7 +359,11 @@ def ann_ivf(spark, sf_dir):
     probes = ranked_c.where(
         (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid")
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # only the query vectors are broadcast — broadcasting unfiltered e
+    # would ship the whole corpus to every executor.
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     pairs = (
         probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -104,8 +104,12 @@ def stream_decode_diameter(
         frames = [int(x) for x in frames_csv.split(",") if x]
         file, src, dst = key[0], key[1], key[2]
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("frame_no")
+        # applyInPandasWithState may deliver one key's rows as several
+        # Arrow batches; concatenate and sort ONCE so reassembly sees a
+        # globally frame-ordered stream (matches the batch _stitch_group).
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("frame_no")
             for frame_no, ts_us, payload in zip(pdf["frame_no"], pdf["ts_us"], pdf["payload"]):
                 buf = pending + bytes(payload)
                 fl = frames + [int(frame_no)]
@@ -114,11 +118,15 @@ def stream_decode_diameter(
                     msg, consumed = parse_message(buf[pos:])
                     if consumed == -1:
                         break
-                    if msg is not None and msg.get("command_code") != 280:
-                        rows.append(
-                            (file, fl, int(ts_us), src, dst)
-                            + tuple(msg.get(c) for c in _COLS[5:])
-                        )
+                    if msg is not None:
+                        # reset frames for EVERY parsed message (matching
+                        # _stitch_group) — a skipped Device-Watchdog must
+                        # not leak its frames into the next message.
+                        if msg.get("command_code") != 280:
+                            rows.append(
+                                (file, fl, int(ts_us), src, dst)
+                                + tuple(msg.get(c) for c in _COLS[5:])
+                            )
                         fl = [int(frame_no)]
                     pos += consumed
                 pending = buf[pos:]

