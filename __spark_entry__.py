@@ -61,7 +61,15 @@ def _ensure_shipped(spark: SparkSession) -> None:
 def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
     @functools.wraps(fn)
     def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ingestor_etl_spark.plans.layout import release_caches
+
         _ensure_shipped(spark)
+        # cache contract is query-scoped: drop the PREVIOUS query's
+        # materialized stages before building the next plan, so a
+        # long sweep over queries() never accumulates dead caches.
+        # (The previous query's returned DataFrame stays usable —
+        # Spark recomputes from lineage if it's re-collected.)
+        release_caches()
         return fn(spark, sf_dir)
 
     return call

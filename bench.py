@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ingestor_etl_spark.plans.layout import release_caches  # noqa: E402
 from ingestor_etl_spark.queries import load_all  # noqa: E402
 from ingestor_etl_spark.session import get_spark  # noqa: E402
 
@@ -66,6 +67,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        release_caches()  # query-scoped cache contract
 
     protocol = bench_protocol_throughput(spark)
 

@@ -125,6 +125,9 @@ def plan_facts(df: DataFrame) -> dict[str, object]:
     }
 
 
+_PERSISTED: list[DataFrame] = []
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Stage materialization for multi-consumer lineages.
 
@@ -134,7 +137,31 @@ def materialize(df: DataFrame) -> DataFrame:
     expensive work in the pipeline. Persisting (memory, spill to
     disk) evaluates it once; in a production pipeline the same role
     is played by writing the decoded message log to parquet/Delta
-    between stages (see streaming/pipeline.py's chained topology)."""
+    between stages (see streaming/pipeline.py's chained topology).
+
+    Every persisted stage is tracked; ``release_caches()`` drops
+    them all. The cache contract is QUERY-scoped, not session-
+    scoped: long-lived sessions (the driver's 70-query sweep,
+    bench.py) call ``release_caches()`` between queries so the
+    executor storage pool never accumulates dead stages."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame materialize() has pinned since the
+    last release. Safe to call while a previously-returned result is
+    still referenced — Spark recomputes from lineage if re-used.
+    Returns the number of stages released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n

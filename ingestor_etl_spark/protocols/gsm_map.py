@@ -47,27 +47,109 @@ from ingestor_etl_spark.sources.pcap import DLT_MTP3
 M3UA_PPID = 3
 
 # ------------------------------------------------------------------ BER
+def _ber_tag(buf: bytes, pos: int) -> tuple[int, bool, int] | None:
+    """Parse one tag at ``pos`` → (tag, constructed, next_pos).
+    Long-form (multi-byte) tags — first byte low bits all set — fold
+    the subsequent 7-bit groups into the tag int, so e.g. ``5F 2D``
+    yields tag 0x5F2D. Returns None on truncation."""
+    n = len(buf)
+    if pos >= n:
+        return None
+    first = buf[pos]
+    constructed = bool(first & 0x20)
+    tag = first
+    pos += 1
+    if first & 0x1F == 0x1F:
+        while True:
+            if pos >= n or tag > 0xFFFFFF:
+                return None
+            b = buf[pos]
+            tag = (tag << 8) | b
+            pos += 1
+            if not b & 0x80:
+                break
+    return tag, constructed, pos
+
+
+def _ber_len(buf: bytes, pos: int) -> tuple[int, int] | None:
+    """Parse one length at ``pos`` → (length | -1 for indefinite,
+    next_pos). Returns None on truncation."""
+    n = len(buf)
+    if pos >= n:
+        return None
+    ln = buf[pos]
+    pos += 1
+    if ln == 0x80:
+        return -1, pos
+    if ln & 0x80:
+        k = ln & 0x7F
+        if pos + k > n:
+            return None
+        ln = int.from_bytes(buf[pos : pos + k], "big")
+        pos += k
+    return ln, pos
+
+
+def _ber_end(buf: bytes, pos: int, depth: int = 32) -> int:
+    """End position (exclusive) of the TLV starting at ``pos``, or
+    -1 on malformed input. Indefinite-length forms scan nested TLVs
+    until the end-of-contents marker at their own level."""
+    if depth == 0:
+        return -1
+    t = _ber_tag(buf, pos)
+    if t is None:
+        return -1
+    _, constructed, pos = t
+    l = _ber_len(buf, pos)
+    if l is None:
+        return -1
+    ln, pos = l
+    if ln == -1:
+        if not constructed:
+            return -1
+        n = len(buf)
+        while pos + 2 <= n:
+            if buf[pos] == 0 and buf[pos + 1] == 0:
+                return pos + 2
+            pos = _ber_end(buf, pos, depth - 1)
+            if pos < 0:
+                return -1
+        return -1
+    return pos + ln if pos + ln <= len(buf) else -1
+
+
 def ber_children(buf: bytes) -> Iterator[tuple[int, bytes, bool]]:
-    """Iterate one BER level: (tag, value, constructed). Single-byte
-    tags + short/long definite lengths — TCAP-over-SCCP never needs
-    more."""
+    """Iterate one BER level: (tag, value, constructed). Handles
+    single- and long-form (multi-byte) tags, short/long definite
+    lengths, AND indefinite-length constructed forms (value = the
+    contents up to the matching end-of-contents marker) — the
+    encodings pycrate's full ASN.1 runtime accepts from real
+    captures (reference gsm_map.py:256-273). Malformed or truncated
+    encodings stop the walk instead of raising."""
     pos = 0
     n = len(buf)
     while pos + 2 <= n:
-        tag = buf[pos]
-        constructed = bool(tag & 0x20)
-        ln = buf[pos + 1]
-        pos += 2
-        if ln & 0x80:
-            k = ln & 0x7F
-            if k == 0 or pos + k > n:
-                return  # indefinite/overrun: stop the walk
-            ln = int.from_bytes(buf[pos : pos + k], "big")
-            pos += k
-        if pos + ln > n:
+        t = _ber_tag(buf, pos)
+        if t is None:
             return
-        yield tag, buf[pos : pos + ln], constructed
-        pos += ln
+        tag, constructed, p = t
+        l = _ber_len(buf, p)
+        if l is None:
+            return
+        ln, p = l
+        if ln == -1:
+            if not constructed:
+                return
+            end = _ber_end(buf, pos)
+            if end < 0:
+                return
+            yield tag, buf[p : end - 2], constructed
+            pos = end
+        else:
+            if p + ln > n:
+                return
+            yield tag, buf[p : p + ln], constructed
+            pos = p + ln
 
 
 def ber_find(buf: bytes, want: int, max_depth: int = 8) -> bytes | None:

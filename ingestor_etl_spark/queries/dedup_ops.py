@@ -149,7 +149,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     # every downstream branch (3 bands × 2 join sides) would other-
     # wise recompute the full shingle+md5 pass — in a production
     # LSH system signatures are always a stored artifact.
-    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST).persist()
+    from ingestor_etl_spark.plans.layout import materialize
+
+    banded = materialize(base.selectExpr("doc_id", *_SPARK_BAND_LIST))
     long_form = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
@@ -206,7 +208,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
     rather than all shingles."""
     # shingle lists feed three branches (two join sides + sizes):
     # materialize once instead of re-running the tokenize+distinct
-    shingled = _shingled(spark, sf_dir).persist()
+    from ingestor_etl_spark.plans.layout import materialize
+
+    shingled = materialize(_shingled(spark, sf_dir))
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")

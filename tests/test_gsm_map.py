@@ -131,3 +131,85 @@ def test_gsm_map_incomplete_segment_dropped(spark, tmp_path):
     p.write_bytes(g.pcap(frames))
     raw = read_pcap(spark, str(p))
     assert decode_gsm_map(expand_l4(raw), raw).count() == 0
+
+
+# ------------------------------------------------------- adversarial BER
+# (VERDICT r1 item 3: encodings pycrate accepts from real captures that
+# the simple short-form walker used to stop on)
+
+def _indef(tag: int, content: bytes) -> bytes:
+    """Constructed TLV in the indefinite-length form (len byte 0x80,
+    terminated by the end-of-contents marker)."""
+    return bytes([tag, 0x80]) + content + b"\x00\x00"
+
+
+def test_indefinite_length_forms_decode():
+    invoke = g.tcap_invoke(45)
+    body = g.ber(0x48, struct.pack("!I", 0x31337)) + _indef(0x6C, invoke)
+    out = parse_tcap(_indef(0x62, body))
+    assert out["tcap_mess_type"] == "begin"
+    assert out["tcap_otid"] == 0x31337
+    assert out["gsm_component"] == 1 and out["gsm_op_code"] == 45
+
+
+def test_indefinite_nested_inside_definite():
+    # definite-length message whose components container is indefinite,
+    # holding a definite invoke whose param is indefinite again
+    param = _indef(0x30, g.ber(0x04, IMSI_BCD))
+    invoke = g.tcap_invoke(2, param)
+    buf = g.tcap_msg("begin", otid=7, components=[])[:0] + g.ber(
+        0x62, g.ber(0x48, struct.pack("!I", 7)) + _indef(0x6C, invoke)
+    )
+    out = parse_tcap(buf)
+    assert out["tcap_otid"] == 7
+    assert out["gsm_op_code"] == 2
+    assert out["imsi"] == "334020123456789"
+
+
+def test_long_form_tag_at_depth_no_desync():
+    from ingestor_etl_spark.protocols.gsm_map import ber_children
+
+    # long-form tag 5F 2D before the imsi leaf: the walker must fold
+    # it into tag 0x5F2D and continue to the next sibling intact
+    longform = b"\x5f\x2d\x03abc"
+    param = g.ber(0x30, longform + g.ber(0x04, IMSI_BCD))
+    buf = g.tcap_msg("begin", otid=3, components=[g.tcap_invoke(2, param)])
+    out = parse_tcap(buf)
+    assert out["gsm_op_code"] == 2
+    assert out["imsi"] == "334020123456789"
+    seq = g.ber(0x30, longform + g.ber(0x04, b"x"))
+    tags = [t for t, _, _ in ber_children(seq[2:])]
+    assert tags == [0x5F2D, 0x04]
+
+
+def test_multi_component_first_wins():
+    # two invokes in one components container: component/opcode come
+    # from the FIRST (reference reads component [0] only)
+    imsi_param = g.ber(0x30, g.ber(0x04, IMSI_BCD))
+    buf = g.tcap_msg(
+        "begin", otid=4,
+        components=[g.tcap_invoke(45), g.tcap_invoke(2, imsi_param)],
+    )
+    out = parse_tcap(buf)
+    assert out["gsm_component"] == 1
+    assert out["gsm_op_code"] == 45
+    assert out.get("imsi") is None  # identities scoped to component [0]
+
+
+def test_abort_with_undecodable_remainder():
+    # reference gsm_map.py:268-273: an abort whose tail pycrate cannot
+    # decode still yields mess_type=abort + dtid. The walker reads the
+    # dtid leaf, then stops at the malformed trailing portion.
+    body = g.ber(0x49, struct.pack("!I", 0x0BADCAFE)) + b"\x6b\x85\x01"
+    out = parse_tcap(g.ber(0x67, body))
+    assert out["tcap_mess_type"] == "abort"
+    assert out["tcap_dtid"] == 0x0BADCAFE
+    assert out["tcap_tid"] == 0x0BADCAFE
+
+
+def test_truncated_and_garbage_tcap_yield_none():
+    assert parse_tcap(b"") is None
+    assert parse_tcap(b"\x62") is None
+    assert parse_tcap(b"\xff\xff\xff") is None
+    # primitive with indefinite length is illegal: walk stops → None
+    assert parse_tcap(b"\x02\x80\x00\x00") is None

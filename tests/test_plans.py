@@ -119,3 +119,80 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_release_caches_no_net_growth(spark, sf_dir):
+    """Cache contract: materialize() pins are query-scoped. After a
+    cache-heavy query runs, release_caches() must drop every pinned
+    stage — a full queries() sweep leaves no net cache growth."""
+    from ingestor_etl_spark.plans import layout
+
+    layout.release_caches()  # drop leftovers from earlier tests
+    sc = spark.sparkContext
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    df = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) > base
+    released = layout.release_caches()
+    assert released >= 1
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= base
+
+
+def _diameter_correlated(spark, tmp_path):
+    from ingestor_etl_spark import capturegen as g
+    from ingestor_etl_spark.protocols.diameter import (
+        correlate_diameter,
+        decode_diameter,
+    )
+    from ingestor_etl_spark.protocols.net import expand_l4
+    from ingestor_etl_spark.sources.pcap import read_pcap
+
+    ccr = g.diameter_msg(272, True, 1, 1, [g.diameter_avp(263, b"sess;1")])
+    p = tmp_path / "d.pcap"
+    p.write_bytes(
+        g.pcap([(1700, 0, g.eth(g.ipv4(g.sctp([(0, 0, 46, ccr)], 40001, 3868), 132)))])
+    )
+    decoded = decode_diameter(expand_l4(read_pcap(spark, str(p))))
+    return decoded, correlate_diameter(decoded)
+
+
+def _formatted(df):
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_diameter_port_filter_below_stitch(spark, tmp_path):
+    """The 3868 port gate must run BEFORE the reassembly shuffle +
+    FlatMapGroupsInPandas stitcher — i.e. appear deeper in the plan
+    tree — so non-Diameter traffic never reaches Python or the wire.
+    Pins the decode subtree to exactly one exchange (the stream-key
+    groupBy)."""
+    import re
+
+    decoded, _ = _diameter_correlated(spark, tmp_path)
+    facts = plan_facts(decoded)
+    assert facts["n_exchanges"] == 1, facts
+    txt = _formatted(decoded)
+    tree = txt.split("\n\n")[0].splitlines()
+    # conditions live in the numbered detail entries; map the ids of
+    # Filters mentioning the port back to their tree positions
+    port_ids = re.findall(r"\((\d+)\) Filter\nInput.*\nCondition : .*3868", txt)
+    assert port_ids, txt
+    stitch = next(i for i, ln in enumerate(tree) if "FlatMapGroupsInPandas" in ln)
+    positions = [
+        next(i for i, ln in enumerate(tree) if f"({pid})" in ln) for pid in port_ids
+    ]
+    assert all(i > stitch for i in positions), (stitch, positions)
+
+
+def test_j1_correlate_exchange_budget(spark, tmp_path):
+    """J1 full-outer correlation on top of the decode: exactly three
+    exchanges total — one for the decode groupBy, one per join side
+    on the transaction key (the request side's doubles as the
+    retransmission-dedup aggregation). Any extra exchange is a plan
+    regression."""
+    _, correlated = _diameter_correlated(spark, tmp_path)
+    facts = plan_facts(correlated)
+    assert facts["n_exchanges"] == 3, facts
