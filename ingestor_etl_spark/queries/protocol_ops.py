@@ -377,6 +377,40 @@ def pcap_tcap_transactions(spark, sf_dir):
 
 
 @register(
+    "j7_display_filter",
+    oracle="""
+    SELECT * FROM (VALUES
+      (17, 3, '1 2 3', 'imsi'),
+      (85, 1, '4 5', 'opcode45')
+    ) AS t(txn, n_messages, frames, matched_by)
+    ORDER BY txn
+    """,
+    tags=("protocol", "ss7", "filter"),
+)
+def j7_display_filter(spark, sf_dir):
+    """J7 general form — wireshark display-filter STRINGS compiled
+    to native Catalyst predicates (reference sigshark.py:557-576
+    shells out to ``tshark -Y``; here the same syntax runs JVM-side,
+    operators/displayfilter.py). Two filters over the same decoded
+    stream: an IMSI-prefix filter selecting the complete 3-message
+    transaction, and an opcode filter selecting the XUDT-reassembled
+    incomplete begin."""
+    from ingestor_etl_spark.operators.displayfilter import filter_transactions_str
+
+    msgs = decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
+    tas = tcap_transactions(msgs, keep_incomplete=True)
+    by_imsi = filter_transactions_str(tas, msgs, 'e212.imsi contains "33402"')
+    by_op = filter_transactions_str(tas, msgs, "gsm_old.localValue == 45")
+    out = by_imsi.withColumn("matched_by", F.lit("imsi")).unionByName(
+        by_op.withColumn("matched_by", F.lit("opcode45"))
+    )
+    return out.select(
+        "txn", "n_messages", F.concat_ws(" ", "frames").alias("frames"),
+        "matched_by",
+    ).orderBy("txn")
+
+
+@register(
     "pcap_http_ocs_linked",
     oracle="""
     SELECT * FROM (VALUES
