@@ -44,6 +44,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: fills REGISTRY)."""
     from ingestor_etl_spark.queries import (  # noqa: F401
         analytic_ops,
+        corpus_ops,
         dedup_ops,
         events_ops,
         multimodal_ops,

@@ -1,0 +1,370 @@
+"""Corpus-hygiene operators for training-data pipelines: PII
+redaction, URL canonicalization + dedup, benchmark-contamination
+screening, and global n-gram statistics over ``documents``.
+
+All four are native column algebra — regex, higher-order array
+functions, hash aggregation — no Python in any hot path, so each
+plan is a narrow scan-side pass followed by (at most) one shuffle:
+
+- ``pii_redact``: per-row regexp projection, embarrassingly
+  parallel, zero shuffles.
+- ``url_normalize``: per-row string algebra, zero shuffles;
+  ``url_dedup`` adds one hash-aggregate on the canonical key
+  (uniformly distributed — it's effectively a fingerprint).
+- ``contamination_check``: corpus n-grams equi-join the benchmark
+  n-gram set. The benchmark side is a FIXED-SIZE artifact (eval
+  suites are thousands of documents, not corpus-scale), so it is
+  explicitly broadcast — the corpus never shuffles, matching how
+  decontamination runs over 100 TB in practice.
+- ``corpus_top_ngrams``: explode → partial-agg → one shuffle on the
+  n-gram key; the global top-k sort touches only the aggregated
+  distinct-ngram relation, not the corpus.
+
+The driver's documents table carries no natural PII/URLs/benchmark
+text, so those inputs are SYNTHESIZED deterministically from
+(doc_id, source) inside the query — identically on the Spark and
+DuckDB sides — which keeps every operator oracle-checkable
+end-to-end (the synthesis is plain column algebra too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+
+# --------------------------------------------------------------- PII
+# RE2/Java-common regex subset: no lookaround, no backreferences.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+_AUG_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1-202-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' cc admin@example.org' ELSE '' END
+"""
+
+
+def _aug_spark(d):
+    pad = lambda c: F.lpad((c % 10000).cast("string"), 4, "0")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-202-555-"), pad(F.col("doc_id")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" ssn 987-65-"), pad(F.col("doc_id"))),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cc admin@example.org")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_SSN}')) AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PHONE}', '<PHONE>', 'g'),
+                    '{_SSN}', '<SSN>', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """,
+    tags=("corpus", "pii"),
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing: count and mask emails / NANP phone numbers /
+    SSN-shaped ids with anchored regex classes. Pure regexp
+    projection (one scan, no shuffle, no UDF); the redacted text is
+    returned as an md5 so the oracle compares full-row behavior
+    without shipping long strings."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _aug_spark(d)
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+        ),
+        _SSN,
+        "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        n(_EMAIL).alias("n_emails"),
+        n(_PHONE).alias("n_phones"),
+        n(_SSN).alias("n_ssns"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- URLs
+_RAW_URL_SQL = """
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/docs/page'
+                  || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+      WHEN 1 THEN 'https://example.com:443/docs/page'
+                  || CAST(doc_id % 10 AS VARCHAR) || '/'
+      WHEN 2 THEN 'http://www.example.com/docs/page'
+                  || CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2'
+      ELSE        'https://example.com/docs/page'
+                  || CAST(doc_id % 10 AS VARCHAR)
+    END
+"""
+
+_CANON_SQL = f"""
+    lower(regexp_extract({_RAW_URL_SQL}, '^([A-Za-z]+)://', 1)) || '://'
+    || regexp_replace(regexp_replace(
+         lower(string_split(regexp_replace({_RAW_URL_SQL}, '^[A-Za-z]+://', ''), '/')[1]),
+         '^www\\.', ''), ':(80|443)$', '')
+    || regexp_replace(
+         string_split(regexp_extract(regexp_replace({_RAW_URL_SQL}, '^[A-Za-z]+://', ''),
+                                     '^[^/?]*(.*)$', 1), '?')[1],
+         '/+$', '')
+    || CASE WHEN array_to_string(
+              list_sort(list_filter(
+                string_split(
+                  CASE WHEN contains({_RAW_URL_SQL}, '?')
+                       THEN regexp_extract({_RAW_URL_SQL}, '\\?(.*)$', 1)
+                       ELSE '' END, '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') <> ''
+       THEN '?' || array_to_string(
+              list_sort(list_filter(
+                string_split(
+                  CASE WHEN contains({_RAW_URL_SQL}, '?')
+                       THEN regexp_extract({_RAW_URL_SQL}, '\\?(.*)$', 1)
+                       ELSE '' END, '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+       ELSE '' END
+"""
+
+
+def _canon_spark(d):
+    raw = (
+        F.when(
+            (F.col("doc_id") % 4 == 0),
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/docs/page"),
+                (F.col("doc_id") % 10).cast("string"), F.lit("?utm_source=x&b=2&a=1"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4 == 1),
+            F.concat(
+                F.lit("https://example.com:443/docs/page"),
+                (F.col("doc_id") % 10).cast("string"), F.lit("/"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4 == 2),
+            F.concat(
+                F.lit("http://www.example.com/docs/page"),
+                (F.col("doc_id") % 10).cast("string"), F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/docs/page"),
+                (F.col("doc_id") % 10).cast("string"),
+            )
+        )
+    )
+    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(raw, r"^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.split(rest, "/").getItem(0)), r"^www\.", ""),
+        r":(80|443)$",
+        "",
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_replace(F.split(pathq, r"\?").getItem(0), r"/+$", "")
+    query = F.when(raw.contains("?"), F.regexp_extract(raw, r"\?(.*)$", 1)).otherwise(
+        F.lit("")
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "url_normalize",
+    oracle=f"""
+    SELECT doc_id, {_CANON_SQL} AS url_canon FROM documents ORDER BY doc_id
+    """,
+    tags=("corpus", "url"),
+)
+def url_normalize(spark, sf_dir):
+    """URL canonicalization: lowercase scheme+host, strip ``www.``
+    and default ports, collapse trailing slashes, drop ``utm_*``
+    tracking params, sort the remaining query params. Narrow
+    per-row string algebra — zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _canon_spark(d).alias("url_canon")).orderBy("doc_id")
+
+
+@register(
+    "url_dedup",
+    oracle=f"""
+    SELECT url_canon,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (SELECT doc_id, {_CANON_SQL} AS url_canon FROM documents)
+    GROUP BY url_canon ORDER BY url_canon
+    """,
+    tags=("corpus", "url", "dedup"),
+)
+def url_dedup(spark, sf_dir):
+    """URL-level dedup on the canonical form: visually-distinct
+    duplicates (case, default port, www, tracking params, trailing
+    slash) collapse to one group. One hash-aggregate shuffle on the
+    canonical key — the URL-keyed analogue of exact_dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _canon_spark(d).alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("url_canon")
+    )
+
+
+# ------------------------------------------------------ contamination
+_CANARY1 = "canary benchmark leak phrase alpha beta gamma delta epsilon"
+_CANARY2 = "second holdout suite sentence zeta eta theta iota kappa"
+_NGRAM_N = 8
+
+_DOC_TEXT_SQL = f"""
+    text || CASE WHEN doc_id % 7 = 0 THEN ' {_CANARY1}' ELSE '' END
+         || CASE WHEN doc_id % 14 = 0 THEN ' {_CANARY2}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 1
+                 THEN ' canary benchmark leak phrase alpha' ELSE '' END
+"""
+
+
+def _doc_text_spark():
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _CANARY1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 14 == 0, F.lit(" " + _CANARY2)).otherwise(F.lit("")),
+        # a PARTIAL canary (5 of 9 tokens) — must NOT count as a hit
+        # at n=8: decontamination is n-gram-exact, not substring-ish
+        F.when(
+            F.col("doc_id") % 7 == 1, F.lit(" canary benchmark leak phrase alpha")
+        ).otherwise(F.lit("")),
+    )
+
+
+def _ngrams_spark(text_col, n: int):
+    toks = F.split(F.trim(text_col), r" +")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_sql(text_expr: str, n: int) -> str:
+    """DuckDB n-gram relation body: tokens[i : i+n-1] for each valid
+    start (1-based inclusive slicing)."""
+    return f"""
+      SELECT doc_id,
+             array_to_string(toks[i : i + {n - 1}], ' ') AS ngram
+      FROM (SELECT doc_id, string_split_regex(trim({text_expr}), ' +') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) - {n - 2})) AS i) starts
+      WHERE len(toks) >= {n}
+    """
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH corpus_ngrams AS ({_ngrams_sql(_DOC_TEXT_SQL, _NGRAM_N)}),
+    bench AS (
+      SELECT DISTINCT array_to_string(toks[i : i + {_NGRAM_N - 1}], ' ') AS ngram
+      FROM (SELECT string_split(s, ' ') AS toks
+            FROM (VALUES ('{_CANARY1}'), ('{_CANARY2}')) b(s)),
+           LATERAL (SELECT unnest(range(1, len(toks) - {_NGRAM_N - 2})) AS i) starts
+    )
+    SELECT doc_id, CAST(count(DISTINCT c.ngram) AS BIGINT) AS n_hits
+    FROM corpus_ngrams c JOIN bench USING (ngram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("corpus", "contamination"),
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any
+    {n}-gram with the benchmark suite (the GPT-3/C4 style 8-gram
+    screen). The benchmark n-gram set is a bounded artifact →
+    broadcast; the corpus explodes to n-grams and equi-joins without
+    ever shuffling document rows. A partial canary (5 tokens)
+    planted in %7==1 docs pins the n-gram-exact semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id", F.explode(_ngrams_spark(_doc_text_spark(), _NGRAM_N)).alias("ngram")
+    )
+    bench_rows = [(s,) for s in (_CANARY1, _CANARY2)]
+    bench = (
+        spark.createDataFrame(bench_rows, "s string")
+        .select(F.explode(_ngrams_spark(F.col("s"), _NGRAM_N)).alias("ngram"))
+        .dropDuplicates()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ngram").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- top-ngrams
+@register(
+    "corpus_top_ngrams",
+    oracle=f"""
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM ({_ngrams_sql("text", 3)})
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+    """,
+    tags=("corpus", "ngram"),
+)
+def corpus_top_ngrams(spark, sf_dir):
+    """Global corpus statistics: top-20 trigrams with a
+    deterministic (count desc, ngram asc) tiebreak. Explode →
+    map-side partial agg → one shuffle on the n-gram key; the final
+    ordering sorts only the aggregated relation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_ngrams_spark(F.col("text"), 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(20)
+    )
