@@ -174,16 +174,23 @@ def q22_idle_customers(spark, sf_dir):
 def q16_supplier_variety(spark, sf_dir):
     """TPC-H Q16-style supplier variety per brand/type (adapted to
     this schema: lineitem stands in for partsupp): NOT IN over a
-    filtered supplier set as a left-anti join (the excluded-supplier
-    list is tiny → broadcast anti join), then COUNT(DISTINCT) —
-    Spark plans it as a two-phase distinct aggregate."""
+    filtered supplier set as a left-anti join, then COUNT(DISTINCT)
+    — Spark plans it as a two-phase distinct aggregate. The
+    excluded-supplier set is a constant FRACTION of suppliers (it
+    scales with input), so it is not force-broadcast: the anti join
+    keys both sides on suppkey and AQE upgrades to broadcast at
+    runtime only when the filtered set actually fits."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
     )
-    bad_suppliers = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    bad_suppliers = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
     return (
-        l.join(F.broadcast(bad_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        l.join(bad_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
