@@ -368,3 +368,124 @@ def corpus_top_ngrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(20)
     )
+
+
+# ----------------------------------------------------- repetition
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, ngram, count(*) AS c
+      FROM ({_ngrams_sql("text", 2)}) GROUP BY doc_id, ngram
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, top_bigram_n,
+           CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(dup_occurrences AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+           (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.08
+            AND CAST(dup_occurrences AS DOUBLE) / n_bigrams <= 0.75)
+             AS repetition_pass
+    FROM per_doc ORDER BY doc_id
+    """,
+    tags=("corpus", "quality", "repetition"),
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition gates: the share of the most frequent
+    bigram and the share of bigram occurrences that are duplicates,
+    plus a pass/fail. Two keyed aggregations — (doc_id, ngram) then
+    doc_id — both pre-aggregate map-side and shuffle on keys
+    prefixed by doc_id, so the plan holds at corpus scale (no
+    per-doc data ever collects to one node beyond its own grams).
+    The ratios are single divisions of exact integers → bit-equal
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.explode(_ngrams_spark(F.col("text"), 2)).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occurrences"),
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_frac = F.col("dup_occurrences").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= 0.08) & (dup_frac <= 0.75)).alias("repetition_pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------- jsonl source
+_JSONL_LINES = (
+    '{"doc_id": 0, "text": "alpha beta gamma", "lang": "en", "source": "web"}',
+    '{"doc_id": 1, "text": "delta epsilon", "lang": "es", "source": "web"}',
+    "this is not json at all",
+    '{"doc_id": "nan", "text": "mu nu", "lang": "en", "source": "books"}',
+    '{"doc_id": 6, "lang": "en", "source": "web"}',
+)
+
+
+def jsonl_fixture_dir() -> str:
+    """Deterministic JSONL corpus: 3 clean lines, one malformed line,
+    one type-mismatch line (parseable fields kept + flagged), one
+    missing-field line (null field, clean)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_jsonl_v1")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part0.jsonl")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(_JSONL_LINES))
+        os.replace(tmp, path)
+    return d
+
+
+@register(
+    "jsonl_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'en', 'web', 16, FALSE, CAST(NULL AS VARCHAR)),
+      (1, 'es', 'web', 13, FALSE, CAST(NULL AS VARCHAR)),
+      (6, 'en', 'web', CAST(NULL AS INTEGER), FALSE, CAST(NULL AS VARCHAR)),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INTEGER), TRUE, 'this is not'),
+      (CAST(NULL AS BIGINT), 'en', 'books', 5, TRUE, '{"doc_id": ')
+    ) AS t(doc_id, lang, source, n_chars, is_corrupt, corrupt_excerpt)
+    ORDER BY is_corrupt, doc_id
+    """,
+    tags=("corpus", "source", "jsonl"),
+)
+def jsonl_ingest(spark, sf_dir):
+    """S-class source breadth: JSONL corpus ingestion with §2.8
+    error-row semantics — explicit schema (no inference pass),
+    PERMISSIVE mode, malformed lines preserved as rows with the raw
+    line in ``_corrupt``. A type-mismatch line keeps its parseable
+    fields AND is flagged; a missing field is null, not an error.
+    Same reader serves readStream for file-drop ingestion
+    (tests/test_corpus_ops.py pins batch/stream parity)."""
+    from ingestor_etl_spark.sources.jsonl import read_jsonl_documents
+
+    docs = read_jsonl_documents(spark, jsonl_fixture_dir())
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.substring("_corrupt", 1, 11).alias("corrupt_excerpt"),
+    ).orderBy("is_corrupt", "doc_id")

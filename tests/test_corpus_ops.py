@@ -55,3 +55,35 @@ def test_pii_redact_masks_and_counts(spark):
     assert out[3].n_ssns == 1 and out[1].n_ssns == 0
     # md5 changes iff masking changed the text: distinct per doc
     assert len({r.redacted_md5 for r in out.values()}) == len(out)
+
+
+def test_jsonl_batch_stream_parity(spark, tmp_path):
+    """The same JSONL reader serves batch and Structured Streaming;
+    an availableNow pass over the fixture must produce identical
+    rows, including the corrupt ones."""
+    from ingestor_etl_spark.queries.corpus_ops import jsonl_fixture_dir
+    from ingestor_etl_spark.sources.jsonl import (
+        read_jsonl_documents,
+        split_errors,
+    )
+
+    d = jsonl_fixture_dir()
+    batch = read_jsonl_documents(spark, d)
+    out = str(tmp_path / "out")
+    q = (
+        read_jsonl_documents(spark, d, streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.schema(batch.schema).parquet(out)
+    key = lambda r: (r.doc_id is None, r.doc_id, r._corrupt)
+    assert sorted(batch.collect(), key=key) == sorted(streamed.collect(), key=key)
+
+    clean, errors = split_errors(batch)
+    assert clean.count() == 3 and "_corrupt" not in clean.columns
+    err = errors.collect()
+    assert len(err) == 2 and all(e.file.endswith("part0.jsonl") for e in err)
