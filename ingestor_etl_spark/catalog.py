@@ -54,3 +54,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every catalog table lazily; nothing is scanned until an
     action runs, so loading all ten is free."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every catalog table as a temp view so users can query
+    the engine with raw ``spark.sql(...)`` — same table names the
+    DuckDB oracle layer registers, so one ANSI-SQL string can run
+    verbatim on both engines."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -91,6 +91,7 @@ _TOKEN_RE = re.compile(
         (?P<squote>'(?:[^'\\]|\\.)*') |
         (?P<bang>!) |
         (?P<amp>&&) | (?P<pipe>\|\|) |
+        (?P<cidr>\d+\.\d+\.\d+\.\d+/\d+) |
         (?P<word>[A-Za-z0-9_.\-]+)
     )""",
     re.X,
@@ -123,6 +124,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             out.append(("and", "&&"))
         elif kind == "pipe":
             out.append(("or", "||"))
+        elif kind == "cidr":
+            out.append(("cidr", tok))
         elif kind == "word":
             low = tok.lower()
             if low in ("and", "or", "not", "contains", "matches", "in"):
@@ -212,6 +215,8 @@ class _Parser:
         kind, tok = self.take()
         if kind == "str":
             return tok
+        if kind == "cidr":
+            return _Cidr(tok)
         if kind != "word":
             raise FilterError(f"expected a value, got {tok!r}")
         return _coerce(tok)
@@ -225,6 +230,13 @@ class _Parser:
         if t[0] == "op":
             op = self.take()[1]
             val = self.value()
+            if isinstance(val, _Cidr):
+                # wireshark subnet comparison: ip.src == 10.0.0.0/8
+                if op == "==":
+                    return val.contains(col)
+                if op == "!=":
+                    return ~val.contains(col)
+                raise FilterError(f"CIDR supports ==/!= only, not {op}")
             return {
                 "==": col.__eq__, "!=": col.__ne__,
                 ">": col.__gt__, "<": col.__lt__,
@@ -248,6 +260,28 @@ class _Parser:
                 raise FilterError("empty in-set")
             return col.isin(vals)
         raise FilterError(f"expected an operator after {name!r}, got {t[1]!r}")
+
+
+class _Cidr:
+    """CIDR literal (``10.0.0.0/8``) — compiles to the same native
+    bit-arithmetic as operators.transactions.exclude_cidrs (O4), so
+    subnet filters stay inside codegen too."""
+
+    def __init__(self, tok: str):
+        base, _, bits = tok.partition("/")
+        bits = int(bits)
+        if not 0 <= bits <= 32:
+            raise FilterError(f"bad CIDR mask: {tok!r}")
+        self.mask = ((1 << 32) - 1) ^ ((1 << (32 - bits)) - 1)
+        self.base = (
+            sum(int(o) << (8 * (3 - i)) for i, o in enumerate(base.split(".")))
+            & self.mask
+        )
+
+    def contains(self, col: Column) -> Column:
+        from ingestor_etl_spark.operators.transactions import ip_to_long
+
+        return ip_to_long(col).bitwiseAND(F.lit(self.mask)) == F.lit(self.base)
 
 
 def _coerce(tok: str) -> object:

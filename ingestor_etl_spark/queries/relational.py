@@ -456,3 +456,32 @@ def window_running_revenue(spark, sf_dir):
         )
         .orderBy("o_custkey", "order_seq")
     )
+
+
+# ------------------------------------------------------ SQL passthrough
+_PASSTHROUGH_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "sql_passthrough",
+    oracle=_PASSTHROUGH_SQL,
+    tags=("relational", "sql"),
+)
+def sql_passthrough(spark, sf_dir):
+    """The raw-SQL user surface: catalog.register_views exposes the
+    tables as temp views and ONE ANSI-SQL string — byte-identical to
+    the DuckDB oracle — runs through spark.sql. Proves a reference
+    user can bring their SQL verbatim; Catalyst still plans it (the
+    filter pushes into the scan like the DataFrame form)."""
+    from ingestor_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PASSTHROUGH_SQL)

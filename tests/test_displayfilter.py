@@ -136,3 +136,14 @@ def test_transaction_filter_integration(spark, tmp_path):
         tas, msgs, "gsm_old.localValue == 45 || tcap.otid == 0x11"
     )
     assert sorted(r.txn for r in both.collect()) == [0x11, 0x22]
+
+
+def test_cidr_subnet_comparison(msgs):
+    assert _frames(msgs, "ip.src == 10.0.0.0/24") == [1, 2, 3]
+    assert _frames(msgs, "ip.src == 10.9.0.0/16") == [4]
+    assert _frames(msgs, "ip.src != 10.9.0.0/16") == [1, 2, 3]
+    assert _frames(msgs, "ip.src == 0.0.0.0/0") == [1, 2, 3, 4]
+    with pytest.raises(FilterError):
+        compile_filter("ip.src > 10.0.0.0/8", {"src_ip"})
+    with pytest.raises(FilterError):
+        compile_filter("ip.src == 10.0.0.0/40", {"src_ip"})
