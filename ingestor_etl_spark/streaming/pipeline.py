@@ -322,3 +322,38 @@ def stream_windowed_counts(
             "n_events",
         )
     )
+
+
+def stream_neardup_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming near-dup suppression: the batch MinHash signature
+    (queries/dedup_ops) computed natively per arriving document, then
+    ``dropDuplicatesWithinWatermark`` on the full signature — the
+    first document of each near-dup family within the watermark
+    window wins, with state bounded by the watermark exactly like
+    the O3 retransmission dedup. Requires columns (text, ts).
+
+    Signature-level matching keeps only high-probability near-dups
+    (all 6 minhashes equal); bucket-recall tuning (match ANY band)
+    belongs in the batch LSH pass — streams suppress, batch
+    consolidates."""
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _SPARK_SHINGLES,
+        _spark_minhash,
+        SALTS,
+    )
+
+    sig = docs.selectExpr(
+        "*", f"{_SPARK_SHINGLES} AS shingles"
+    ).selectExpr(
+        "*",
+        "concat_ws(':', "
+        + ", ".join(_spark_minhash(s) for s in SALTS)
+        + ") AS minhash_sig",
+    ).drop("shingles")
+    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["minhash_sig"]
+    )

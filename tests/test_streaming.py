@@ -162,3 +162,32 @@ def test_stream_windowed_counts(spark, tmp_path):
         ("view", "10:00"): 1,
         ("click", "10:05"): 1,
     }
+
+
+def test_stream_neardup_dedup(spark, tmp_path):
+    from ingestor_etl_spark.streaming.pipeline import stream_neardup_dedup
+
+    src_dir = tmp_path / "docs"
+    rows = [
+        (0, "2024-01-01 10:00:00", "alpha beta gamma delta epsilon zeta"),
+        (1, "2024-01-01 10:01:00", "alpha beta gamma delta epsilon zeta"),  # dup
+        (2, "2024-01-01 10:02:00", "totally different words entirely here now"),
+        (3, "2024-01-01 10:03:00", "alpha beta gamma delta epsilon zeta"),  # dup
+    ]
+    spark.createDataFrame(rows, "doc_id long, ts string, text string").selectExpr(
+        "doc_id", "cast(ts as timestamp) ts", "text"
+    ).write.parquet(str(src_dir))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src_dir)
+    )
+    deduped = stream_neardup_dedup(stream, watermark="10 minutes")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = deduped.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    # one survivor per near-dup family; survivors keep their fields
+    assert len(got) == 2
+    assert len(set(got.minhash_sig)) == 2
+    assert set(got.doc_id) <= {0, 1, 2, 3}
