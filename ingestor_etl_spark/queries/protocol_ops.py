@@ -396,9 +396,16 @@ def j7_display_filter(spark, sf_dir):
     transaction, and an opcode filter selecting the XUDT-reassembled
     incomplete begin."""
     from ingestor_etl_spark.operators.displayfilter import filter_transactions_str
+    from ingestor_etl_spark.plans.layout import materialize
 
-    msgs = decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
-    tas = tcap_transactions(msgs, keep_incomplete=True)
+    # two filter branches × (transactions + messages) would otherwise
+    # replicate the decode subtree 4× in one plan — materialize the
+    # decoded stream once (the production shape: decode log persisted
+    # between stages), and the assembled transactions once.
+    msgs = materialize(
+        decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
+    )
+    tas = materialize(tcap_transactions(msgs, keep_incomplete=True))
     by_imsi = filter_transactions_str(tas, msgs, 'e212.imsi contains "33402"')
     by_op = filter_transactions_str(tas, msgs, "gsm_old.localValue == 45")
     out = by_imsi.withColumn("matched_by", F.lit("imsi")).unionByName(

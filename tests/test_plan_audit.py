@@ -1,0 +1,60 @@
+"""Whole-registry plan invariants: every registered query's physical
+plan must stay inside the scale-safe envelope. Catches silent plan
+regressions (a join flipping to nested-loop, a new Python operator
+in a hot path) anywhere in the surface, not just the hand-picked
+plans in test_plans.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from ingestor_etl_spark.plans.audit import audit_all
+
+# nested-loop joins are legitimate ONLY where one side is a literal
+# handful of rows by construction (broadcast query/centroid sets,
+# 1-row scalar-subquery cross joins)
+BNL_ALLOWED = {"ann_cosine_topk", "ann_ivf", "q22_idle_customers"}
+
+# Python evaluation is legitimate ONLY in the documented Arrow-batch
+# surfaces: packet decode pipelines and the multimodal codec
+PYEVAL_PREFIXES = ("pcap_", "multimodal_", "j7_display_filter")
+
+
+@pytest.fixture(scope="module")
+def audit(spark, sf_dir):
+    return audit_all(spark, sf_dir)
+
+
+def test_no_cartesian_products(audit):
+    offenders = {n: a for n, a in audit.items() if a["cartesian_products"]}
+    assert not offenders, offenders
+
+
+def test_nested_loop_joins_only_for_literal_sides(audit):
+    offenders = {
+        n: a["nested_loop_joins"]
+        for n, a in audit.items()
+        if a["nested_loop_joins"] and n not in BNL_ALLOWED
+    }
+    assert not offenders, offenders
+
+
+def test_python_eval_only_in_decode_surfaces(audit):
+    offenders = {
+        n: a["python_evals"]
+        for n, a in audit.items()
+        if a["python_evals"] and not n.startswith(PYEVAL_PREFIXES)
+    }
+    assert not offenders, offenders
+
+
+def test_every_plan_bounded_exchanges(audit):
+    """No query needs more than a handful of shuffles of NEW data;
+    anything beyond that should be materializing shared stages
+    (cached_scans > 0) rather than replanning them."""
+    offenders = {
+        n: a["n_exchanges"]
+        for n, a in audit.items()
+        if a["n_exchanges"] > 12 and not a["cached_scans"]
+    }
+    assert not offenders, offenders
