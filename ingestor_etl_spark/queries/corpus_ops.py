@@ -489,3 +489,57 @@ def jsonl_ingest(spark, sf_dir):
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
         F.substring("_corrupt", 1, 11).alias("corrupt_excerpt"),
     ).orderBy("is_corrupt", "doc_id")
+
+
+# ------------------------------------------------------ domain mixture
+@register(
+    "domain_mixture",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    with_total AS (
+      SELECT *, sum(n_tokens) OVER () AS total_tokens,
+             count(*) OVER () AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)
+             AS uniform_weight
+    FROM with_total ORDER BY source
+    """,
+    tags=("corpus", "mixture", "sampling"),
+)
+def domain_mixture(spark, sf_dir):
+    """Training-mix bookkeeping: per-source token counts, corpus
+    share, and the resampling weight that would equalize the mix
+    (weight = target_share / actual_share with a uniform target).
+    One keyed aggregation shuffles the corpus down to one row per
+    source; the global total comes from an unpartitioned window over
+    that TINY aggregated relation (sources are dozens, never
+    corpus-scale), not from a second pass over the data."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+        (total.cast("double") / (n_sources * F.col("n_tokens"))).alias(
+            "uniform_weight"
+        ),
+    ).orderBy("source")

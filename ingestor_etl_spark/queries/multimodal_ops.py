@@ -180,3 +180,77 @@ def multimodal_batch_shape(spark, sf_dir):
         F.max(F.length("payload")).alias("max_bytes"),
         F.min(F.length("payload")).alias("min_bytes"),
     )
+
+
+_FRAME_SIZE = 32  # bytes per synthetic "frame"
+_FRAME_STRIDE = 3  # sample every 3rd frame
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS frame_idx,
+             CAST(CAST(ceil(length(text) / {_FRAME_SIZE}.0) AS BIGINT) AS INTEGER)
+               AS n_frames,
+             md5(substr(text, CAST(i AS BIGINT) * {_FRAME_SIZE} + 1, {_FRAME_SIZE}))
+               AS frame_md5
+      FROM read_parquet_documents_view_placeholder
+    )
+    SELECT * FROM frames WHERE frame_idx % {_FRAME_STRIDE} = 0
+    ORDER BY doc_id, frame_idx
+    """.replace(
+        "read_parquet_documents_view_placeholder",
+        f"""(SELECT doc_id, text FROM documents),
+      LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / {_FRAME_SIZE}.0) AS BIGINT))) AS i) starts""",
+    ),
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: the 1→MANY mapInPandas shape. The
+    payload is treated as a frame sequence (fixed-size chunks);
+    every {stride}-th frame is emitted as its own row with a frame
+    checksum — decode→frame-split→sample for video corpora, with the
+    codec stubbed exactly like multimodal_features.
+
+    Scale notes: output fan-out happens executor-side inside the
+    Arrow batch (no explode of a giant decoded array through the
+    plan); each input batch yields ~batch×frames/stride rows, and
+    downstream per-frame ops (dedup, embedding) shuffle on
+    uniformly-hashed frame checksums."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                n_frames = math.ceil(len(blob) / _FRAME_SIZE)
+                for idx in range(0, n_frames, _FRAME_STRIDE):
+                    chunk = blob[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            n_frames,
+                            hashlib.md5(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return d.mapInPandas(sample, _FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
