@@ -43,6 +43,21 @@ HEADLINE = [
 ]
 
 
+# Round-2 additions benched separately so the headline total stays
+# comparable round-over-round (same 17 queries as BASELINE).
+EXTENDED = [
+    "pii_redact",
+    "url_dedup",
+    "contamination_check",
+    "corpus_top_ngrams",
+    "text_repetition",
+    "domain_mixture",
+    "multimodal_frame_sample",
+    "sql_passthrough",
+    "j7_display_filter",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,6 +84,15 @@ def main() -> None:
         timings[name] = round(best, 3)
         release_caches()  # query-scoped cache contract
 
+    extended: dict[str, float] = {}
+    for name in (n for n in EXTENDED if n in registry):
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - start, 3)
+        release_caches()
+
     protocol = bench_protocol_throughput(spark)
 
     total = round(sum(timings.values()), 3)
@@ -79,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "protocol_throughput": protocol,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
