@@ -153,6 +153,20 @@ def iter_frames(data: bytes) -> Iterator[tuple[int, int, int, int, bytes]]:
         raise ValueError(f"not a pcap/pcapng buffer (magic={magic.hex()})")
 
 
+def parse_file_rows(fname: str, content: bytes) -> list[tuple]:
+    """One capture file → frame rows, never raising: a malformed
+    container yields the intact prefix frames plus exactly one
+    trailing error row (§2.8 — the reference logs-and-continues per
+    file; here the error becomes data the ledger can count)."""
+    rows: list[tuple] = []
+    try:
+        for frame_no, ts_us, dlt, orig_len, payload in iter_frames(content):
+            rows.append((fname, frame_no, ts_us, dlt, orig_len, payload, None))
+    except Exception as exc:  # malformed container: 1 error row
+        rows.append((fname, None, None, None, None, None, str(exc)))
+    return rows
+
+
 def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     """Capture files → frames DataFrame.
 
@@ -165,14 +179,7 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fname, content in zip(pdf["path"], pdf["content"]):
-                rows: list[tuple] = []
-                try:
-                    for frame_no, ts_us, dlt, orig_len, payload in iter_frames(
-                        bytes(content)
-                    ):
-                        rows.append((fname, frame_no, ts_us, dlt, orig_len, payload, None))
-                except Exception as exc:  # malformed container: 1 error row
-                    rows.append((fname, None, None, None, None, None, str(exc)))
+                rows = parse_file_rows(fname, bytes(content))
                 yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     frames = files.select("path", "content").mapInPandas(parse, FRAME_SCHEMA)

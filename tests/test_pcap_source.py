@@ -147,3 +147,60 @@ def test_pcapng_unknown_blocks_skipped():
     spliced = buf[:48] + nrb + buf[48:]
     frames = list(iter_frames(spliced))
     assert [f[0] for f in frames] == [1, 2]
+
+
+# ------------------------------------------------------------ fuzzing
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ingestor_etl_spark.sources.pcap import parse_file_rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_parse_file_rows_never_raises_on_garbage(data):
+    """Arbitrary bytes: the per-file parse must yield rows and stop,
+    never raise — §2.8: malformed input is data. Either every row is
+    a frame, or the tail row is a single error row."""
+    rows = parse_file_rows("f", data)
+    error_rows = [r for r in rows if r[6] is not None]
+    assert len(error_rows) <= 1
+    if error_rows:
+        assert rows[-1][6] is not None  # error row is last
+    for r in rows[:-1] if error_rows else rows:
+        assert r[6] is None and isinstance(r[1], int)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400).map(
+        lambda b: b"\xd4\xc3\xb2\xa1" + b
+    )
+)
+def test_parse_file_rows_valid_magic_garbage_body(data):
+    """A valid pcap magic followed by garbage: intact prefix frames
+    plus at most one trailing error row, never an exception."""
+    rows = parse_file_rows("f", data)
+    assert len([r for r in rows if r[6] is not None]) <= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=200))
+def test_truncated_valid_capture_never_raises(cut):
+    """Every truncation point of a real capture parses the intact
+    prefix frames and stops cleanly (no error row: a short tail is
+    a truncated capture, not a malformed container)."""
+    full = g.pcap([
+        (1700, 0, g.eth(g.ipv4(g.udp(b"x" * 40, 1000, 2000), 17))),
+        (1700, 1, g.eth(g.ipv4(g.udp(b"y" * 40, 1000, 2000), 17))),
+    ])
+    rows = parse_file_rows("f", full[: min(cut, len(full))])
+    assert len([r for r in rows if r[6] is None]) <= 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=250))
+def test_truncated_pcapng_never_raises(cut):
+    full = g.pcapng([(1_700_000_000, g.eth(g.ipv4(g.udp(b"z" * 30, 1, 2), 17)))])
+    rows = parse_file_rows("f", full[: min(cut, len(full))])
+    assert len([r for r in rows if r[6] is None]) <= 1
