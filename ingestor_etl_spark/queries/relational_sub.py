@@ -258,6 +258,215 @@ def q21_blocking_supplier(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM supply
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ), best AS (
+        SELECT ps_partkey AS b_partkey, MIN(ps_supplycost) AS min_cost
+        FROM eu GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM eu
+    JOIN best ON b_partkey = ps_partkey AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    tags=("correlated-subquery", "min-of-group", "dim-join"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-style minimum-cost supplier (adapted: with no
+    partsupp table, supply cost is MIN(l_extendedprice) per
+    (part, supplier) pair from lineitem). The correlated MIN
+    subquery is decorrelated into a per-part aggregate over the
+    region-filtered supply joined back on (partkey, cost).
+
+    Scale: nation/region are tiny broadcasts; supply is one shuffle
+    on (partkey, suppkey); the per-part MIN reuses the partkey-side
+    of that exchange. The part filter prunes before the final join.
+    Cost stays DECIMAL(12,2) end-to-end so the cost-equality join
+    key is exact on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    supply = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(dec("l_extendedprice")).alias("ps_supplycost"))
+    eu = (
+        supply.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            best,
+            (F.col("b_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(value) AS DECIMAL(24,2)) AS total FROM v
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM v, tot
+    WHERE value * 1000 > total
+    ORDER BY value DESC, partkey
+    """,
+    tags=("scalar-subquery", "having-fraction"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11-style important parts (adapted: value is the
+    lineitem revenue supplied from one region, partsupp being
+    absent): parts whose share of the region's total supply value
+    exceeds 1/1000, i.e. HAVING against a global scalar subquery.
+    The fraction test is multiplicative (``value * 1000 > total``)
+    so both engines compare exact decimals.
+
+    Scale: one shuffle on l_partkey builds v; the global total is a
+    single-row aggregate broadcast into the filter — never a second
+    shuffle of v."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    v = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(20,2)").alias("value"))
+    )
+    tot = v.agg(F.sum("value").cast("decimal(24,2)").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("value") * F.lit(1000) > F.col("total"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "q20_fresh_stock_suppliers",
+    oracle="""
+    WITH pp AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ), agg AS (
+        SELECT l_suppkey, l_partkey,
+            CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                           AND l_shipdate <  TIMESTAMP '1998-01-01'
+                     THEN CAST(l_quantity AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(20,2)) AS qty97,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS qty_all
+        FROM lineitem JOIN pp ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ), good AS (
+        SELECT l_suppkey, COUNT(*) AS n_parts
+        FROM agg WHERE qty97 * 2 > qty_all GROUP BY 1
+    )
+    SELECT s_name, n_name, n_parts
+    FROM good
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
+    ORDER BY s_name
+    """,
+    tags=("nested-subquery", "semi-join", "conditional-agg"),
+)
+def q20_fresh_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20-style supplier shortlist (adapted: 'availqty >
+    half of shipped' becomes 'majority of this part's lifetime
+    quantity shipped in 1997' — same nested-subquery shape, no
+    partsupp needed): suppliers in one region having parts whose
+    1997 share exceeds half, with the qualifying-part count. The
+    half test is multiplicative (``qty97 * 2 > qty_all``) — exact
+    decimals on both engines.
+
+    Scale: the part-name filter prunes lineitem through a broadcast
+    semi join BEFORE the (suppkey, partkey) aggregation shuffle; the
+    conditional 1997 sum rides the same aggregate (no second scan);
+    supplier/nation/region are broadcast dims."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = (
+        l.join(pp, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, dec("l_quantity")).otherwise(zero))
+            .cast("decimal(20,2)")
+            .alias("qty97"),
+            F.sum(dec("l_quantity")).cast("decimal(20,2)").alias("qty_all"),
+        )
+    )
+    good = (
+        agg.where(F.col("qty97") * F.lit(2) > F.col("qty_all"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return (
+        good.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_name", "n_name", "n_parts")
+        .orderBy("s_name")
+    )
+
+
+@register(
     "set_ops_cohorts",
     oracle="""
     WITH y96 AS (
