@@ -376,3 +376,48 @@ def asof_attribution(spark, sf_dir):
         "user_id", "event_id", "ts_us", "purchase_value", "view_event_id",
         "asof_matched_ts",
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "events_rolling_7d",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "range-frame", "rolling"),
+)
+def events_rolling_7d(spark, sf_dir):
+    """Rolling 7-day per-user activity (count + value sum) via a
+    RANGE window frame over event time — the interval-frame
+    counterpart of the rows-frame running total
+    (window_running_revenue). Ordering by unix_micros makes Spark's
+    numeric rangeBetween identical to the oracle's
+    ``RANGE INTERVAL 7 DAYS PRECEDING`` (same peers, both bounds
+    inclusive).
+
+    Scale: one shuffle on user_id; the frame is evaluated with a
+    sliding two-pointer over each partition — no self-join, no
+    explode. Skewed users are bounded by per-user event counts, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.sum(dec("value")).over(w).cast("double").alias("sum_7d"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -276,3 +276,126 @@ def events_funnel(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, GREATEST(len(toks) - 16, 1), 64)) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 64 AS INTEGER) AS chunk_no,
+           md5(array_to_string(toks[i : i + 79], ' ')) AS chunk_fp,
+           CAST(len(toks[i : i + 79]) AS BIGINT) AS n_tokens
+    FROM ex
+    ORDER BY doc_id, chunk_no
+    """,
+    tags=("chunking", "context-window", "training-data"),
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Context-window chunking with overlap: each document's token
+    stream is cut into windows of 80 tokens with stride 64 (16-token
+    overlap), the unit a training pipeline feeds a fixed-context
+    model. Start offsets come from ``sequence(1, n-16, 64)`` exploded
+    per document; each chunk is ``slice`` + ``array_join`` — all
+    native array algebra, no UDF. The chunk fingerprint (md5) is the
+    cross-engine value under test; a real pipeline would keep the
+    text.
+
+    Scale: narrow per-doc pass (split → sequence → explode → slice);
+    output rows ≈ input tokens / 64. No shuffle at all — the explode
+    multiplies rows inside the scan stage, and downstream repartition
+    is the consumer's choice."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - F.lit(16), F.lit(1)), F.lit(64)
+    )
+    piece = F.slice(F.col("toks"), F.col("i"), 80)
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / F.lit(64)).cast("int").alias("chunk_no"),
+            F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+@register(
+    "epoch_resample",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source,
+               (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                            WHEN 'src2' THEN 1 ELSE 0 END
+                + CASE WHEN bucket < CASE source WHEN 'src0' THEN 50
+                                                 WHEN 'src1' THEN 50
+                                                 WHEN 'src2' THEN 0
+                                                 ELSE 75 END
+                       THEN 1 ELSE 0 END) AS repeats
+        FROM h
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS copy_no
+    FROM r WHERE repeats >= 1
+    ORDER BY doc_id, copy_no
+    """,
+    tags=("resampling", "mixture", "training-data"),
+)
+def epoch_resample(spark, sf_dir):
+    """Deterministic epoch resampling: materialize per-source mixture
+    weights (here src0→2.5, src1→0.5, src2→1.0, rest→0.75 — in
+    practice the output of domain_mixture) as document copies.
+    ``floor(w)`` integer copies plus one more when the doc's md5
+    bucket falls under the fractional part — no RNG, so every engine
+    and every rerun emits the identical epoch. Documents with
+    w < 1 and a losing bucket drop out (downsampling), matching the
+    empty-sequence explode.
+
+    Scale: narrow pass — hash, two CASE columns, sequence-explode.
+    The output multiplies rows by the average weight, never more;
+    no shuffle, no driver participation."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rs"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    intpart = (
+        F.when(F.col("source") == "src0", 2)
+        .when(F.col("source") == "src1", 0)
+        .when(F.col("source") == "src2", 1)
+        .otherwise(0)
+    )
+    thresh = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source") == "src1", 50)
+        .when(F.col("source") == "src2", 0)
+        .otherwise(75)
+    )
+    repeats = intpart + (bucket < thresh).cast("int")
+    copies = F.when(repeats >= 1, F.sequence(F.lit(1), repeats)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        d.select("doc_id", "source", F.explode(copies).alias("copy_no"))
+        .select("doc_id", "source", F.col("copy_no").cast("long").alias("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    )
