@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -40,13 +41,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's own) can also read TIMESTAMP(NANOS) parquet.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is physically TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
-    # nanoseconds. Convert to a microsecond TimestampType (integral
-    # `div` — double division would lose precision at 1e18 ns).
+    # The physical flavor of events.ts has varied across testdata
+    # generations: TIMESTAMP(NANOS) (arrives as a long of ns under
+    # nanosAsLong), TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    # (arrives as TIMESTAMP_NTZ), or UTC-adjusted micros (arrives as
+    # TimestampType). Normalize all three to TimestampType whose
+    # instant equals the stored wall clock read as UTC — exactly the
+    # value DuckDB's naive read + epoch_us sees — so every downstream
+    # unix_micros/date_trunc (UTC session) matches the oracle.
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        if field.dataType.simpleString() == "bigint":
+            # ns → µs with integral div; double division would lose
+            # precision at 1e18 ns.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Wall-clock µs since the NTZ epoch is pure calendar
+            # arithmetic — independent of the session timezone, unlike
+            # a cast, so the driver's session settings can't skew it.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.timestamp_diff(
+                        "MICROSECOND",
+                        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                        F.col("ts"),
+                    )
+                ),
+            )
     return df
 
 

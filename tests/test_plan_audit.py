@@ -13,7 +13,14 @@ from ingestor_etl_spark.plans.audit import audit_all
 # nested-loop joins are legitimate ONLY where one side is a literal
 # handful of rows by construction (broadcast query/centroid sets,
 # 1-row scalar-subquery cross joins)
-BNL_ALLOWED = {"ann_cosine_topk", "ann_ivf", "q22_idle_customers"}
+BNL_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_ivf",
+    "q22_idle_customers",
+    # 1-row scalar-subquery (global total) broadcast into the HAVING
+    # filter — literal-side by construction, same shape as q22
+    "q11_important_parts",
+}
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
 # surfaces: packet decode pipelines and the multimodal codec
