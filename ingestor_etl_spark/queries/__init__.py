@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         relational_sub,
         relational_wide,
         text_ops,
+        training_ops,
         vector_ops,
     )
 

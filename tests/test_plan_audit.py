@@ -20,6 +20,10 @@ BNL_ALLOWED = {
     # 1-row scalar-subquery (global total) broadcast into the HAVING
     # filter — literal-side by construction, same shape as q22
     "q11_important_parts",
+    # 1-row corpus-stats broadcast (N/avgdl, total-token count) into
+    # per-term scoring — literal-side by construction
+    "bm25_search",
+    "unigram_logprob",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
