@@ -555,3 +555,67 @@ def domain_mixture(spark, sf_dir):
             "uniform_weight"
         ),
     ).orderBy("source")
+
+
+# ------------------------------------------------------------ csv source
+_CSV_LINES = (
+    "doc_id,text,lang,source",
+    '0,"hello world doc",en,web',
+    '1,"hola mundo",es,web',
+    'notanint,"bad id row",en,web',
+    '3,"missing source",fr',
+    '4,"extra,unquoted,comma",en,web,overflow',
+    '5,"quoted, comma fine",en,books',
+)
+
+
+def csv_fixture_dir() -> str:
+    """Deterministic CSV corpus: three clean rows (one with a quoted
+    delimiter), a type-mismatch row, a short row, a long row."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_csv_v1")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part0.csv")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(_CSV_LINES) + "\n")
+        os.replace(tmp, path)
+    return d
+
+
+@register(
+    "csv_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'en', 'web', 15, FALSE, CAST(NULL AS VARCHAR)),
+      (1, 'es', 'web', 10, FALSE, CAST(NULL AS VARCHAR)),
+      (5, 'en', 'books', 18, FALSE, CAST(NULL AS VARCHAR)),
+      (CAST(NULL AS BIGINT), 'en', 'web', 10, TRUE, 'notanint,"b'),
+      (3, 'fr', CAST(NULL AS VARCHAR), 14, TRUE, '3,"missing '),
+      (4, 'en', 'web', 20, TRUE, '4,"extra,un')
+    ) AS t(doc_id, lang, source, n_chars, is_corrupt, corrupt_excerpt)
+    ORDER BY is_corrupt, doc_id
+    """,
+    tags=("corpus", "source", "csv"),
+)
+def csv_ingest(spark, sf_dir):
+    """S-class source breadth: CSV corpus ingestion with §2.8
+    error-row semantics — explicit schema, PERMISSIVE, raw line in
+    ``_corrupt``. Pins the CSV-specific arity contract: a missing
+    trailing field IS corrupt (parseable prefix kept + flagged),
+    extra fields are corrupt, quoted delimiters are clean — unlike
+    JSONL where a missing key is merely null (jsonl_ingest)."""
+    from ingestor_etl_spark.sources.csv_source import read_csv_documents
+
+    docs = read_csv_documents(spark, csv_fixture_dir())
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.substring("_corrupt", 1, 11).alias("corrupt_excerpt"),
+    ).orderBy("is_corrupt", "doc_id")

@@ -87,3 +87,33 @@ def test_jsonl_batch_stream_parity(spark, tmp_path):
     assert clean.count() == 3 and "_corrupt" not in clean.columns
     err = errors.collect()
     assert len(err) == 2 and all(e.file.endswith("part0.jsonl") for e in err)
+
+
+def test_csv_batch_stream_parity(spark, tmp_path):
+    """The CSV reader serves batch and Structured Streaming
+    identically, corrupt rows included; split_errors applies to any
+    document-schema source."""
+    from ingestor_etl_spark.queries.corpus_ops import csv_fixture_dir
+    from ingestor_etl_spark.sources.csv_source import read_csv_documents
+    from ingestor_etl_spark.sources.jsonl import split_errors
+
+    d = csv_fixture_dir()
+    batch = read_csv_documents(spark, d)
+    out = str(tmp_path / "out")
+    q = (
+        read_csv_documents(spark, d, streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.schema(batch.schema).parquet(out)
+    key = lambda r: (r.doc_id is None, r.doc_id, r._corrupt)
+    assert sorted(batch.collect(), key=key) == sorted(streamed.collect(), key=key)
+
+    clean, errors = split_errors(batch)
+    assert clean.count() == 3 and "_corrupt" not in clean.columns
+    err = errors.collect()
+    assert len(err) == 3 and all(e.file.endswith("part0.csv") for e in err)
