@@ -55,7 +55,39 @@ EXTENDED = [
     "multimodal_frame_sample",
     "sql_passthrough",
     "j7_display_filter",
+    # round-3 additions
+    "segment_dedup",
+    "bm25_search",
+    "unigram_logprob",
+    "shard_pack",
+    "value_histogram",
+    "csv_ingest",
 ]
+
+
+def _layout_note(sf_dir: str) -> str | None:
+    """Report the input parquet layout: round-3 testdata ships ONE
+    row group per table, which Spark cannot split — every scan (and
+    its fused partial aggregation) is single-task no matter how many
+    cores exist, unlike the multi-row-group layout BASELINE.md's
+    numbers were measured on. Recorded in the bench JSON so
+    round-over-round comparisons are read against the right input
+    layout. (At cluster scale inputs are many files; this is a
+    test-rig artifact, and the auto-compaction experiments in
+    SCALING.md §layout document why we do not rewrite the read-only
+    testdata.)"""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet"))
+        if f.metadata.num_row_groups == 1:
+            return (
+                f"unsplittable input: lineitem has 1 row group "
+                f"({f.metadata.num_rows} rows) -> single-task scans"
+            )
+    except Exception:
+        pass
+    return None
 
 
 def main() -> None:
@@ -106,6 +138,7 @@ def main() -> None:
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "protocol_throughput": protocol,
+                "layout_note": _layout_note(sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
