@@ -45,6 +45,7 @@ def load_all() -> dict[str, Query]:
     from ingestor_etl_spark.queries import (  # noqa: F401
         analytic_ops,
         corpus_ops,
+        curation_ops,
         dedup_ops,
         events_ops,
         multimodal_ops,

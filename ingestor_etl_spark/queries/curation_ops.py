@@ -1,0 +1,306 @@
+"""Curation operators, round-3 wave 2: HTML boilerplate stripping,
+mixture-driven importance resampling, per-domain curriculum binning,
+tokenizer-induction pair counts, and ORC format round-trip.
+
+Like corpus_ops.py, inputs the driver tables don't naturally carry
+(raw HTML) are SYNTHESIZED deterministically from (doc_id, text)
+with identical column algebra on the Spark and DuckDB sides, keeping
+every operator oracle-checkable end-to-end.
+
+Scale notes:
+- ``html_strip`` is a pure regexp projection — narrow pass, no
+  shuffle, whole-stage codegen.
+- ``importance_resample`` broadcasts the per-source rate table
+  (|sources| rows) and keeps the corpus scan shuffle-free: the
+  keep/drop decision is a deterministic md5-bucket filter evaluated
+  inline, the same idiom as stratified_sample.
+- ``curriculum_bins`` windows per source — partitions are domains,
+  so no global sort; a skewed giant domain is still one partition,
+  which is the documented limit of rank-based curricula (switch to
+  fixed score thresholds when a single domain exceeds a task).
+- ``bpe_pair_counts`` double-explodes (words, then adjacent char
+  pairs) but aggregates map-side into the bounded pair vocabulary
+  before the single shuffle.
+- ``orc_ingest`` proves sink/source fidelity for the second
+  columnar format (ORC ships in Spark); the write happens once into
+  a session-scoped temp dir, and the comparison is a full-column
+  md5 so the oracle checks values, not just counts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+
+# ------------------------------------------------------------ html_strip
+_HTML_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title><script>var x = 1;</script></head><body>'
+      || '<nav>home | about | login</nav><p>' || text
+      || '</p><footer>(c) example.com</footer></body></html>'
+"""
+
+_BLOCK_RE = "<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>"
+_TAG_RE = "<[^>]+>"
+
+
+def _html_spark():
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1;</script></head><body>"),
+        F.lit("<nav>home | about | login</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>(c) example.com</footer></body></html>"),
+    )
+
+
+@register(
+    "html_strip",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               html, '{_BLOCK_RE}', ' ', 'g'), '{_TAG_RE}', ' ', 'g')) AS txt,
+             len(regexp_extract_all(html, '{_BLOCK_RE}')) AS n_blocks
+      FROM raw
+    )
+    SELECT doc_id,
+           md5(regexp_replace(txt, ' +', ' ', 'g')) AS extracted_md5,
+           CAST(n_blocks AS BIGINT) AS n_boilerplate_blocks
+    FROM stripped ORDER BY doc_id
+    """,
+    tags=("corpus", "html", "extract"),
+)
+def html_strip(spark, sf_dir):
+    """Main-content extraction from HTML (trafilatura/jusText-shaped,
+    regex-scale): drop script/nav/footer boilerplate blocks, strip
+    remaining tags, collapse whitespace. Pure regexp projection —
+    one narrow scan, no UDF, no shuffle; at 100 TB this runs at
+    parquet-decode speed. The HTML is synthesized deterministically
+    around each document so the oracle can verify the extraction
+    byte-for-byte (as md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    html = _html_spark()
+    txt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(html, _BLOCK_RE, " "), _TAG_RE, " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(txt, " +", " ")).alias("extracted_md5"),
+        F.size(F.regexp_extract_all(html, F.lit(_BLOCK_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_boilerplate_blocks"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------- importance_resample
+RESAMPLE_SCALE = 0.6
+RESAMPLE_BUCKETS = 10000
+
+
+@register(
+    "importance_resample",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split_regex(trim(text), ' +'))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             round(least(1.0,
+               {RESAMPLE_SCALE} * (SELECT sum(n_tokens) FROM per_source)
+                 / ((SELECT count(*) FROM per_source) * n_tokens)), 4) AS rate
+      FROM per_source
+    ),
+    hashed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {RESAMPLE_BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, h.source, bucket, rate
+    FROM hashed h JOIN rates r ON h.source = r.source
+    WHERE bucket < rate * {RESAMPLE_BUCKETS}
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "mixture", "deterministic"),
+)
+def importance_resample(spark, sf_dir):
+    """Mixture-targeted importance resampling (DoReMi/uniform-domain
+    shape): compute per-source keep rates that move the token
+    mixture toward uniform-over-sources (scaled by {scale} so every
+    rate is a real subsample), then keep documents via the
+    deterministic md5-bucket filter. Rates are rounded to 4 decimals
+    on both engines before the comparison, so the boundary is exact.
+
+    Scale shape: the rate table is |sources| rows → broadcast; the
+    corpus pass is a pure filter with the bucket computed inline —
+    no shuffle of document rows at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    rates = per_source.select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(RESAMPLE_SCALE)
+                * F.sum("n_tokens").over(w)
+                / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
+            ),
+            4,
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % RESAMPLE_BUCKETS
+    )
+    hashed = d.select("doc_id", "source", bucket.alias("bucket"))
+    return (
+        hashed.join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("rate") * RESAMPLE_BUCKETS)
+        .select("doc_id", "source", "bucket", "rate")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- curriculum_bins
+N_CURRICULUM_BINS = 10
+
+
+@register(
+    "curriculum_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ntile({N_CURRICULUM_BINS}) OVER (
+             PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+             AS bin
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("curriculum", "window"),
+)
+def curriculum_bins(spark, sf_dir):
+    """Per-domain curriculum binning: rank documents within each
+    source by length (proxy difficulty score) into {n} ntile bins —
+    the ordering a curriculum sampler consumes. Window is partitioned
+    BY SOURCE, so there is no global sort; the documented limit is a
+    single giant domain (one partition), where rank-based curricula
+    should switch to fixed score thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.size(toks).cast("long").alias("n_tokens"))
+        .withColumn("bin", F.ntile(N_CURRICULUM_BINS).over(w).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- bpe_pair_counts
+BPE_TOPK = 20
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) p
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+    tags=("tokenizer", "bpe", "corpus"),
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Tokenizer vocabulary induction, step 1 of BPE: count adjacent
+    symbol pairs inside words across the corpus and rank the top
+    merge candidates (count desc, pair asc tiebreak). The double
+    explode (words, then character pairs) aggregates map-side into
+    the bounded pair alphabet before its single shuffle; the global
+    top-k sorts only the aggregated pair relation."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r" +")).alias("w")
+    ).where(F.length("w") >= 2)
+    # substring with a dynamic start needs expr(); transform over the
+    # index sequence keeps it one per-row expression, no UDF
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+# ----------------------------------------------------------- orc_ingest
+def _orc_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), f"ingestor_etl_spark_orc_{tag}"
+    )
+
+
+@register(
+    "orc_ingest",
+    oracle="""
+    SELECT doc_id, n_chars, md5(text) AS text_md5, lang, source
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("source", "orc", "roundtrip"),
+)
+def orc_ingest(spark, sf_dir):
+    """S-class format breadth: ORC sink + source round-trip. The
+    documents table is written once to ORC (session-scoped temp dir,
+    snappy, multi-file) and read back; the query returns full-column
+    fingerprints from the ORC copy while the oracle reads the
+    original parquet — any fidelity loss in either direction
+    (encoding, nulls, unicode) breaks the hash match. ORC ships in
+    Spark's JVM (no extra deps); at scale this is the same writer
+    used for warehouse hand-off to Hive/Trino readers."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _orc_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+    ).orderBy("doc_id")
