@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         multimodal_ops,
         pipeline_ops,
         protocol_ops,
+        rank_ops,
         relational,
         relational_sub,
         relational_wide,

@@ -1,0 +1,154 @@
+"""Graph ranking over the duplicate-overlap graph: fixed-point
+PageRank as a first-class iterative operator.
+
+Dedup pipelines don't just need components (operators/graph.py) —
+choosing the *canonical* document per duplicate neighborhood and
+prioritizing review benefit from a centrality score: a doc sharing
+segments with many other docs is the "hub" copy. This implements
+PageRank (damping 0.85, 5 power iterations) over the shared-segment
+graph from training_ops.segment machinery.
+
+Cross-engine exactness for an iterative float algorithm is normally
+hopeless (5 rounds of double math compound ulp differences), so the
+iteration runs in FIXED-POINT INTEGER arithmetic: ranks live in
+units of 1e-9 (pr0 = 1_000_000_000), every per-edge contribution is
+``pr div deg`` (integer floor division), and the damping update is
+``150_000_000 + (85 * inflow) div 100`` — all BIGINT ops with
+identical floor semantics in Spark (`div`) and DuckDB (`//`), so
+the oracle matches bit-for-bit after any number of rounds. The
+quantization error vs real PageRank is ≤ |E| ulps of 1e-9 per round
+— noise for ranking purposes.
+
+Scale shape: each iteration is one join of the rank relation with
+the edge list (shuffle on the node key, reused round over round) and
+one aggregation on dst. The edge list and the per-node degree are
+checkpoint-materialized once; every iteration's result is eagerly
+localCheckpoint-ed so lineage stays O(1) deep (same contract as
+connected_components — a lazy persist is not enough). Rounds are a
+fixed constant (5), the classic early-cutoff for convergent
+power iteration at web scale.
+
+Dangling nodes: none by construction (every node of the edge-derived
+graph has degree ≥ 1); isolated documents never enter the graph, so
+no dangling-mass redistribution is needed — documented variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+from ingestor_etl_spark.queries.training_ops import _SEGS_SQL, SEG_LEN
+
+PR_ITERS = 5
+PR_ONE = 1_000_000_000  # fixed-point unit: 1.0
+PR_BASE = 150_000_000  # 0.15 * PR_ONE
+PR_TOPK = 20
+
+
+def _oracle() -> str:
+    ctes = [
+        f"segs AS ({_SEGS_SQL})",
+        """pairs AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id
+    )""",
+        """edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    )""",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({PR_ONE} AS BIGINT) AS pr FROM deg)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT d.node,
+             CAST({PR_BASE} + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dd.deg) AS inflow
+        FROM edges e
+        JOIN pr{k - 1} p ON p.node = e.src
+        JOIN deg dd ON dd.node = e.src
+        GROUP BY e.dst
+      ) f ON d.node = f.node
+    )"""
+        )
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, pr AS rank_fp
+    FROM pr{PR_ITERS}
+    ORDER BY pr DESC, doc_id LIMIT {PR_TOPK}
+    """
+    )
+
+
+@register(
+    "pagerank_dup_graph",
+    oracle=_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_dup_graph(spark, sf_dir):
+    """Fixed-point PageRank (5 iterations, damping 0.85) over the
+    shared-{SEG_LEN}-token-segment duplicate graph; returns the
+    top-{PR_TOPK} hub documents. See module docstring for the
+    integer-arithmetic parity contract and per-iteration plan
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    n_segs = ((F.size(toks) + F.lit(SEG_LEN - 1)) / SEG_LEN).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * SEG_LEN + 1, SEG_LEN)),
+    )
+    segs = d.select("doc_id", F.explode(seg_arr).alias("seg"))
+    a = segs.select(F.col("seg"), F.col("doc_id").alias("src"))
+    b = segs.select(F.col("seg"), F.col("doc_id").alias("dst"))
+    pairs = (
+        a.join(b, "seg")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    pr = deg.select("node", "deg", F.lit(PR_ONE).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges.join(
+                pr.select(
+                    F.col("node").alias("src"),
+                    F.expr("pr div deg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        pr = (
+            deg.join(inflow, "node", "left_outer")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "doc_id")
+        .limit(PR_TOPK)
+    )
