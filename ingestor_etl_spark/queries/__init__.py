@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         events_ops,
         multimodal_ops,
         pipeline_ops,
+        profile_ops,
         protocol_ops,
         rank_ops,
         relational,

@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     # per-term scoring — literal-side by construction
     "bm25_search",
     "unigram_logprob",
+    "key_skew_profile",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
