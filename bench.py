@@ -62,6 +62,14 @@ EXTENDED = [
     "shard_pack",
     "value_histogram",
     "csv_ingest",
+    "html_strip",
+    "importance_resample",
+    "curriculum_bins",
+    "bpe_pair_counts",
+    "pagerank_dup_graph",
+    "key_skew_profile",
+    "eval_holdout_split",
+    "dataset_card",
 ]
 
 

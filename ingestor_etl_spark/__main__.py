@@ -95,22 +95,73 @@ def build_pipeline(spark, protocol: str, input_glob: str):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m ingestor_etl_spark")
     ap.add_argument(
+        "--query",
+        default=None,
+        metavar="NAME",
+        help="run a registered engine query by name over --sf-dir "
+        "(see --list-queries) instead of a protocol ingest",
+    )
+    ap.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print every registered query name and exit",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="table directory for --query (default $SPARK_GRAFT_SF_DIR "
+        "or /root/testdata/sf0.01)",
+    )
+    ap.add_argument(
         "--protocol",
-        required=True,
+        required=False,
         choices=[
             "diameter", "gsm_map", "gtp", "sip", "smpp", "cap",
             "http_ocs", "http_ss7", "http_smpp", "http_camel", "http_diameter",
         ],
     )
-    ap.add_argument("--input", required=True, help="capture-file glob (pcap/pcapng; tshark JSON for cap)")
-    ap.add_argument("--out", required=True, help="output table directory")
+    ap.add_argument("--input", required=False, help="capture-file glob (pcap/pcapng; tshark JSON for cap)")
+    ap.add_argument("--out", required=False, help="output table directory (query mode: omit to print)")
     ap.add_argument("--format", default="parquet", help="output format (parquet/jdbc/...)")
     ap.add_argument("--ledger", default=None, help="ingestion-ledger directory (S10/S11)")
     ap.add_argument("--streaming", action="store_true", help="readStream + checkpoint instead of batch")
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir (streaming)")
     args = ap.parse_args(argv)
 
+    if args.list_queries:
+        from ingestor_etl_spark.queries import load_all
+
+        for name, q in sorted(load_all().items()):
+            doc = (q.doc or "").strip().split("\n")[0]
+            print(f"{name}\t{doc}")
+        return 0
+
     from ingestor_etl_spark.session import get_spark
+
+    if args.query:
+        import os
+
+        from ingestor_etl_spark.queries import load_all
+
+        registry = load_all()
+        if args.query not in registry:
+            raise SystemExit(
+                f"unknown query: {args.query} (see --list-queries)"
+            )
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = get_spark(f"query-{args.query}")
+        df = registry[args.query].fn(spark, sf_dir)
+        if args.out:
+            df.write.format(args.format).mode("overwrite").save(args.out)
+        else:
+            df.show(50, truncate=False)
+        return 0
+
+    if not (args.protocol and args.input and args.out):
+        ap.error("--protocol/--input/--out are required for ingest mode "
+                 "(or use --query / --list-queries)")
 
     spark = get_spark(f"ingest-{args.protocol}")
 

@@ -58,3 +58,24 @@ def test_cli_gtp_batch(spark, tmp_path):
     assert rc == 0
     assert len(glob.glob(out + "/*.parquet")) >= 1
     assert spark.read.parquet(out).count() >= 1
+
+
+def test_cli_query_mode_writes_parquet(spark, tmp_path):
+    from ingestor_etl_spark.__main__ import main
+
+    out = str(tmp_path / "card")
+    assert main([
+        "--query", "dataset_card",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out,
+    ]) == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].n_docs == 500
+
+
+def test_cli_list_queries(capsys):
+    from ingestor_etl_spark.__main__ import main
+
+    assert main(["--list-queries"]) == 0
+    names = [l.split("\t")[0] for l in capsys.readouterr().out.splitlines()]
+    assert "q1_pricing_summary" in names and "pagerank_dup_graph" in names
