@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         text_ops,
         training_ops,
         vector_ops,
+        warehouse_ops,
     )
 
     return REGISTRY

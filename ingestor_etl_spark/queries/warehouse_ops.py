@@ -1,0 +1,161 @@
+"""Warehouse maintenance operators: CDC MERGE (upsert) and SCD
+type-2 history derivation.
+
+The reference's sinks append-only into Postgres (diameter.py
+458-467); a warehouse consumer additionally needs the two classic
+mutation patterns, re-expressed as pure dataflow over immutable
+inputs (the Spark-native shape — MERGE INTO on a table format is
+this same join under the hood):
+
+- ``merge_upsert``: MERGE a change batch into a snapshot — update
+  matched keys, insert unmatched ones, tag each row with its merge
+  action. One full-outer join on the key; at scale both sides
+  shuffle once on the merge key (or zero times if the snapshot is
+  bucketed on it — see test_plans.py's bucketed-join invariant).
+- ``scd2_history``: turn a mutation log into type-2 dimension rows
+  (valid_from / valid_to / is_current) with a per-key lead window —
+  one shuffle on the dimension key; history depth per key is
+  bounded, so partitions stay uniform.
+
+The change batch is synthesized deterministically from the events
+table (every 10th event gets a doubled value and every 3000th key a
+brand-new row), identically on both engines, keeping the operators
+oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+
+_NEW_KEY_OFFSET = 10_000_000
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH snapshot AS (
+      SELECT event_id, user_id, event_type,
+             CAST(value AS DECIMAL(12,2)) AS value
+      FROM events
+    ),
+    changes AS (
+      SELECT event_id, user_id, 'updated' AS event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DECIMAL(13,2)) AS value
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT event_id + {_NEW_KEY_OFFSET}, user_id, 'inserted',
+             CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(13,2))
+      FROM events WHERE event_id % 3000 = 0
+    )
+    SELECT COALESCE(c.event_id, s.event_id) AS event_id,
+           COALESCE(c.user_id, s.user_id) AS user_id,
+           COALESCE(c.event_type, s.event_type) AS event_type,
+           CAST(COALESCE(c.value, s.value) AS DOUBLE) AS value,
+           CASE WHEN s.event_id IS NULL THEN 'insert'
+                WHEN c.event_id IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM snapshot s FULL OUTER JOIN changes c USING (event_id)
+    ORDER BY event_id
+    """,
+    tags=("warehouse", "merge", "cdc"),
+)
+def merge_upsert(spark, sf_dir):
+    """CDC MERGE: apply a change batch to a snapshot — matched keys
+    take the change row's columns (update), unmatched change rows
+    append (insert), untouched snapshot rows pass through (keep);
+    every output row is tagged with its merge action. Exactly the
+    dataflow a MERGE INTO executes: one full-outer join on the merge
+    key. Values go through decimals so the doubled update is exact
+    on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    snapshot = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    changes = (
+        e.where(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.lit("updated").alias("event_type"),
+            (F.col("value").cast("decimal(12,2)") * 2)
+            .cast("decimal(13,2)")
+            .alias("value"),
+        )
+        .unionAll(
+            e.where(F.col("event_id") % 3000 == 0).select(
+                (F.col("event_id") + _NEW_KEY_OFFSET).alias("event_id"),
+                "user_id",
+                F.lit("inserted").alias("event_type"),
+                F.col("value").cast("decimal(12,2)").cast("decimal(13,2)").alias("value"),
+            )
+        )
+    )
+    s = snapshot.alias("s")
+    c = changes.alias("c")
+    return (
+        s.join(c, "event_id", "full_outer")
+        .select(
+            "event_id",
+            F.coalesce("c.user_id", "s.user_id").alias("user_id"),
+            F.coalesce("c.event_type", "s.event_type").alias("event_type"),
+            F.coalesce("c.value", "s.value").cast("double").alias("value"),
+            F.when(F.col("s.user_id").isNull(), "insert")
+            .when(F.col("c.user_id").isNull(), "keep")
+            .otherwise("update")
+            .alias("merge_action"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(12,2)) AS value
+      FROM events WHERE user_id < 40 AND event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(value AS DOUBLE) AS value,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           (lead(ts_us) OVER w IS NULL) AS is_current
+    FROM log
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+    tags=("warehouse", "scd2", "window"),
+)
+def scd2_history(spark, sf_dir):
+    """SCD type-2 derivation: a per-key mutation log becomes
+    dimension history rows with [valid_from, valid_to) intervals and
+    an is_current flag — one lead() window per key, one shuffle.
+    The events stream stands in for the mutation log (purchase
+    events of a key range)."""
+    e = load_table(spark, sf_dir, "events")
+    log = e.where((F.col("user_id") < 40) & (F.col("event_type") == "purchase")).select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        log.select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w).alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "valid_from_us", "event_id")
+    )
