@@ -334,7 +334,7 @@ def _ngrams_sql(text_expr: str, n: int) -> str:
 )
 def contamination_check(spark, sf_dir):
     """Benchmark decontamination: flag documents sharing any
-    {n}-gram with the benchmark suite (the GPT-3/C4 style 8-gram
+    8-gram with the benchmark suite (the GPT-3/C4 style 8-gram
     screen). The benchmark n-gram set is a bounded artifact →
     broadcast; the corpus explodes to n-grams and equi-joins without
     ever shuffling document rows. A partial canary (5 tokens)
@@ -586,6 +586,13 @@ def csv_fixture_dir() -> str:
     return d
 
 
+# NOTE (Spark-version behavior pin): the VALUES block below encodes
+# Spark's CURRENT (4.x) PERMISSIVE CSV arity contract — short AND
+# long rows are flagged corrupt while their parseable prefix is
+# kept. That contract has differed across Spark releases (e.g.
+# pre-2.3 DROPMALFORMED interplay, 2.x nullable-pad behavior), so a
+# mismatch here after a Spark upgrade is a behavior-pin update to
+# this oracle, not an engine bug.
 @register(
     "csv_ingest",
     oracle="""

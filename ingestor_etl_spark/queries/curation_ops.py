@@ -29,6 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -139,7 +140,7 @@ RESAMPLE_BUCKETS = 10000
 def importance_resample(spark, sf_dir):
     """Mixture-targeted importance resampling (DoReMi/uniform-domain
     shape): compute per-source keep rates that move the token
-    mixture toward uniform-over-sources (scaled by {scale} so every
+    mixture toward uniform-over-sources (scaled by 0.6 so every
     rate is a real subsample), then keep documents via the
     deterministic md5-bucket filter. Rates are rounded to 4 decimals
     on both engines before the comparison, so the boundary is exact.
@@ -191,30 +192,69 @@ N_CURRICULUM_BINS = 10
       SELECT doc_id, source,
              len(string_split_regex(trim(text), ' +')) AS n_tokens
       FROM documents
+    ),
+    hist AS (
+      SELECT source, n_tokens, count(*) AS c
+      FROM scored GROUP BY source, n_tokens
+    ),
+    edges AS (
+      SELECT source, n_tokens,
+             sum(c) OVER (PARTITION BY source ORDER BY n_tokens DESC) - c
+               AS cum_lt,
+             sum(c) OVER (PARTITION BY source) AS n_src
+      FROM hist
     )
-    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(ntile({N_CURRICULUM_BINS}) OVER (
-             PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+    SELECT s.doc_id, s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(1 + (e.cum_lt * {N_CURRICULUM_BINS}) // e.n_src AS BIGINT)
              AS bin
-    FROM scored ORDER BY doc_id
+    FROM scored s
+    JOIN edges e ON s.source = e.source AND s.n_tokens = e.n_tokens
+    ORDER BY s.doc_id
     """,
-    tags=("curriculum", "window"),
+    tags=("curriculum", "histogram"),
 )
 def curriculum_bins(spark, sf_dir):
-    """Per-domain curriculum binning: rank documents within each
-    source by length (proxy difficulty score) into {n} ntile bins —
-    the ordering a curriculum sampler consumes. Window is partitioned
-    BY SOURCE, so there is no global sort; the documented limit is a
-    single giant domain (one partition), where rank-based curricula
-    should switch to fixed score thresholds."""
+    """Per-domain curriculum binning: place each document in one of
+    10 difficulty bins within its source, ordered by length (proxy
+    difficulty score), bin 1 = hardest/longest — the ordering a
+    curriculum sampler consumes.
+
+    Score-threshold plan (the giant-domain fix the round-3 docstring
+    promised): instead of an ntile window that sorts every row of a
+    source on one task, (1) aggregate a per (source, n_tokens)
+    histogram (map-side combined; rows bounded by the score domain),
+    (2) take the cumulative count over that aggregated relation —
+    this IS the bin-edge table: bin(score) = 1 + cum_lt·B/n — and
+    (3) broadcast-join the edges back onto the row stream. Tied
+    scores land in the same bin (fixed thresholds), so bins are
+    balanced up to score-tie granularity rather than exactly ±1 —
+    the standard trade for removing the per-domain sort."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r" +")
-    w = Window.partitionBy("source").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
+    scored = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    hist = scored.groupBy("source", "n_tokens").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("source").orderBy(F.desc("n_tokens"))
+    w_all = Window.partitionBy("source")
+    edges = hist.select(
+        "source",
+        "n_tokens",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_lt"),
+        F.sum("c").over(w_all).alias("n_src"),
     )
     return (
-        d.select("doc_id", "source", F.size(toks).cast("long").alias("n_tokens"))
-        .withColumn("bin", F.ntile(N_CURRICULUM_BINS).over(w).cast("long"))
+        scored.join(F.broadcast(edges), ["source", "n_tokens"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(
+                f"CAST(1 + (cum_lt * {N_CURRICULUM_BINS}) div n_src AS BIGINT)"
+            ).alias("bin"),
+        )
         .orderBy("doc_id")
     )
 
@@ -267,11 +307,33 @@ def bpe_pair_counts(spark, sf_dir):
 
 
 # ----------------------------------------------------------- orc_ingest
+_ORC_SESSION_ROOT: str | None = None
+
+
 def _orc_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(), f"ingestor_etl_spark_orc_{tag}"
-    )
+    """Per-process cache dir for the ORC copy, keyed by a content
+    fingerprint (path + mtime_ns + size) of the source parquet.
+
+    A bare basename key ('..._sf0.01') went stale when testdata was
+    regenerated under the same directory name, and a shared temp
+    path could race between an overwriting writer and a concurrent
+    reader; rooting the cache in a mkdtemp() owned by THIS process
+    removes the cross-process race, and the fingerprint invalidates
+    within-process reuse if the source changes mid-session."""
+    global _ORC_SESSION_ROOT
+    if _ORC_SESSION_ROOT is None:
+        _ORC_SESSION_ROOT = tempfile.mkdtemp(prefix="ingestor_etl_spark_orc_")
+    from ingestor_etl_spark.catalog import table_path
+
+    src = table_path(sf_dir, "documents")
+    try:
+        st = os.stat(src)
+        fp = hashlib.md5(
+            f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+        ).hexdigest()[:16]
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(_ORC_SESSION_ROOT, fp)
 
 
 @register(

@@ -13,11 +13,22 @@ Scale notes:
   key plus a tiny top-k sort over the aggregated relation — the
   standard pre-join diagnostic; its output is what decides between
   a plain shuffle join, salting, or AQE skew handling.
-- ``eval_holdout_split`` ranks by md5 *within each source* — the
-  window partitions by domain, so no global sort; exactly-k rows
-  per domain, reproducible across runs and engines.
-- ``score_calibration`` windows per source (percent_rank), no
-  global state.
+- ``eval_holdout_split`` is TWO-PHASE: a per-source md5-threshold
+  prefilter (threshold derived from a counts aggregation) shrinks
+  the window input to ~FUDGE·k rows per source, then the exact
+  md5-rank runs on the survivor set. ``source`` is a highly skewed
+  key (a real corpus is ~90% one crawl), so the naive
+  row_number-over-everything form would sort the dominant source's
+  entire data on a single task; the prefilter bounds that window
+  input regardless of skew, and a deterministic fallback keeps the
+  result bit-identical to the one-phase form (see the function
+  docstring for the exactness argument).
+- ``score_calibration`` never sorts row-level data: a per
+  (source, score) histogram aggregation (map-side combined), a
+  cumulative window over that *aggregated* relation (rows = distinct
+  scores per source, bounded by the score domain — not by corpus
+  size), and a broadcast join back. Equals
+  percent_rank() over (partition by source order by score) exactly.
 - ``dataset_card`` is a single full-scan aggregation; every metric
   is decimal-staged or integral so the card is engine-exact.
 """
@@ -51,7 +62,7 @@ SKEW_TOPK = 10
     tags=("profiling", "skew"),
 )
 def key_skew_profile(spark, sf_dir):
-    """Join-key skew diagnostic: the top-{k} hottest keys of
+    """Join-key skew diagnostic: the top-10 hottest keys of
     events.user_id with their share of all rows and their skew
     factor (count / mean count). skew_x >> 1 on the head keys is the
     signal to salt or enable AQE skew-join before shuffling on this
@@ -82,6 +93,11 @@ def key_skew_profile(spark, sf_dir):
 
 
 HOLDOUT_PER_SOURCE = 5
+# Prefilter head-room: expected survivors per source = FUDGE * k.
+# P(survivors < k) per source is a lower-tail large-deviation event
+# (Chernoff: exp(-FUDGE*k*(1-1/FUDGE+ln(1/FUDGE))) ~ 1e-11 at k=5,
+# FUDGE=8); the fallback branch keeps even that case exact.
+HOLDOUT_FUDGE = 8
 
 
 @register(
@@ -101,19 +117,69 @@ HOLDOUT_PER_SOURCE = 5
     tags=("sampling", "holdout", "deterministic"),
 )
 def eval_holdout_split(spark, sf_dir):
-    """Frozen eval holdout: exactly {k} documents per source, chosen
+    """Frozen eval holdout: exactly 5 documents per source, chosen
     by md5(doc_id) rank — reproducible across runs, engines, and
     input partitionings (unlike df.sample), and guaranteed per-domain
-    coverage (unlike a global hash gate). Window partitions by
-    source, so no global sort; the scan prunes to two columns."""
+    coverage (unlike a global hash gate).
+
+    Two-phase plan (the hot-partition fix): phase 1 keeps only rows
+    whose md5's leading 32 bits fall below a per-source threshold
+    ``min(1, FUDGE·k/n)·2^32`` computed from a counts aggregation —
+    expected survivors ≈ FUDGE·k per source no matter how skewed
+    ``source`` is — and phase 2 runs the exact row_number window on
+    that survivor set only.
+
+    Exactness: md5 hex sorts lexicographically as its numeric value
+    and the 8-char prefix is its top 32 bits, so every row below the
+    threshold sorts strictly before every row at-or-above it; hence
+    whenever a source has ≥ k survivors, its true top-k by full md5
+    are ALL survivors and the ranks agree with the one-phase form.
+    Sources with < k survivors (n < k, or an astronomically unlikely
+    hash fluctuation at FUDGE=8) fall back to ranking all their rows
+    — deterministic, so the result is bit-identical to the naive
+    window by construction, and the oracle keeps the one-phase SQL.
+    """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
     )
+    counts = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thr = counts.select(
+        "source",
+        F.least(
+            F.lit(1 << 32).cast("long"),
+            (
+                F.lit(float((1 << 32) * HOLDOUT_FUDGE * HOLDOUT_PER_SOURCE))
+                / F.col("n_src")
+            ).cast("long")
+            + 1,
+        ).alias("thr"),
+    )
+    hkey32 = F.conv(F.substring("hkey", 1, 8), 16, 10).cast("long")
+    pre = (
+        keyed.join(F.broadcast(thr), "source")
+        .where(hkey32 < F.col("thr"))
+        .select("doc_id", "source", "hkey")
+    )
+    # deterministic fallback: any source whose survivor count fell
+    # below k ranks all of its rows instead (empty in practice)
+    short = (
+        pre.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(counts, "source", "right_outer")
+        .where(F.coalesce(F.col("m"), F.lit(0)) < HOLDOUT_PER_SOURCE)
+        .select("source")
+    )
+    base = pre.join(F.broadcast(short), "source", "left_anti").unionAll(
+        keyed.join(F.broadcast(short), "source", "left_semi")
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
     return (
-        d.select("doc_id", "source")
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        base.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= HOLDOUT_PER_SOURCE)
+        .select("doc_id", "source", "rnk")
         .orderBy("source", "rnk")
     )
 
@@ -128,27 +194,59 @@ def eval_holdout_split(spark, sf_dir):
     )
     SELECT doc_id, source, CAST(raw_score AS BIGINT) AS raw_score,
            round(percent_rank() OVER (
-             PARTITION BY source ORDER BY raw_score, doc_id), 6) AS calibrated
+             PARTITION BY source ORDER BY raw_score), 6) AS calibrated
     FROM scored ORDER BY doc_id
     """,
-    tags=("quality", "calibration", "window"),
+    tags=("quality", "calibration", "histogram"),
 )
 def score_calibration(spark, sf_dir):
     """Cross-domain score calibration: replace a raw per-doc quality
     score (token count as the stand-in) with its percent-rank WITHIN
     its source, so one global keep-threshold treats every domain
     fairly (the fix for 'domain A's classifier scores run hot').
-    percent_rank is (rank-1)/(n-1) — a single exact rational per
-    row, identical in both engines. Source-partitioned window, no
-    global sort."""
+
+    Histogram plan (the hot-partition fix): ``source`` is highly
+    skewed, so sorting each source's rows in one window task does
+    not scale. Instead: (1) aggregate to a per (source, raw_score)
+    histogram — map-side combined, output rows bounded by the score
+    DOMAIN (distinct token counts), not corpus size; (2) one
+    cumulative window over that aggregated relation; (3) broadcast
+    the per-score CDF back onto the row stream. For tied-safe
+    semantics this computes exactly
+    ``percent_rank() OVER (PARTITION BY source ORDER BY raw_score)``
+    = cum_lt/(n-1) with rank = min-rank over ties — every tied row
+    gets the same calibrated value, so no per-row tie-break ordering
+    (and therefore no row-level sort) is needed anywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r" +")
-    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    scored = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("raw_score")
+    )
+    hist = scored.groupBy("source", "raw_score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("source").orderBy("raw_score")
+    w_all = Window.partitionBy("source")
+    cdf = hist.select(
+        "source",
+        "raw_score",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_lt"),
+        F.sum("c").over(w_all).alias("n_src"),
+    )
     return (
-        d.select(
-            "doc_id", "source", F.size(toks).cast("long").alias("raw_score")
+        scored.join(F.broadcast(cdf), ["source", "raw_score"])
+        .select(
+            "doc_id",
+            "source",
+            "raw_score",
+            F.round(
+                F.when(
+                    F.col("n_src") > 1,
+                    F.col("cum_lt") / (F.col("n_src") - 1).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("calibrated"),
         )
-        .withColumn("calibrated", F.round(F.percent_rank().over(w), 6))
         .orderBy("doc_id")
     )
 

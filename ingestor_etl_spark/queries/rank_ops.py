@@ -31,6 +31,27 @@ power iteration at web scale.
 Dangling nodes: none by construction (every node of the edge-derived
 graph has degree ≥ 1); isolated documents never enter the graph, so
 no dangling-mass redistribution is needed — documented variant.
+
+Candidate generation (stop-segment cut): the pair self-join on raw
+``seg`` is quadratic in per-segment document count — one boilerplate
+segment shared by k docs yields k² pairs, and at corpus scale k is
+millions (navigation chrome, license headers). So segments touching
+more than STOP_SEG_MAX_DOCS distinct documents are dropped BEFORE
+the join: a per-seg count aggregation (map-side combined) yields the
+hot-segment list, which is tiny by construction and broadcast as a
+left-anti filter. This bounds every join group at STOP_SEG_MAX_DOCS
+rows (≤ T² pairs per segment) — the same stop-key move as
+ngram_jaccard's stop-shingle cut and segment_dedup's groupBy-first
+shape. The oracle applies the identical cut, so parity is exact.
+
+Overflow bound: ranks and inflows are BIGINT; per-edge contributions
+are ≤ PR_ONE (1e9), so ``85 * inflow`` overflows signed 64-bit only
+when a single node's in-degree approaches 2^63/(85·1e9) ≈ 1.1e11 —
+far beyond any real duplicate graph, but NOT checked at runtime;
+DuckDB sums into HUGEINT, so past that bound Spark would wrap while
+the oracle stays exact. Documented domain: graphs with max
+in-degree < ~1e11 (with the stop-segment cut, in-degree is further
+bounded by STOP_SEG_MAX_DOCS × segments-per-doc).
 """
 
 from __future__ import annotations
@@ -45,14 +66,26 @@ PR_ITERS = 5
 PR_ONE = 1_000_000_000  # fixed-point unit: 1.0
 PR_BASE = 150_000_000  # 0.15 * PR_ONE
 PR_TOPK = 20
+# Stop-segment degree cut: a segment shared by more distinct docs
+# than this is boilerplate, not duplication signal — drop it before
+# the pair join (k² blowup guard; see module docstring).
+STOP_SEG_MAX_DOCS = 64
 
 
 def _oracle() -> str:
     ctes = [
         f"segs AS ({_SEGS_SQL})",
+        f"""hot AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+      ) WHERE n_docs > {STOP_SEG_MAX_DOCS}
+    )""",
+        """live AS (
+      SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+    )""",
         """pairs AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id
+      FROM live a JOIN live b ON a.seg = b.seg AND a.doc_id < b.doc_id
     )""",
         """edges AS (
       SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
@@ -85,6 +118,32 @@ def _oracle() -> str:
     )
 
 
+def candidate_pairs(segs):
+    """Duplicate-candidate pairs from a (doc_id, seg) relation with
+    the stop-segment degree cut applied BEFORE the self-join: the
+    hot-segment list (count(DISTINCT doc_id) > STOP_SEG_MAX_DOCS,
+    map-side-combined aggregation) is tiny by construction and
+    broadcast as a left-anti filter, so every surviving join group
+    holds ≤ STOP_SEG_MAX_DOCS rows and per-segment pair fan-out is
+    bounded at T². Factored out so the blowup guard is testable on a
+    synthetic hot-segment fixture (tests/test_rank_ops.py)."""
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > STOP_SEG_MAX_DOCS)
+        .select("seg")
+    )
+    live = segs.join(F.broadcast(hot), "seg", "left_anti")
+    a = live.select(F.col("seg"), F.col("doc_id").alias("src"))
+    b = live.select(F.col("seg"), F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "seg")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+
+
 @register(
     "pagerank_dup_graph",
     oracle=_oracle(),
@@ -92,10 +151,10 @@ def _oracle() -> str:
 )
 def pagerank_dup_graph(spark, sf_dir):
     """Fixed-point PageRank (5 iterations, damping 0.85) over the
-    shared-{SEG_LEN}-token-segment duplicate graph; returns the
-    top-{PR_TOPK} hub documents. See module docstring for the
-    integer-arithmetic parity contract and per-iteration plan
-    shape."""
+    shared-8-token-segment duplicate graph; returns the top-20 hub
+    documents. See module docstring for the integer-arithmetic
+    parity contract, the stop-segment candidate cut, and the
+    per-iteration plan shape."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r" +")
     n_segs = ((F.size(toks) + F.lit(SEG_LEN - 1)) / SEG_LEN).cast("int")
@@ -104,14 +163,7 @@ def pagerank_dup_graph(spark, sf_dir):
         lambda j: F.concat_ws(" ", F.slice(toks, j * SEG_LEN + 1, SEG_LEN)),
     )
     segs = d.select("doc_id", F.explode(seg_arr).alias("seg"))
-    a = segs.select(F.col("seg"), F.col("doc_id").alias("src"))
-    b = segs.select(F.col("seg"), F.col("doc_id").alias("dst"))
-    pairs = (
-        a.join(b, "seg")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates()
-    )
+    pairs = candidate_pairs(segs)
     edges = (
         pairs.unionAll(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

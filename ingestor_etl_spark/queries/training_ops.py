@@ -75,7 +75,7 @@ _SEGS_SQL = f"""
 )
 def segment_dedup(spark, sf_dir):
     """C4-style duplicate-span removal: split every document into
-    consecutive {SEG_LEN}-token segments, keep only each segment's
+    consecutive 8-token segments, keep only each segment's
     first corpus-wide occurrence (ordered by doc_id, then position),
     and return per-doc survival stats plus an md5 of the retained
     text (reference analog: the dedup stage of C4/RefinedWeb line
@@ -176,7 +176,7 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 )
 def bm25_search(spark, sf_dir):
     """BM25 lexical retrieval over the corpus for a fixed query term
-    set (k1={k1}, b={b}) — the standard curation ranking for "find
+    set (k1=1.2, b=0.75) — the standard curation ranking for "find
     documents like the eval set". Per-term scores are rounded to 4
     decimals and summed as exact decimals, so partial-aggregation
     order cannot change the result vs the oracle.
@@ -318,7 +318,7 @@ N_SHARDS = 64
 )
 def shard_pack(spark, sf_dir):
     """Deterministic training-shard assignment: docs hash into
-    {N_SHARDS} shards by md5(doc_id) prefix, with a per-shard
+    64 shards by md5(doc_id) prefix, with a per-shard
     manifest (count, bytes, content fingerprint). This is the
     shuffled-shard-writer layout for training data: hash sharding
     needs no global ordering, gives ~uniform shard sizes, and every

@@ -99,15 +99,19 @@ def merge_upsert(spark, sf_dir):
     )
     s = snapshot.alias("s")
     c = changes.alias("c")
+    # merge_action keys on the JOIN-KEY side markers (s.event_id /
+    # c.event_id nullity), matching the oracle's CASE — classifying
+    # on a payload column like user_id would misfile a matched row
+    # whose payload happens to be NULL.
     return (
-        s.join(c, "event_id", "full_outer")
+        s.join(c, F.col("s.event_id") == F.col("c.event_id"), "full_outer")
         .select(
-            "event_id",
+            F.coalesce("c.event_id", "s.event_id").alias("event_id"),
             F.coalesce("c.user_id", "s.user_id").alias("user_id"),
             F.coalesce("c.event_type", "s.event_type").alias("event_type"),
             F.coalesce("c.value", "s.value").cast("double").alias("value"),
-            F.when(F.col("s.user_id").isNull(), "insert")
-            .when(F.col("c.user_id").isNull(), "keep")
+            F.when(F.col("s.event_id").isNull(), "insert")
+            .when(F.col("c.event_id").isNull(), "keep")
             .otherwise("update")
             .alias("merge_action"),
         )

@@ -45,19 +45,56 @@ def test_importance_resample_moves_mixture_toward_uniform(spark):
         assert rates[big] <= rates[small]
 
 
-def test_curriculum_bins_are_balanced_per_source(spark):
+def test_curriculum_bins_match_threshold_reference(spark):
+    """Threshold-bin semantics, exactly: bin = 1 + cum_lt·B/n where
+    cum_lt counts the source's strictly-longer docs. Ties share a
+    bin; balance holds up to score-tie granularity."""
     rows = REGISTRY["curriculum_bins"].fn(spark, SF).collect()
-    per = Counter((r.source, r.bin) for r in rows)
-    per_source = Counter(r.source for r in rows)
-    for (src, b), n in per.items():
-        # ntile balance: bins differ by at most 1 within a source
-        assert abs(n - per_source[src] / 10) <= 1
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for src, rs in per_source.items():
+        n = len(rs)
+        longer = Counter()
+        for r in rs:
+            longer[r.n_tokens] += 1
+        for r in rs:
+            cum_lt = sum(c for t, c in longer.items() if t > r.n_tokens)
+            assert r.bin == 1 + (cum_lt * 10) // n
+        # ties land in the same bin
+        by_score = {}
+        for r in rs:
+            by_score.setdefault(r.n_tokens, set()).add(r.bin)
+        assert all(len(bins) == 1 for bins in by_score.values())
+        # monotone: longer docs never get a later-curriculum bin
+        rs_sorted = sorted(rs, key=lambda r: -r.n_tokens)
+        bins = [r.bin for r in rs_sorted]
+        assert bins == sorted(bins)
     # longest doc in a source sits in bin 1
     best = {}
     for r in rows:
         if r.source not in best or r.n_tokens > best[r.source].n_tokens:
             best[r.source] = r
     assert all(r.bin == 1 for r in best.values())
+
+
+def test_curriculum_bins_plan_has_no_row_level_source_sort(spark):
+    """The giant-domain fix: the only Window in the plan runs over
+    the aggregated (source, n_tokens) histogram, and the bin-edge
+    table comes back via broadcast — no per-source sort of row-level
+    data anywhere."""
+    df = REGISTRY["curriculum_bins"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    # the window's child must be the aggregate, not the scan: every
+    # Window node sits above a HashAggregate in the tree
+    import re
+
+    window_at = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+    agg_at = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert window_at and agg_at
+    assert all(any(a > w for a in agg_at) for w in window_at)
 
 
 def test_bpe_pairs_match_python_reference(spark):

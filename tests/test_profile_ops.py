@@ -45,6 +45,32 @@ def test_holdout_exactly_k_per_source_and_stable(spark):
     )
 
 
+def test_calibration_matches_percent_rank_window_exactly(spark):
+    """The histogram CDF must equal the classic percent_rank window
+    (PARTITION BY source ORDER BY raw_score) bit-for-bit — the
+    exact-window form is kept here as the cross-check while the
+    registered plan avoids the per-source row sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.catalog import load_table
+
+    rows = REGISTRY["score_calibration"].fn(spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    w = Window.partitionBy("source").orderBy("raw_score")
+    ref = (
+        d.select(
+            "doc_id", "source", F.size(toks).cast("long").alias("raw_score")
+        )
+        .withColumn("calibrated", F.round(F.percent_rank().over(w), 6))
+        .collect()
+    )
+    assert {r.doc_id: r.calibrated for r in rows} == {
+        r.doc_id: r.calibrated for r in ref
+    }
+
+
 def test_calibration_is_uniform_within_source(spark):
     rows = REGISTRY["score_calibration"].fn(spark, SF).collect()
     by_source = {}
@@ -52,12 +78,44 @@ def test_calibration_is_uniform_within_source(spark):
         by_source.setdefault(r.source, []).append(r)
     for src, rs in by_source.items():
         assert min(r.calibrated for r in rs) == 0.0
-        if len(rs) > 1:
-            assert max(r.calibrated for r in rs) == 1.0
+        # ties share a calibrated value
+        by_score = {}
+        for r in rs:
+            by_score.setdefault(r.raw_score, set()).add(r.calibrated)
+        assert all(len(v) == 1 for v in by_score.values())
         # monotone in raw score
         rs_sorted = sorted(rs, key=lambda r: (r.raw_score, r.doc_id))
         cal = [r.calibrated for r in rs_sorted]
         assert cal == sorted(cal)
+
+
+def test_calibration_plan_windows_only_the_histogram(spark):
+    """Scale guard: no Window may consume row-level data — every
+    Window in the physical plan sits above the (source, raw_score)
+    HashAggregate, and the CDF rejoins via broadcast."""
+    import re
+
+    df = REGISTRY["score_calibration"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    window_at = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+    agg_at = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert window_at and agg_at
+    assert all(any(a > w for a in agg_at) for w in window_at)
+
+
+def test_holdout_window_input_is_prefiltered(spark):
+    """Scale guard for the two-phase split: the row_number window's
+    input must be the md5-threshold-filtered relation, i.e. a Filter
+    on the 32-bit hash prefix (conv(substring(md5..)) < thr) appears
+    BELOW the Window in the physical plan."""
+    df = REGISTRY["eval_holdout_split"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    w_at = plan.index("Window")
+    f_at = plan.find("conv(", w_at)
+    assert f_at > w_at, "prefilter must sit below the window"
 
 
 def test_dataset_card_internally_consistent(spark):

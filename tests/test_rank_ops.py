@@ -3,7 +3,12 @@
 from __future__ import annotations
 
 from ingestor_etl_spark.queries import load_all
-from ingestor_etl_spark.queries.rank_ops import PR_BASE, PR_ONE
+from ingestor_etl_spark.queries.rank_ops import (
+    PR_BASE,
+    PR_ONE,
+    STOP_SEG_MAX_DOCS,
+    candidate_pairs,
+)
 
 REGISTRY = load_all()
 SF = "/root/testdata/sf0.001"
@@ -11,7 +16,8 @@ SF = "/root/testdata/sf0.001"
 
 def test_pagerank_against_python_reference(spark):
     """Re-run the exact fixed-point iteration in plain Python over
-    the same graph and demand bit equality."""
+    the same graph (including the stop-segment cut) and demand bit
+    equality."""
     from collections import defaultdict
 
     from ingestor_etl_spark.catalog import load_table
@@ -26,6 +32,8 @@ def test_pagerank_against_python_reference(spark):
             seg_owner[" ".join(toks[j * 8 : j * 8 + 8])].add(did)
     edges = defaultdict(set)
     for owners in seg_owner.values():
+        if len(owners) > STOP_SEG_MAX_DOCS:  # stop-segment cut
+            continue
         for a_ in owners:
             for b_ in owners:
                 if a_ != b_:
@@ -45,6 +53,32 @@ def test_pagerank_against_python_reference(spark):
         for r in REGISTRY["pagerank_dup_graph"].fn(spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_hot_segment_candidates_bounded(spark):
+    """The k² blowup guard: a boilerplate segment shared by many
+    more docs than STOP_SEG_MAX_DOCS contributes ZERO candidate
+    pairs, while normal segments still pair up — so total pair
+    volume is bounded by T²·n_live_segs, never by the hot key."""
+    n_hot = STOP_SEG_MAX_DOCS * 3
+    rows = [(i, "BOILERPLATE") for i in range(n_hot)]
+    rows += [(1000, "rare one"), (1001, "rare one"), (1002, "other")]
+    segs = spark.createDataFrame(rows, ["doc_id", "seg"])
+    pairs = candidate_pairs(segs).collect()
+    # without the cut this would be C(192,2) = 18336 pairs
+    assert sorted((r.src, r.dst) for r in pairs) == [(1000, 1001)]
+    # the broadcast anti-join is in the plan (hot list never shuffles)
+    plan = candidate_pairs(segs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_candidate_pairs_keep_sub_threshold_segments(spark):
+    """Segments at exactly the threshold still pair (cut is strict >)."""
+    rows = [(i, "shared") for i in range(STOP_SEG_MAX_DOCS)]
+    segs = spark.createDataFrame(rows, ["doc_id", "seg"])
+    n = candidate_pairs(segs).count()
+    t = STOP_SEG_MAX_DOCS
+    assert n == t * (t - 1) // 2
 
 
 def test_pagerank_hub_outranks_leaves(spark):
