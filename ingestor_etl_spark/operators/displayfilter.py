@@ -17,6 +17,20 @@ usage — field comparisons over decoded protocol fields):
 - ``contains`` (substring), ``matches`` / ``~`` (regex)
 - membership: ``field in {v1 v2 v3}``
 - field existence: a bare field name is "field is present"
+- protocol presence: a bare PROTOCOL name (``diameter``, ``sip``,
+  ``tcap``…) is "this layer was decoded" — true when the row's
+  ``protocol`` column equals the name, or (single-protocol decoded
+  tables) when any of the layer's indicator fields is non-null
+  (``PROTOCOL_FIELDS``); a protocol whose indicators are absent
+  from the schema compiles to FALSE, like tshark on a frame with
+  no such layer.
+- functions: ``len(f)``, ``upper(f)``, ``lower(f)`` (tshark's
+  string functions), composable: ``len(upper(f)) > 3``
+- slices: ``f[i]``, ``f[i:n]`` (offset + LENGTH, wireshark
+  semantics), ``f[i-j]`` (inclusive range) — evaluated over the
+  engine's string-typed decoded columns (character slices; the
+  reference's raw byte-slices don't exist post-decode — documented
+  deviation)
 - boolean: ``and  &&  or  ||  not  !`` and parentheses
 - values: decimal / 0x-hex integers, floats, quoted strings
   (single or double), bare words (IPv4 literals etc.)
@@ -82,10 +96,33 @@ FIELD_MAP: dict[str, str] = {
 # compares against 0/1 (e.g. diameter.flags.request == 1)
 _BOOL_AS_INT = {"diameter.flags.request": "request"}
 
+# protocol-layer presence: bare `diameter` / `sip` etc. With a
+# `protocol` column (multi-protocol message logs) presence is an
+# equality on it; on single-protocol decoded tables it falls back to
+# "any indicator field of the layer is non-null". Indicator lists
+# mirror what each decoder emits (protocols/*.py).
+PROTOCOL_FIELDS: dict[str, tuple[str, ...]] = {
+    "diameter": ("command_code", "hop_by_hop_id", "end_to_end_id"),
+    "sip": ("method", "call_id", "status_code"),
+    "tcap": ("tcap_otid", "tcap_dtid", "tcap_tid"),
+    "gsm_map": ("gsm_op_code",),
+    "sccp": ("sccp_calling", "sccp_called"),
+    "gtp": ("teid",),
+    "gtpv2": ("message_type",),
+    "smpp": ("command_id", "sequence_number"),
+    "http": ("http_is_request",),
+    "ip": ("src_ip", "dst_ip"),
+}
+
+# tshark string functions → Spark builtins (column-in, column-out)
+_FUNCS = {"len": F.length, "upper": F.upper, "lower": F.lower}
+
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<lbrace>\{) | (?P<rbrace>\}) |
+        (?P<lbracket>\[) | (?P<rbracket>\]) |
+        (?P<colon>:) |
         (?P<op>==|!=|>=|<=|>|<|~) |
         (?P<dquote>"(?:[^"\\]|\\.)*") |
         (?P<squote>'(?:[^'\\]|\\.)*') |
@@ -221,9 +258,76 @@ class _Parser:
             raise FilterError(f"expected a value, got {tok!r}")
         return _coerce(tok)
 
-    def predicate(self) -> Column:
+    def _is_protocol(self, name: str) -> bool:
+        """A bare protocol name — only when it doesn't resolve to a
+        real field (a column named like a protocol wins)."""
+        low = name.lower()
+        if low not in PROTOCOL_FIELDS:
+            return False
+        mapped = self.field_map.get(name, name)
+        return not (self.columns and mapped in self.columns)
+
+    def _protocol_presence(self, low: str) -> Column:
+        if "protocol" in self.columns:
+            return F.col("protocol") == low
+        fields = PROTOCOL_FIELDS[low]
+        cols = [c for c in fields if c in self.columns] if self.columns else [fields[0]]
+        if not cols:
+            # schema has no trace of this layer: no frame matches
+            return F.lit(False)
+        pred = F.col(cols[0]).isNotNull()
+        for c in cols[1:]:
+            pred = pred | F.col(c).isNotNull()
+        return pred
+
+    def term(self) -> Column:
+        """function application / field reference / slice."""
         kind, name = self.take("word")
-        col = self.field(name)
+        low = name.lower()
+        if low in _FUNCS and (t := self.peek()) and t[0] == "lparen":
+            self.take()
+            inner = self.term()
+            self.take("rparen")
+            col = _FUNCS[low](inner)
+        else:
+            col = self.field(name)
+        if (t := self.peek()) and t[0] == "lbracket":
+            col = self._slice(col)
+        return col
+
+    def _slice(self, col: Column) -> Column:
+        """Wireshark slice forms: [i] byte, [i:n] offset+length,
+        [i-j] inclusive range — as character slices on the decoded
+        string columns."""
+        self.take("lbracket")
+        _, tok = self.take("word")
+        if re.fullmatch(r"\d+-\d+", tok):
+            i, j = (int(x) for x in tok.split("-"))
+            if j < i:
+                raise FilterError(f"bad slice range: {tok!r}")
+            off, length = i, j - i + 1
+        elif re.fullmatch(r"\d+", tok):
+            off = int(tok)
+            if (t := self.peek()) and t[0] == "colon":
+                self.take()
+                _, ltok = self.take("word")
+                if not re.fullmatch(r"\d+", ltok):
+                    raise FilterError(f"bad slice length: {ltok!r}")
+                length = int(ltok)
+            else:
+                length = 1
+        else:
+            raise FilterError(f"bad slice: {tok!r}")
+        self.take("rbracket")
+        return F.substring(col.cast("string"), off + 1, length)
+
+    def predicate(self) -> Column:
+        if (t := self.peek()) and t[0] == "word" and self._is_protocol(t[1]):
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if nxt is None or nxt[0] in ("and", "or", "rparen"):
+                self.take()
+                return self._protocol_presence(t[1].lower())
+        col = self.term()
         t = self.peek()
         if t is None or t[0] in ("and", "or", "rparen"):
             return col.isNotNull()  # bare field = existence test

@@ -381,9 +381,10 @@ def pcap_tcap_transactions(spark, sf_dir):
     oracle="""
     SELECT * FROM (VALUES
       (17, 3, '1 2 3', 'imsi'),
+      (17, 3, '1 2 3', 'newforms'),
       (85, 1, '4 5', 'opcode45')
     ) AS t(txn, n_messages, frames, matched_by)
-    ORDER BY txn
+    ORDER BY txn, matched_by
     """,
     tags=("protocol", "ss7", "filter"),
 )
@@ -391,10 +392,12 @@ def j7_display_filter(spark, sf_dir):
     """J7 general form — wireshark display-filter STRINGS compiled
     to native Catalyst predicates (reference sigshark.py:557-576
     shells out to ``tshark -Y``; here the same syntax runs JVM-side,
-    operators/displayfilter.py). Two filters over the same decoded
+    operators/displayfilter.py). Three filters over the same decoded
     stream: an IMSI-prefix filter selecting the complete 3-message
-    transaction, and an opcode filter selecting the XUDT-reassembled
-    incomplete begin."""
+    transaction, an opcode filter selecting the XUDT-reassembled
+    incomplete begin, and a combined form exercising the extended
+    grammar (protocol presence + len() + slice) on the same
+    transaction as the IMSI filter."""
     from ingestor_etl_spark.operators.displayfilter import filter_transactions_str
     from ingestor_etl_spark.plans.layout import materialize
 
@@ -408,13 +411,18 @@ def j7_display_filter(spark, sf_dir):
     tas = materialize(tcap_transactions(msgs, keep_incomplete=True))
     by_imsi = filter_transactions_str(tas, msgs, 'e212.imsi contains "33402"')
     by_op = filter_transactions_str(tas, msgs, "gsm_old.localValue == 45")
-    out = by_imsi.withColumn("matched_by", F.lit("imsi")).unionByName(
-        by_op.withColumn("matched_by", F.lit("opcode45"))
+    by_new = filter_transactions_str(
+        tas, msgs, 'tcap && len(e212.imsi) == 15 && e212.imsi[0:2] == "33"'
+    )
+    out = (
+        by_imsi.withColumn("matched_by", F.lit("imsi"))
+        .unionByName(by_op.withColumn("matched_by", F.lit("opcode45")))
+        .unionByName(by_new.withColumn("matched_by", F.lit("newforms")))
     )
     return out.select(
         "txn", "n_messages", F.concat_ws(" ", "frames").alias("frames"),
         "matched_by",
-    ).orderBy("txn")
+    ).orderBy("txn", "matched_by")
 
 
 @register(

@@ -147,3 +147,61 @@ def test_cidr_subnet_comparison(msgs):
         compile_filter("ip.src > 10.0.0.0/8", {"src_ip"})
     with pytest.raises(FilterError):
         compile_filter("ip.src == 10.0.0.0/40", {"src_ip"})
+
+
+def test_protocol_presence_single_protocol_table(msgs):
+    """Bare protocol name = layer presence. The diameter fixture has
+    command_code on every row → `diameter` matches all; `sip` has no
+    indicator column in this schema → matches none; `ip` keys on
+    src/dst ip columns."""
+    assert _frames(msgs, "diameter") == [1, 2, 3, 4]
+    assert _frames(msgs, "sip") == []
+    assert _frames(msgs, "ip") == [1, 2, 3, 4]
+    assert _frames(msgs, "diameter && diameter.cmd.code == 280") == [3]
+    assert _frames(msgs, "sip || diameter.cmd.code == 316") == [4]
+    assert _frames(msgs, "not sip") == [1, 2, 3, 4]
+
+
+def test_protocol_presence_with_protocol_column(spark):
+    df = spark.createDataFrame(
+        [(1, "diameter"), (2, "sip"), (3, "sip")],
+        "frame_no int, protocol string",
+    )
+    got = sorted(r.frame_no for r in filter_messages(df, "sip").collect())
+    assert got == [2, 3]
+    got = sorted(r.frame_no for r in filter_messages(df, "diameter").collect())
+    assert got == [1]
+
+
+def test_len_upper_lower_functions(msgs):
+    assert _frames(msgs, "len(diameter.Session-Id) == 3") == [1, 2, 4]
+    assert _frames(msgs, 'upper(ip.src) contains "10.9"') == [4]
+    assert _frames(msgs, 'lower(diameter.Session-Id) == "s;2"') == [4]
+    # composition
+    assert _frames(msgs, "len(upper(diameter.Session-Id)) eq 3") == [1, 2, 4]
+
+
+def test_slices(msgs):
+    # [i:n] = offset+LENGTH (wireshark), [i] single char, [i-j] range
+    assert _frames(msgs, 'ip.src[0:4] == "10.0"') == [1, 2, 3]
+    assert _frames(msgs, 'ip.src[3] == "9"') == [4]
+    assert _frames(msgs, 'ip.src[0-1] == "10"') == [1, 2, 3, 4]
+    assert _frames(msgs, 'len(diameter.Session-Id[0:1]) == 1') == [1, 2, 4]
+    for bad in ("ip.src[2-1] == 'x'", "ip.src[a] == 'x'", "ip.src[1:b] == 'x'"):
+        with pytest.raises(FilterError):
+            compile_filter(bad, set(msgs.columns))
+
+
+def test_new_forms_stay_native(msgs):
+    plan = filter_messages(
+        msgs, 'diameter && len(diameter.Session-Id) == 3 && ip.src[0:2] == "10"'
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_protocol_name_as_column_still_wins(spark):
+    """A real column named like a protocol is a field, not a layer."""
+    df = spark.createDataFrame([(1, "x"), (2, None)], "frame_no int, sip string")
+    got = sorted(r.frame_no for r in filter_messages(df, "sip").collect())
+    assert got == [1]  # existence of the COLUMN, not layer-absence

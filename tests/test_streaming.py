@@ -191,3 +191,124 @@ def test_stream_neardup_dedup(spark, tmp_path):
     assert len(got) == 2
     assert len(set(got.minhash_sig)) == 2
     assert set(got.doc_id) <= {0, 1, 2, 3}
+
+
+def _final_state_rows(query):
+    """numRowsTotal of the state store from the last progress entry
+    that carries state-operator metrics."""
+    import json
+
+    for p in reversed(query.recentProgress):
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops:
+            return sum(op.get("numRowsTotal", 0) for op in ops)
+    return None
+
+
+def test_sessionize_state_bounded_many_keys_and_batch_parity(spark, tmp_path):
+    """Scale guard for §2.9 session windows: 200 users' worth of
+    closed sessions must be EVICTED from state once the watermark
+    passes (bounded state — the reference holds all of this in
+    unbounded dicts), and the emitted set must equal the batch
+    session_window aggregation restricted to watermark-closed
+    windows (EOF-flush parity)."""
+    src_dir = tmp_path / "many_users"
+    rows = []
+    for u in range(200):
+        # two events 5 min apart → one session per user at 10:00
+        rows.append((u, "2024-01-01 10:00:00"))
+        rows.append((u, "2024-01-01 10:05:00"))
+    rows.append((0, "2024-01-01 20:00:00"))  # watermark advancer
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "cast(ts as timestamp) ts"
+    )
+    df.write.parquet(str(src_dir))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src_dir)
+    )
+    sessions = stream_sessionize(stream, gap_seconds=1800)
+    out_dir, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ck")
+    q = sessions.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append").trigger(availableNow=True).start()
+    _await(q)
+    got = spark.read.parquet(out_dir).toPandas()
+    # every 10:00 session closed (watermark = 20:00 - 1h = 19:00);
+    # only user 0's 20:00 session stays open
+    assert len(got) == 200
+    assert sorted(got.n_events.unique()) == [2]
+    # EOF-flush parity with the batch session_window aggregation
+    batch = (
+        df.groupBy(
+            "user_id", F.session_window("ts", "1800 seconds").alias("session")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("session.end") <= F.lit("2024-01-01 19:00:00").cast("timestamp"))
+        .toPandas()
+    )
+    assert sorted(zip(got.user_id, got.n_events)) == sorted(
+        zip(batch.user_id, batch.n_events)
+    )
+    # bounded state: the 200 closed sessions are gone; only the open
+    # 20:00 session (+ nothing else) may remain
+    state_rows = _final_state_rows(q)
+    assert state_rows is not None and state_rows <= 2, state_rows
+
+
+def test_neardup_state_bounded_after_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must evict signature state once
+    the watermark passes: 120 distinct early docs may not linger in
+    the store after a much-later doc advances the watermark, and
+    every unique doc still reaches the sink exactly once (EOF-flush
+    parity with batch exact-signature dedup)."""
+    from ingestor_etl_spark.streaming.pipeline import stream_neardup_dedup
+
+    src_dir = tmp_path / "docs_many"
+    rows = []
+    for i in range(120):
+        rows.append((i, "2024-01-01 10:00:00", f"unique document number {i} words"))
+    # 30 near-dup copies of one text inside the watermark window
+    for j in range(30):
+        rows.append((1000 + j, "2024-01-01 10:01:00", "same same same same same same"))
+    rows.append((2000, "2024-01-01 20:00:00", "late advancer document entirely new"))
+    src = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).selectExpr("doc_id", "cast(ts as timestamp) ts", "text")
+    src.write.parquet(str(src_dir))
+    # batch ground truth: short synthetic texts can genuinely collide
+    # in the 6-hash signature space, so the expected survivor count
+    # is the batch-side distinct-signature count, not a literal
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _SPARK_SHINGLES,
+        _spark_minhash,
+        SALTS,
+    )
+
+    n_families = (
+        src.selectExpr("*", f"{_SPARK_SHINGLES} AS shingles")
+        .selectExpr(
+            "concat_ws(':', "
+            + ", ".join(_spark_minhash(s) for s in SALTS)
+            + ") AS minhash_sig"
+        )
+        .distinct()
+        .count()
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src_dir))
+    deduped = stream_neardup_dedup(stream, watermark="10 minutes")
+    out_dir, ckpt = str(tmp_path / "nd_out"), str(tmp_path / "nd_ck")
+    q = deduped.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    _await(q)
+    got = spark.read.parquet(out_dir).toPandas()
+    # one survivor per signature family (batch parity)
+    assert len(got) == n_families
+    assert len(set(got.minhash_sig)) == n_families
+    # state bounded by the watermark: the 121 early signatures are
+    # evicted once the 20:00 doc advances the watermark past 10:0x
+    state_rows = _final_state_rows(q)
+    assert state_rows is not None and state_rows <= 2, state_rows
