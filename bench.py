@@ -113,11 +113,12 @@ def main() -> None:
     for name in names:
         df = registry[name].fn(spark, sf_dir)
         # One untimed run amortizes whole-stage-codegen JIT; report
-        # the best of two timed runs (robust to transient host
-        # contention on shared VMs).
+        # the best of three timed runs (robust to transient host
+        # contention on shared VMs — measured ±9%/±25% run-to-run
+        # swings on identical code; SCALING.md "Bench drift").
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
@@ -201,7 +202,7 @@ def bench_protocol_throughput(spark) -> dict:
     )
     df.write.format("noop").mode("overwrite").save()  # warm-up
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - start)
