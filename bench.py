@@ -70,6 +70,13 @@ EXTENDED = [
     "key_skew_profile",
     "eval_holdout_split",
     "dataset_card",
+    # round-4 additions
+    "snapshot_diff",
+    "quality_classifier",
+    "canonical_docs",
+    "rrf_hybrid_search",
+    "ann_pq_topk",
+    "score_calibration",
 ]
 
 

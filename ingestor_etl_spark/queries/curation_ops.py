@@ -366,3 +366,61 @@ def orc_ingest(spark, sf_dir):
         "lang",
         "source",
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------- quality_classifier
+@register(
+    "quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1001 - 500 AS wgt
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS margin_sum,
+             count(*) AS n FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, margin_sum / (1000.0 * n) AS score,
+           (margin_sum > 0) AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("quality", "classifier", "hashed-features"),
+)
+def quality_classifier(spark, sf_dir):
+    """fastText-style linear quality classifier: hashed
+    bag-of-words features (the hashing trick — md5-derived weight
+    per token in [-0.5, 0.5], a stand-in for trained weights),
+    mean-pooled into a per-document margin; keep = margin > 0.
+    This is the plumbing of every 'educational value' /
+    'quality' filter run over a pretraining corpus — at 100 TB the
+    real model's weight table is a broadcast lookup; here the weight
+    IS a hash expression so the pass stays scan-shaped: explode →
+    one doc-keyed aggregation (map-side combined), no joins.
+    Parity: weights are INTEGER millis summed exactly (BIGINT) with
+    ONE double division at the end — aggregation order can never
+    change the score, and the single int/int division is
+    bit-identical across engines (no rounding step, which would
+    re-introduce half-way divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r" +")).alias("w")
+    )
+    wgt = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 1001 - 500
+    )
+    scored = toks.select("doc_id", wgt.alias("wgt")).groupBy("doc_id").agg(
+        F.sum("wgt").alias("margin_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            (F.col("margin_sum") / (1000.0 * F.col("n"))).alias("score"),
+            (F.col("margin_sum") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

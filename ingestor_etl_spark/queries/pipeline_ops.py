@@ -80,6 +80,16 @@ def dedup_cc_clusters(spark, sf_dir):
     propagation; the oracle walks the same graph with a recursive
     CTE). The full dedup story: pairs alone can't answer "which doc
     do I keep" — components can (keep min doc_id per cluster)."""
+    return (
+        connected_components(_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (band-bucket equi-join) — shared
+    by dedup_cc_clusters and canonical_docs."""
     base = _shingled(spark, sf_dir).selectExpr(
         "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
     )
@@ -91,7 +101,7 @@ def dedup_cc_clusters(spark, sf_dir):
         ),
     )
     a, b = long_form.alias("a"), long_form.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -101,10 +111,78 @@ def dedup_cc_clusters(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id,
+               len({_SQL_TOKENS}) AS n_tokens
+        FROM clusters c JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM scored
+    )
+    SELECT cluster_id, doc_id AS canonical_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rnk = 1 ORDER BY cluster_id
+    """,
+    tags=("dedup", "canonical", "argmax"),
+)
+def canonical_docs(spark, sf_dir):
+    """Canonical-document election: for every near-dup cluster
+    (MinHash-LSH pairs → connected components) keep the BEST member
+    — longest document, doc_id as the deterministic tiebreak — the
+    step that turns cluster ids into an actual keep-list. The
+    election is AGGREGATION-ONLY: ``max(struct(n_tokens, -doc_id))``
+    per cluster (map-side combined, no per-cluster window, no sort),
+    so a pathological million-member cluster costs one combiner
+    cell, not one task. The oracle re-walks the same graph with a
+    recursive CTE and elects with a window — same result, different
+    engine idiom."""
+    clusters = connected_components(
+        _lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    scored = clusters.join(
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tokens")), "doc_id"
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "best"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
     return (
-        connected_components(pairs, src="doc_a", dst="doc_b")
-        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
-        .orderBy("doc_id")
+        best.select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("canonical_id"),
+            F.col("best.n_tokens").alias("n_tokens"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
     )
 
 

@@ -381,3 +381,242 @@ def ann_ivf(spark, sf_dir):
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------- hybrid retrieval
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim,
+             round((list_dot_product(c.v, c.v)
+                    - 2 * list_dot_product(q.v, c.v))
+                   + list_dot_product(q.v, q.v), 4) AS l2_sq
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS r_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY l2_sq ASC, neighbor_id) AS r_l2
+      FROM pairs
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, r_cos, r_l2,
+             round(1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_l2), 6)
+               AS rrf_score
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id, rrf_score,
+           CAST(r_cos AS BIGINT) AS r_cos, CAST(r_l2 AS BIGINT) AS r_l2,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "hybrid", "rrf"),
+)
+def rrf_hybrid_search(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval signals per query —
+    cosine similarity and L2 distance (which disagree exactly when
+    vector norms differ): rrf = Σ 1/(60 + rank_i), the standard
+    hybrid-search combiner (lexical+dense in production; two dense
+    measures here so the whole operator stays oracle-checkable on
+    one table). Plan: broadcast the query side against the corpus
+    (no shuffle of the big side), ONE exchange on query_id feeds all
+    three rank windows (same partitioning → Catalyst reuses it).
+    This is the exact baseline shape; at 100 TB the candidate set
+    per query comes from ann_lsh_bucketed / ann_ivf first and the
+    fusion windows run over ≤ a few thousand candidates per query.
+    Parity: ranks are integers; 1/(60+r) is one double division,
+    identical on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    qv, cv = F.col("qv"), F.col("cv")
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(qv, cv), 4).alias("cos_sim"),
+            F.round(
+                (_dot(cv, cv) - 2 * _dot(qv, cv)) + _dot(qv, qv), 4
+            ).alias("l2_sq"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    w_l2 = Window.partitionBy("query_id").orderBy(F.asc("l2_sq"), "neighbor_id")
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+    fused = ranked.withColumn(
+        "rrf_score",
+        F.round(
+            1.0 / (RRF_K + F.col("r_cos")) + 1.0 / (RRF_K + F.col("r_l2")), 6
+        ),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "neighbor_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .where(F.col("rnk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            F.col("r_cos").cast("long").alias("r_cos"),
+            F.col("r_l2").cast("long").alias("r_l2"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ------------------------------------------------------ product quantization
+PQ_SUBS = 4          # subspaces (DIM 64 → 16 dims each)
+PQ_SUBDIM = DIM // PQ_SUBS
+PQ_K = 16            # centroids per subspace
+PQ_SEED_BASE = 100   # vec_id 100..115 seed the codebooks (disjoint from queries)
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, s.sub,
+             v[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+    ),
+    cents AS (
+      SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv
+      FROM subs
+      WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}
+    ),
+    assign AS (
+      SELECT x.vec_id, x.sub, c.cid,
+             row_number() OVER (
+               PARTITION BY x.vec_id, x.sub
+               ORDER BY (list_dot_product(x.sv, x.sv)
+                         - 2 * list_dot_product(x.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), c.cid) AS rnk
+      FROM subs x JOIN cents c USING (sub)
+    ),
+    codes AS (SELECT vec_id, sub, cid FROM assign WHERE rnk = 1),
+    qd AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cid,
+             CAST(round((list_dot_product(q.sv, q.sv)
+                         - 2 * list_dot_product(q.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), 4)
+                  AS DECIMAL(12,4)) AS d
+      FROM subs q JOIN cents c USING (sub)
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT qd.query_id, codes.vec_id AS neighbor_id,
+             CAST(sum(qd.d) AS DOUBLE) AS approx_dist
+      FROM codes JOIN qd ON codes.sub = qd.sub AND codes.cid = qd.cid
+      WHERE codes.vec_id <> qd.query_id
+      GROUP BY qd.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM approx
+    ) WHERE rnk <= {TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "pq"),
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the technique that makes
+    100 TB-scale vector search affordable: 64 doubles → 4 byte-codes
+    per vector, asymmetric-distance lookups instead of full dot
+    products). Codebooks are seeded deterministically from corpus
+    sub-vectors (vec_id 100..115 — k-means with zero refinement
+    rounds, keeping both engines bit-identical; production would
+    iterate Lloyd's per subspace offline). Pipeline: (1) encode each
+    corpus vector as its nearest centroid per subspace —
+    aggregation-only argmin via min(struct(dist, cid)), 64-row
+    codebook broadcast; (2) per query, compute the 4×16
+    ADC lookup table; (3) approx distance = Σ table[sub, code] — a
+    broadcast join of the code relation against the lookup table +
+    one (query, neighbor) aggregation, no full-vector math against
+    the corpus at query time. Parity: per-subspace distances are
+    rounded then summed as DECIMAL(12,4) (order-free exactness);
+    the argmin compares raw doubles computed by the identical fold
+    on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    cents = subs.where(
+        (F.col("vec_id") >= PQ_SEED_BASE)
+        & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
+    ).select(
+        (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
+        "sub",
+        F.col("sv").alias("cv"),
+    )
+    sv, cv = F.col("sv"), F.col("cv")
+    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
+    codes = (
+        subs.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    )
+    qd = (
+        subs.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            F.round(l2, 4).cast("decimal(12,4)").alias("d"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(qd), ["sub", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        approx.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOPK)
+        .orderBy("query_id", "rnk")
+    )

@@ -163,3 +163,101 @@ def scd2_history(spark, sf_dir):
         .withColumn("is_current", F.col("valid_to_us").isNull())
         .orderBy("user_id", "valid_from_us", "event_id")
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT event_id, CAST(value AS DECIMAL(12,2)) AS value FROM events
+    ),
+    v2 AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DECIMAL(13,2))
+                  ELSE CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(13,2)) END
+               AS value
+      FROM events WHERE event_id % 500 <> 0
+      UNION ALL
+      SELECT event_id + {_NEW_KEY_OFFSET},
+             CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(13,2))
+      FROM events WHERE event_id % 977 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+             a.event_id AS aid, b.event_id AS bid,
+             CAST(a.value AS DOUBLE) AS old_value,
+             CAST(b.value AS DOUBLE) AS new_value
+      FROM v1 a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+    )
+    SELECT event_id,
+           CASE WHEN aid IS NULL THEN 'added'
+                WHEN bid IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old_value, new_value
+    FROM j
+    WHERE aid IS NULL OR bid IS NULL OR old_value <> new_value
+    ORDER BY event_id
+    """,
+    tags=("warehouse", "diff", "cdc"),
+)
+def snapshot_diff(spark, sf_dir):
+    """Table-version diff (Delta/Iceberg time-travel DIFF shape):
+    compare two snapshots of a table and emit only added / removed /
+    changed rows with old/new values — the audit artifact a 100 TB
+    nightly pipeline publishes instead of shipping both snapshots.
+    One full-outer join on the key (both sides shuffle once on
+    event_id; zero shuffles if both snapshot versions are bucketed
+    on it), and the unchanged majority is filtered before any
+    collection, so output size tracks the CHANGE volume, not table
+    size. The v2 snapshot is synthesized deterministically (every
+    13th value doubled, every 500th key deleted, a new key for every
+    977th), identically on both engines; values go through decimals
+    so 'changed' detection is exact."""
+    e = load_table(spark, sf_dir, "events")
+    v1 = e.select(
+        "event_id", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    v2 = (
+        e.where(F.col("event_id") % 500 != 0)
+        .select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 13 == 0,
+                (F.col("value").cast("decimal(12,2)") * 2).cast("decimal(13,2)"),
+            )
+            .otherwise(F.col("value").cast("decimal(12,2)").cast("decimal(13,2)"))
+            .alias("value"),
+        )
+        .unionAll(
+            e.where(F.col("event_id") % 977 == 0).select(
+                (F.col("event_id") + _NEW_KEY_OFFSET).alias("event_id"),
+                F.col("value").cast("decimal(12,2)").cast("decimal(13,2)").alias("value"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer").select(
+        F.coalesce("a.event_id", "b.event_id").alias("event_id"),
+        F.col("a.event_id").alias("aid"),
+        F.col("b.event_id").alias("bid"),
+        F.col("a.value").cast("double").alias("old_value"),
+        F.col("b.value").cast("double").alias("new_value"),
+    )
+    return (
+        j.where(
+            F.col("aid").isNull()
+            | F.col("bid").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "event_id",
+            F.when(F.col("aid").isNull(), "added")
+            .when(F.col("bid").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            "old_value",
+            "new_value",
+        )
+        .orderBy("event_id")
+    )

@@ -25,6 +25,9 @@ BNL_ALLOWED = {
     "bm25_search",
     "unigram_logprob",
     "key_skew_profile",
+    # 20-row query-vector side broadcast against the corpus with the
+    # non-equi self-exclusion predicate — same shape as ann_cosine_topk
+    "rrf_hybrid_search",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch

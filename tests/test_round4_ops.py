@@ -1,0 +1,128 @@
+"""Round-4 operator semantics: snapshot diff, hashed-feature quality
+classifier, canonical-doc election, RRF hybrid fusion, PQ ANN."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.queries import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_diff_statuses_match_synthesis_rules(spark):
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.warehouse_ops import _NEW_KEY_OFFSET
+
+    rows = REGISTRY["snapshot_diff"].fn(spark, SF).collect()
+    ids = {r.event_id for r in load_table(spark, SF, "events").select("event_id").collect()}
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+    # removed = every key % 500 == 0; added = every key % 977 == 0 (offset)
+    assert {r.event_id for r in by_status.get("removed", [])} == {
+        i for i in ids if i % 500 == 0
+    }
+    assert {r.event_id for r in by_status.get("added", [])} == {
+        i + _NEW_KEY_OFFSET for i in ids if i % 977 == 0
+    }
+    for r in by_status.get("removed", []):
+        assert r.new_value is None and r.old_value is not None
+    for r in by_status.get("added", []):
+        assert r.old_value is None and r.new_value is not None
+    # changed = %13 keys surviving deletion whose value actually moved
+    for r in by_status.get("changed", []):
+        assert r.event_id % 13 == 0 and r.event_id % 500 != 0
+        assert r.new_value == 2 * r.old_value
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Exact margin recompute in Python: md5-hash the tokens, sum
+    integer milli-weights, one division."""
+    from ingestor_etl_spark.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").limit(50).collect()
+    }
+    got = {
+        r.doc_id: (r.score, r.keep)
+        for r in REGISTRY["quality_classifier"].fn(spark, SF).collect()
+    }
+    for doc_id, text in docs.items():
+        toks = text.strip().split()
+        margin = sum(
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 1001 - 500
+            for w in toks
+        )
+        score = margin / (1000.0 * len(toks))
+        assert got[doc_id] == (score, margin > 0)
+
+
+def test_canonical_docs_consistent_with_clusters(spark):
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_cc_clusters"].fn(spark, SF).collect()
+    }
+    from ingestor_etl_spark.catalog import load_table
+
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), r" +")).alias("n"))
+        .collect()
+    }
+    rows = REGISTRY["canonical_docs"].fn(spark, SF).collect()
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    assert {r.cluster_id for r in rows} == set(by_cluster)
+    for r in rows:
+        members = by_cluster[r.cluster_id]
+        assert r.n_members == len(members)
+        best = min(members, key=lambda d: (-toks[d], d))
+        assert r.canonical_id == best and r.n_tokens == toks[best]
+
+
+def test_rrf_scores_follow_formula_and_fusion_property(spark):
+    rows = REGISTRY["rrf_hybrid_search"].fn(spark, SF).collect()
+    assert rows
+    per_query = {}
+    for r in rows:
+        # score recomputes from the two ranks exactly
+        assert abs(r.rrf_score - round(1.0 / (60 + r.r_cos) + 1.0 / (60 + r.r_l2), 6)) < 1e-12
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rs in per_query.items():
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+        # a doc ranked #1 by BOTH signals must be fused rank 1
+        both_first = [r for r in rs if r.r_cos == 1 and r.r_l2 == 1]
+        for r in both_first:
+            assert r.rnk == 1
+
+
+def test_pq_approximates_exact_neighbors(spark):
+    """PQ is lossy but must stay a real approximation: every query
+    gets exactly TOPK neighbors with non-negative distances, and
+    averaged recall@5 vs the exact cosine baseline is well above
+    chance (random would be ~TOPK/n)."""
+    from ingestor_etl_spark.queries.vector_ops import TOPK
+
+    pq = {}
+    for r in REGISTRY["ann_pq_topk"].fn(spark, SF).collect():
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.approx_dist >= -1e-6
+    exact = {}
+    for r in REGISTRY["ann_cosine_topk"].fn(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(pq) == set(exact)
+    assert all(len(v) == TOPK for v in pq.values())
+    from ingestor_etl_spark.catalog import load_table
+
+    n = load_table(spark, SF, "embeddings").count()
+    recall = sum(len(pq[q] & exact[q]) for q in exact) / (len(exact) * TOPK)
+    assert recall > 3 * TOPK / max(n, 1), recall
