@@ -77,6 +77,7 @@ EXTENDED = [
     "rrf_hybrid_search",
     "ann_pq_topk",
     "score_calibration",
+    "lsh_dedup_eval",
 ]
 
 

@@ -286,3 +286,102 @@ def simhash_clusters(spark, sf_dir):
         .where("n_docs > 1")
         .orderBy("simhash")
     )
+
+
+# ------------------------------------------------------------ LSH evaluation
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "lsh_dedup_eval",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (
+        SELECT doc_id, {_SQL_BANDS} FROM sigs
+    ),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long_form a JOIN long_form b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    j AS (
+        SELECT c.doc_a AS ca, t.doc_a AS ta
+        FROM cand c FULL OUTER JOIN truth t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(count(ca) AS BIGINT) AS n_candidates,
+           CAST(count(ta) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(ca) AS DOUBLE) AS precision,
+           sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(ta) AS DOUBLE) AS recall
+    FROM j
+    """,
+    tags=("dedup", "eval", "lsh"),
+)
+def lsh_dedup_eval(spark, sf_dir):
+    """Dedup-quality evaluation: score the LSH candidate generator
+    against exact bigram-Jaccard ground truth (threshold 0.5) —
+    candidate-set precision/recall, the number every production
+    dedup pipeline must publish before the approximate pass is
+    trusted. TP = candidate pairs that are true near-dups, FP =
+    candidates below threshold (wasted verifier work), FN = true
+    pairs LSH missed (banding recall loss). One full-outer join of
+    the two pair relations → a single global aggregate row. At
+    100 TB the exact ground truth is computed on a stratified
+    SAMPLE (the estimator is unbiased per stratum); the operator
+    shape is identical. Parity: counts are BIGINT; the two
+    precision/recall divisions are single int/int double divides —
+    bit-identical, no rounding step."""
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    c = cand.alias("c")
+    t = truth.alias("t")
+    j = c.join(
+        t,
+        (F.col("c.doc_a") == F.col("t.doc_a"))
+        & (F.col("c.doc_b") == F.col("t.doc_b")),
+        "full_outer",
+    ).select(F.col("c.doc_a").alias("ca"), F.col("t.doc_a").alias("ta"))
+    tp = F.sum(
+        F.when(F.col("ca").isNotNull() & F.col("ta").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        F.count("ca").alias("n_candidates"),
+        F.count("ta").alias("n_truth"),
+        tp.alias("tp"),
+        F.sum(F.when(F.col("ta").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("ca").isNull(), 1).otherwise(0)).alias("fn"),
+        (tp / F.count("ca").cast("double")).alias("precision"),
+        (tp / F.count("ta").cast("double")).alias("recall"),
+    )

@@ -126,3 +126,14 @@ def test_pq_approximates_exact_neighbors(spark):
     n = load_table(spark, SF, "embeddings").count()
     recall = sum(len(pq[q] & exact[q]) for q in exact) / (len(exact) * TOPK)
     assert recall > 3 * TOPK / max(n, 1), recall
+
+
+def test_lsh_eval_confusion_identities(spark):
+    row = REGISTRY["lsh_dedup_eval"].fn(spark, SF).collect()[0]
+    assert row.tp + row.fp == row.n_candidates
+    assert row.tp + row.fn == row.n_truth
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+    # consistency with the two source relations
+    n_cand = REGISTRY["minhash_lsh_pairs"].fn(spark, SF).count()
+    n_truth = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).count()
+    assert (row.n_candidates, row.n_truth) == (n_cand, n_truth)
