@@ -78,6 +78,8 @@ EXTENDED = [
     "ann_pq_topk",
     "score_calibration",
     "lsh_dedup_eval",
+    "vocab_coverage",
+    "mixture_drift",
 ]
 
 

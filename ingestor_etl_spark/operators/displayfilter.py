@@ -15,7 +15,8 @@ usage — field comparisons over decoded protocol fields):
 
 - comparisons: ``==  eq  !=  ne  >  gt  <  lt  >=  ge  <=  le``
 - ``contains`` (substring), ``matches`` / ``~`` (regex)
-- membership: ``field in {v1 v2 v3}``
+- membership: ``field in {v1 v2 v3}`` including wireshark ranges
+  ``field in {2000..2010 5060}``
 - field existence: a bare field name is "field is present"
 - protocol presence: a bare PROTOCOL name (``diameter``, ``sip``,
   ``tcap``…) is "this layer was decoded" — true when the row's
@@ -356,13 +357,25 @@ class _Parser:
         if t[0] == "in":
             self.take()
             self.take("lbrace")
-            vals = []
+            vals: list[object] = []
+            ranges: list[tuple[int, int]] = []
             while (t := self.peek()) and t[0] != "rbrace":
-                vals.append(self.value())
+                # wireshark range member: {2000..2010}
+                if t[0] == "word" and re.fullmatch(r"\d+\.\.\d+", t[1]):
+                    self.take()
+                    lo, hi = (int(x) for x in t[1].split(".."))
+                    if hi < lo:
+                        raise FilterError(f"bad range: {t[1]!r}")
+                    ranges.append((lo, hi))
+                else:
+                    vals.append(self.value())
             self.take("rbrace")
-            if not vals:
+            if not vals and not ranges:
                 raise FilterError("empty in-set")
-            return col.isin(vals)
+            pred = col.isin(vals) if vals else F.lit(False)
+            for lo, hi in ranges:
+                pred = pred | ((col >= lo) & (col <= hi))
+            return pred
         raise FilterError(f"expected an operator after {name!r}, got {t[1]!r}")
 
 

@@ -29,6 +29,7 @@ end-to-end (the synthesis is plain column algebra too).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ingestor_etl_spark.catalog import load_table
@@ -626,3 +627,145 @@ def csv_ingest(spark, sf_dir):
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
         F.substring("_corrupt", 1, 11).alias("corrupt_excerpt"),
     ).orderBy("is_corrupt", "doc_id")
+
+
+# -------------------------------------------------------- vocab_coverage
+VOCAB_TOPK = 100
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    vocab AS (SELECT w FROM counts ORDER BY c DESC, w LIMIT {VOCAB_TOPK}),
+    flagged AS (
+      SELECT t.doc_id, (v.w IS NOT NULL) AS iv
+      FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           sum(CASE WHEN iv THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE)
+             AS oov_rate
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("tokenizer", "vocab", "coverage"),
+)
+def vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage report: per-document
+    out-of-vocabulary rate against the corpus's own top-100 token
+    vocabulary (stand-in for a fixed tokenizer vocab) — the standard
+    pre-training check that a tokenizer fits a corpus. Plan: token
+    counts aggregate map-side into the bounded vocabulary; the top-k
+    sorts only the aggregated token relation; the vocab (100 rows)
+    broadcasts back onto the token stream; one doc-keyed
+    aggregation. Parity: counts are BIGINT, the rate is a single
+    int/int double division (no rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r" +")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_TOPK)
+        .select("w", F.lit(True).alias("iv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "w", "left_outer")
+    oov = F.sum(F.when(F.col("iv"), 0).otherwise(1))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov / F.count(F.lit(1)).cast("double")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------- mixture_drift
+@register(
+    "mixture_drift",
+    oracle="""
+    WITH v1 AS (
+      SELECT source, sum(len(string_split_regex(trim(text), ' +'))) AS n
+      FROM documents GROUP BY source
+    ),
+    v2 AS (
+      SELECT source, sum(len(string_split_regex(trim(text), ' +'))) AS n
+      FROM documents WHERE doc_id % 7 <> 0 GROUP BY source
+    ),
+    shares AS (
+      SELECT v1.source,
+             v1.n / CAST((SELECT sum(n) FROM v1) AS DOUBLE) AS p,
+             COALESCE(v2.n, 0) / CAST((SELECT sum(n) FROM v2) AS DOUBLE) AS q
+      FROM v1 LEFT JOIN v2 ON v1.source = v2.source
+    ),
+    terms AS (
+      SELECT source, p, q, p - q AS shift,
+             CAST(round(abs(p - q), 8) AS DECIMAL(18,8)) AS absdec
+      FROM shares
+    )
+    SELECT source, p, q, shift,
+           0.5 * CAST(sum(absdec) OVER () AS DOUBLE) AS tv_distance
+    FROM terms ORDER BY source
+    """,
+    tags=("mixture", "drift", "monitoring"),
+)
+def mixture_drift(spark, sf_dir):
+    """Training-mixture drift monitor: per-source token share in the
+    current corpus (p) vs a reference snapshot (q — synthesized as
+    the doc_id % 7 != 0 subsample, deterministic on both engines),
+    the per-source shift, and the total-variation distance
+    0.5·Σ|p−q| — the alarm number a 100 TB ingest pipeline checks
+    before retraining on a refreshed crawl. TV instead of KL keeps
+    the operator free of transcendental functions (exact parity, no
+    log-ulp risk). Two map-side-combined aggregations over |sources|
+    keys; the TV window runs over the aggregated 5-row relation;
+    |p−q| terms are rounded into DECIMAL before the sum so the total
+    is aggregation-order-free."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    v1 = d.groupBy("source").agg(F.sum(F.size(toks)).alias("n1"))
+    v2 = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .groupBy("source")
+        .agg(F.sum(F.size(toks)).alias("n2"))
+    )
+    w_all = Window.partitionBy()
+    shares = (
+        v1.join(v2, "source", "left_outer")
+        .select(
+            "source",
+            (F.col("n1") / F.sum("n1").over(w_all).cast("double")).alias("p"),
+            (
+                F.coalesce(F.col("n2"), F.lit(0))
+                / F.sum("n2").over(w_all).cast("double")
+            ).alias("q"),
+        )
+    )
+    terms = shares.select(
+        "source",
+        "p",
+        "q",
+        (F.col("p") - F.col("q")).alias("shift"),
+        F.round(F.abs(F.col("p") - F.col("q")), 8)
+        .cast("decimal(18,8)")
+        .alias("absdec"),
+    )
+    return (
+        terms.select(
+            "source",
+            "p",
+            "q",
+            "shift",
+            (0.5 * F.sum("absdec").over(w_all).cast("double")).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )

@@ -205,3 +205,11 @@ def test_protocol_name_as_column_still_wins(spark):
     df = spark.createDataFrame([(1, "x"), (2, None)], "frame_no int, sip string")
     got = sorted(r.frame_no for r in filter_messages(df, "sip").collect())
     assert got == [1]  # existence of the COLUMN, not layer-absence
+
+
+def test_in_set_with_ranges(msgs):
+    assert _frames(msgs, "diameter.cmd.code in {270..275}") == [1, 2]
+    assert _frames(msgs, "diameter.cmd.code in {270..275 316}") == [1, 2, 4]
+    assert _frames(msgs, "frame.number in {2..3 1}") == [1, 2, 3]
+    with pytest.raises(FilterError):
+        compile_filter("diameter.cmd.code in {275..270}", set(msgs.columns))

@@ -137,3 +137,37 @@ def test_lsh_eval_confusion_identities(spark):
     n_cand = REGISTRY["minhash_lsh_pairs"].fn(spark, SF).count()
     n_truth = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).count()
     assert (row.n_candidates, row.n_truth) == (n_cand, n_truth)
+
+
+def test_vocab_coverage_python_reference(spark):
+    from collections import Counter
+
+    from ingestor_etl_spark.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    counts = Counter(w for toks in docs.values() for w in toks)
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in REGISTRY["vocab_coverage"].fn(spark, SF).collect()
+    }
+    for doc_id, toks in docs.items():
+        oov = sum(1 for w in toks if w not in vocab)
+        assert got[doc_id] == (len(toks), oov, oov / len(toks))
+
+
+def test_mixture_drift_is_a_distribution_distance(spark):
+    rows = REGISTRY["mixture_drift"].fn(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-9
+    tv = {r.tv_distance for r in rows}
+    assert len(tv) == 1  # one global number repeated per row
+    tv = tv.pop()
+    assert 0.0 <= tv <= 1.0
+    assert abs(tv - 0.5 * sum(abs(r.shift) for r in rows)) < 1e-6
