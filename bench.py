@@ -80,6 +80,9 @@ EXTENDED = [
     "lsh_dedup_eval",
     "vocab_coverage",
     "mixture_drift",
+    "embedding_stats",
+    "partitioned_write_roundtrip",
+    "dedup_report",
 ]
 
 

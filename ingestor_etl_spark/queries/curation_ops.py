@@ -424,3 +424,57 @@ def quality_classifier(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- partitioned_write_roundtrip
+def _part_dir(sf_dir: str) -> str:
+    """Session-scoped cache dir for the lang-partitioned copy —
+    same fingerprint/ownership rules as _orc_dir."""
+    return _orc_dir(sf_dir) + "_bylang"
+
+
+@register(
+    "partitioned_write_roundtrip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("sink", "partitioning", "roundtrip"),
+)
+def partitioned_write_roundtrip(spark, sf_dir):
+    """Hive-style partitioned sink + source round-trip: documents
+    written once `partitionBy(lang)` (the layout that turns a
+    selective lang filter into directory pruning — the parquet
+    answer to the reference's b-tree selector indexes,
+    models.py index=True), then read back and summarized per
+    partition with a content fingerprint. Any loss in the
+    partition-column round-trip (encoding, NULL dirs, type
+    widening) or in row fidelity breaks the md5 chain vs the oracle
+    reading the ORIGINAL table. The per-partition md5 orders by
+    doc_id inside each group (sort_array of collected pairs), so
+    partition-internal file order cannot affect the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _part_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    pair = F.struct(F.col("doc_id"), F.md5("text").alias("h"))
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list(pair)), lambda s: s["h"]
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("lang")
+    )

@@ -477,3 +477,85 @@ def epoch_resample(spark, sf_dir):
         .select("doc_id", "source", F.col("copy_no").cast("long").alias("copy_no"))
         .orderBy("doc_id", "copy_no")
     )
+
+
+@register(
+    "dedup_report",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    exact AS (
+        SELECT count(*) AS n_docs,
+               count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        FROM documents
+    ),
+    cand AS (SELECT count(*) AS n_lsh_pairs FROM pairs),
+    cc AS (
+        SELECT count(*) AS n_clustered_docs,
+               count(DISTINCT cluster_id) AS n_clusters
+        FROM clusters
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+           CAST(n_lsh_pairs AS BIGINT) AS n_lsh_pairs,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_clustered_docs AS BIGINT) AS n_clustered_docs,
+           CAST(n_clustered_docs - n_clusters AS BIGINT) AS n_docs_removed,
+           (n_docs - (n_clustered_docs - n_clusters))
+             / CAST(n_docs AS DOUBLE) AS keep_rate
+    FROM exact, cand, cc
+    """,
+    tags=("dedup", "card", "report"),
+)
+def dedup_report(spark, sf_dir):
+    """The dedup release card: one row tying the whole stack
+    together — corpus size, exact-duplicate count, LSH candidate
+    volume, near-dup cluster count/membership, documents a
+    keep-one-per-cluster policy removes, and the resulting keep
+    rate. This is the before/after summary a 100 TB dedup run
+    publishes. Three independent aggregate branches (exact
+    fingerprints; candidate pairs; components) cross-joined as
+    1-row relations — each branch keeps its own scale-safe shape
+    (hash agg / bucketed LSH join / checkpointed label
+    propagation). Parity: all counts BIGINT; keep_rate is one
+    int/int double division."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+    pairs = _lsh_pairs(spark, sf_dir)
+    cand = pairs.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    cc = clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(cc))
+        .select(
+            "n_docs",
+            "n_exact_dups",
+            "n_lsh_pairs",
+            "n_clusters",
+            "n_clustered_docs",
+            (F.col("n_clustered_docs") - F.col("n_clusters")).alias("n_docs_removed"),
+            (
+                (F.col("n_docs") - (F.col("n_clustered_docs") - F.col("n_clusters")))
+                / F.col("n_docs").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

@@ -620,3 +620,56 @@ def ann_pq_topk(spark, sf_dir):
         .where(F.col("rnk") <= TOPK)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------ vector hygiene
+@register(
+    "embedding_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    per_vec AS (
+      SELECT vec_id, len(v) AS dim,
+             sqrt(list_dot_product(v, v)) AS norm
+      FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs,
+           min(norm) AS min_norm,
+           max(norm) AS max_norm,
+           CAST(sum(CAST(round(norm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS mean_norm
+    FROM per_vec
+    """,
+    tags=("vector", "profiling", "card"),
+)
+def embedding_stats(spark, sf_dir):
+    """Vector-table hygiene card: count, dimensionality range,
+    zero-vector count, and norm extremes/mean — the sanity block a
+    100 TB embedding store publishes before any ANN index build
+    (zero vectors break cosine; mixed dims break everything). One
+    narrow scan + a single global aggregation. Parity: min/max are
+    order-free on raw doubles; the mean stages per-row norms through
+    round+DECIMAL so the sum is aggregation-order-free, then one
+    double division."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    per_vec = e.select(
+        F.size("v").alias("dim"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0)).alias("n_zero_vecs"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+        (
+            F.sum(F.round(F.col("norm"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_norm"),
+    )

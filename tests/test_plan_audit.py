@@ -28,6 +28,9 @@ BNL_ALLOWED = {
     # 20-row query-vector side broadcast against the corpus with the
     # non-equi self-exclusion predicate — same shape as ann_cosine_topk
     "rrf_hybrid_search",
+    # three 1-row aggregate branches cross-joined into the report row
+    # — literal-side by construction, same shape as q11
+    "dedup_report",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch

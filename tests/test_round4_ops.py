@@ -171,3 +171,41 @@ def test_mixture_drift_is_a_distribution_distance(spark):
     tv = tv.pop()
     assert 0.0 <= tv <= 1.0
     assert abs(tv - 0.5 * sum(abs(r.shift) for r in rows)) < 1e-6
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    """The point of partitionBy(lang): a lang-selective read of the
+    written copy must show PartitionFilters in the scan (directory
+    pruning), and partition counts must match the source table."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.curation_ops import _part_dir
+
+    rows = REGISTRY["partitioned_write_roundtrip"].fn(spark, SF).collect()
+    src = {
+        (r.lang, r.n): None
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.lang, r.n_docs) for r in rows} == set(src)
+    back = spark.read.parquet(_part_dir(SF))
+    one_lang = rows[0].lang
+    plan = (
+        back.where(F.col("lang") == one_lang)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_dedup_report_consistent_with_parts(spark):
+    row = REGISTRY["dedup_report"].fn(spark, SF).collect()[0]
+    n_pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, SF).count()
+    clusters = REGISTRY["dedup_cc_clusters"].fn(spark, SF).collect()
+    assert row.n_lsh_pairs == n_pairs
+    assert row.n_clustered_docs == len(clusters)
+    assert row.n_clusters == len({r.cluster_id for r in clusters})
+    assert row.n_docs_removed == row.n_clustered_docs - row.n_clusters
+    assert abs(row.keep_rate - (row.n_docs - row.n_docs_removed) / row.n_docs) < 1e-12
