@@ -87,7 +87,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "snapshot_diff", "quality_classifier", "canonical_docs",
     "rrf_hybrid_search", "ann_pq_topk", "lsh_dedup_eval",
     "vocab_coverage", "mixture_drift", "embedding_stats",
-    "partitioned_write_roundtrip", "dedup_report",
+    "partitioned_write_roundtrip", "dedup_report", "pcap_flow_stats",
+    "salted_hot_agg",
     "key_skew_profile", "eval_holdout_split", "score_calibration",
     "dataset_card", "j7_display_filter", "segment_dedup", "bm25_search",
     "unigram_logprob", "shard_pack", "value_histogram",

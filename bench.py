@@ -83,6 +83,8 @@ EXTENDED = [
     "embedding_stats",
     "partitioned_write_roundtrip",
     "dedup_report",
+    "pcap_flow_stats",
+    "salted_hot_agg",
 ]
 
 

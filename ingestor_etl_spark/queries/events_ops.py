@@ -421,3 +421,42 @@ def events_rolling_7d(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "salted_hot_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("skew", "salting", "aggregation"),
+)
+def salted_hot_agg(spark, sf_dir):
+    """The skew toolkit as a first-class query: per-event-type
+    rollup via the SALTED two-phase aggregation
+    (plans/layout.salted_agg). event_type has a handful of values
+    over the whole table — every key is hot by construction — so a
+    naive final aggregation funnels each key into one reducer;
+    phase 1 aggregates on (key, salt) spreading each hot key over 16
+    reducers, phase 2 merges the 16 partials per key. Results are
+    IDENTICAL to the direct groupBy (the oracle is the plain SQL):
+    count merges by sum, and values are decimal partials so the
+    two-phase sum is exact. This is the pattern to reach for when
+    key_skew_profile reports skew_x >> 1 and AQE alone can't split a
+    hot aggregation key."""
+    from ingestor_etl_spark.plans.layout import salted_agg
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {"n_events": ("v", "count"), "total_value": ("v", "sum")},
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")

@@ -628,3 +628,43 @@ def pcap_sip_leg_rewrite(spark, sf_dir):
     return out.where(F.col("call_id") == "pm-1").select(
         "call_id", "from_user", "from_original", "to_user", "peer_call_id"
     )
+
+
+@register(
+    "pcap_flow_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('10.0.0.1', '10.0.0.2', 6, 50000, 3868, 2, 76, 5, 6, 5),
+      ('10.0.0.1', '10.0.0.2', 132, 40001, 3868, 3, 236, 1, 4, 1999999),
+      ('10.0.0.2', '10.0.0.1', 132, 3868, 40001, 1, 92, 3, 3, 0)
+    ) AS t(src_ip, dst_ip, ip_proto, src_port, dst_port,
+           n_segments, n_bytes, first_frame, last_frame, duration_us)
+    ORDER BY src_ip, ip_proto, src_port
+    """,
+    tags=("protocol", "flow", "pcap"),
+)
+def pcap_flow_stats(spark, sf_dir):
+    """NetFlow-style flow accounting over a capture: per 5-tuple
+    (src, dst, proto, sport, dport) segment/byte counts, frame span,
+    and duration — the first rollup a capture-analytics user asks
+    for and one the reference (per-protocol ingestors only) never
+    provides. Pure groupBy over the L2-L4 expansion: one shuffle on
+    the uniform flow key, map-side combined; at 100 TB of captures
+    the flow key is the natural partitioning for every downstream
+    protocol join. Byte counts are SCTP-chunk / TCP-segment payload
+    bytes (post-IP-reassembly), matching what the decode stages
+    consume."""
+    segs = expand_l4(read_pcap(spark, _diameter_capture()))
+    return (
+        segs.groupBy("src_ip", "dst_ip", "ip_proto", "src_port", "dst_port")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum(F.length("payload")).cast("int").alias("n_bytes"),
+            F.min("frame_no").cast("int").alias("first_frame"),
+            F.max("frame_no").cast("int").alias("last_frame"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            .cast("int")
+            .alias("duration_us"),
+        )
+        .orderBy("src_ip", "ip_proto", "src_port")
+    )

@@ -209,3 +209,25 @@ def test_dedup_report_consistent_with_parts(spark):
     assert row.n_clusters == len({r.cluster_id for r in clusters})
     assert row.n_docs_removed == row.n_clustered_docs - row.n_clusters
     assert abs(row.keep_rate - (row.n_docs - row.n_docs_removed) / row.n_docs) < 1e-12
+
+
+def test_salted_agg_is_two_phase_and_exact(spark):
+    df = REGISTRY["salted_hot_agg"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # phase-1 key includes the salt
+    got = {(r.event_type, r.n_events, r.total_value) for r in df.collect()}
+    from ingestor_etl_spark.catalog import load_table
+
+    direct = {
+        (r.event_type, r.n_events, r.total_value)
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == direct
