@@ -268,3 +268,209 @@ def sketch_value_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------ events_gapfill
+GAPFILL_USERS = 10  # bound the demo output; the operator itself is per-user
+
+
+@register(
+    "events_gapfill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value
+      FROM events WHERE user_id < {GAPFILL_USERS}
+    ),
+    hourly AS (
+      SELECT user_id, hr, value AS hr_value
+      FROM (SELECT user_id, hr, value,
+                   row_number() OVER (PARTITION BY user_id, hr
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e)
+      WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM spans
+    )
+    SELECT g.user_id, epoch_us(g.hr) AS hr_us,
+           last_value(h.hr_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           (h.hr_value IS NOT NULL) AS is_observed
+    FROM grid g LEFT JOIN hourly h USING (user_id, hr)
+    ORDER BY user_id, hr_us
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap-fill: resample each user's event stream onto a
+    dense hourly grid between their first and last event, carrying
+    the last observed value forward across empty hours (the classic
+    metrics/IoT "resample + ffill" operator; reference sigshark.py
+    emits only observed frames — this is the beyond-reference
+    analytic surface).
+
+    Plan shape: one per-user aggregation picks the span, `sequence()`
+    explodes it into the grid (bounded by the time span in hours, not
+    the row count), a left join keyed on (user_id, hr) attaches the
+    per-hour closing value, and `last(ignorenulls)` forward-fills.
+    Every stage shuffles on user_id only — the grid explode, join and
+    fill window share one exchange. At 100 TB the grid is metadata-
+    sized (users × hours), never a multiple of the event volume, and
+    skew is bounded because a user's grid grows with wall-clock span,
+    not event count. The per-hour closing value is picked by
+    row_number (ts DESC, event_id DESC) — deterministic under the
+    unique event_id tiebreak, exact in both engines (raw double
+    passthrough, no aggregation arithmetic)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < GAPFILL_USERS)
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"), "ts", "event_id", "value")
+    )
+    rn = Window.partitionBy("user_id", "hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    hourly = (
+        e.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hr", F.col("value").alias("hr_value"))
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("hr").alias("hr_us"),
+            F.last("hr_value", ignorenulls=True).over(fill).alias("filled_value"),
+            F.col("hr_value").isNotNull().alias("is_observed"),
+        )
+        .orderBy("user_id", "hr_us")
+    )
+
+
+# -------------------------------------------------- cms_heavy_hitters
+CMS_DEPTH = 3  # independent hash rows
+CMS_WIDTH = 64  # buckets per row
+CMS_TOPK = 20  # probe tokens = exact top-k (demo surface)
+
+
+def _cms_bucket_sql(tok: str, j: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5({j} || ':' || {tok}), 1, 8) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+    ),
+    exact AS (SELECT w, count(*) AS exact_n FROM toks GROUP BY w),
+    probes AS (
+      SELECT w, exact_n,
+             row_number() OVER (ORDER BY exact_n DESC, w) AS rnk
+      FROM exact QUALIFY rnk <= {CMS_TOPK}
+    ),
+    cells AS (
+      SELECT j, {_cms_bucket_sql('w', 'j')} AS bucket, count(*) AS cnt
+      FROM toks, (SELECT unnest([0, 1, 2]) AS j)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.w, p.exact_n, p.rnk, min(c.cnt) AS cms_n
+      FROM probes p
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) h
+      JOIN cells c
+        ON c.j = h.j AND c.bucket = {_cms_bucket_sql('p.w', 'h.j')}
+      GROUP BY 1, 2, 3
+    )
+    SELECT w AS token, exact_n, cms_n, cms_n - exact_n AS overcount, rnk
+    FROM est ORDER BY rnk
+    """,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: a depth-{d} × width-{w} CMS
+    over the corpus token stream, probed with the exact top-{k}
+    tokens so the oracle can check the estimator cell-for-cell
+    (deterministic md5 row hashes — both engines compute identical
+    buckets, so the sketch is engine-exact, not just "close").
+
+    Plan shape and the 100 TB story: the sketch is ONE aggregation
+    with {d}·{w} = {cells} cells of mergeable state — map-side
+    combine reduces every partition to ≤{cells} rows regardless of
+    input size, which is the point: exact heavy-hitter counting
+    shuffles the full token keyspace, the CMS shuffles a constant.
+    CMS guarantees estimate ≥ true count (overcount ≥ 0 — asserted
+    in tests), with overestimate bounded by the row-collision mass.
+    The exact side here is the verification surface; at scale it
+    drops and probes come from the application (the sketch also
+    merges across streaming micro-batches unchanged)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), r" +")).alias("w"))
+    )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    # Top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, merged on the driver) — NOT a global window over
+    # the full vocabulary. The row_number below ranks the 20
+    # survivors only.
+    topk = exact.orderBy(F.desc("exact_n"), "w").limit(CMS_TOPK)
+    probes = topk.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("exact_n"), "w"))
+    )
+    hashes = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+
+    def bucket(tok_col, j_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(j_col.cast("string"), F.lit(":"), tok_col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    cells = (
+        toks.select("w", hashes)
+        .select("j", bucket(F.col("w"), F.col("j")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_cells = probes.select("w", "exact_n", "rnk", hashes).withColumn(
+        "bucket", bucket(F.col("w"), F.col("j"))
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("w", "exact_n", "rnk")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            F.col("w").alias("token"),
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+cms_heavy_hitters.__doc__ = cms_heavy_hitters.__doc__.format(
+    d=CMS_DEPTH, w=CMS_WIDTH, k=CMS_TOPK, cells=CMS_DEPTH * CMS_WIDTH
+)

@@ -769,3 +769,64 @@ def mixture_drift(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------- source_reputation
+REPUTATION_GOOD_CHARS = 300  # a doc counts as "good" at/above this length
+REPUTATION_KEEP_MILLI = 500  # keep sources with >= 50.0% good docs
+
+
+@register(
+    "source_reputation",
+    oracle=f"""
+    WITH rep AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST((1000 * sum(CASE WHEN n_chars >= {REPUTATION_GOOD_CHARS}
+                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+               AS rep_milli
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, r.rep_milli
+    FROM documents d JOIN rep r ON d.source = r.source
+    WHERE r.rep_milli >= {REPUTATION_KEEP_MILLI}
+    ORDER BY d.doc_id
+    """,
+    tags=("corpus", "quality", "reputation"),
+)
+def source_reputation(spark, sf_dir):
+    """Host/source-reputation gate (the UT1-blocklist / C4-badlist
+    family generalized to a computed list): score every source by the
+    share of its docs that clear a length bar, keep docs whose source
+    scores >= {keep}/1000. Integer-milli reputation ((1000·good) div
+    n) is exact in both engines — no float share ever compares
+    against the threshold.
+
+    Plan shape: one map-side-combined aggregation produces the
+    per-source reputation (rows = source cardinality — hosts, not
+    docs), which broadcasts back onto the corpus as the keep-list
+    join. At 100 TB the corpus side never shuffles: scan → broadcast
+    hash join → filtered scan output. The skewed source key is
+    harmless here because it is only a grouping key with partial
+    aggregation, never a window partition."""
+    d = load_table(spark, sf_dir, "documents")
+    rep = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"(1000 * sum(CASE WHEN n_chars >= {REPUTATION_GOOD_CHARS} "
+            "THEN 1 ELSE 0 END)) div count(*)"
+        ).alias("rep_milli"),
+    )
+    keep = rep.where(F.col("rep_milli") >= REPUTATION_KEEP_MILLI).select(
+        "source", "rep_milli"
+    )
+    return (
+        d.join(F.broadcast(keep), "source")
+        .select("doc_id", "source", "rep_milli")
+        .orderBy("doc_id")
+    )
+
+
+source_reputation.__doc__ = source_reputation.__doc__.format(
+    keep=REPUTATION_KEEP_MILLI
+)

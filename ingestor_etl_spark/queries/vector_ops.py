@@ -673,3 +673,93 @@ def embedding_stats(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_norm"),
     )
+
+
+# ----------------------------------------------------------- knn_graph
+KNN_K = 3
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    keys AS (
+{_NEAR_DUP_KEYS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM keys a JOIN keys b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             round(list_dot_product(es.v, ed.v)
+                   / (sqrt(list_dot_product(es.v, es.v))
+                      * sqrt(list_dot_product(ed.v, ed.v))), 4) AS cos_sim
+      FROM cand c
+      JOIN e es ON es.vec_id = c.src
+      JOIN e ed ON ed.vec_id = c.dst
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY src
+                                   ORDER BY cos_sim DESC, dst) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, cos_sim, rnk FROM ranked WHERE rnk <= {KNN_K}
+    ORDER BY src, rnk
+    """,
+    tags=("vector", "knn", "graph", "lsh"),
+)
+def knn_graph(spark, sf_dir):
+    """k-nearest-neighbor graph over the embedding table ({k} edges
+    per node), built from the same multi-table LSH candidate
+    generator as embedding_near_dup — the semantic-dedup /
+    cluster-then-curate primitive (SemDeDup-style pipelines start
+    from exactly this directed kNN edge list).
+
+    Plan shape: {t} independent {p}-bit hyperplane tables emit
+    (tbl, bucket) keys in one narrow pass; candidates come from
+    per-(tbl, bucket) equi-joins (never all-pairs), are deduped on
+    (src, dst), exact-cosine scored, and ranked per src. The rank
+    window partitions on src whose fan-in is bounded by bucket
+    occupancy × {t} tables — no global or skew-prone partition. At
+    100 TB recall/cost tune via N_TABLES and N_PLANES exactly as the
+    near-dup path documents; nodes sharing no bucket with anyone
+    simply emit no edges (isolated in the graph)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    keys = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.expr(_spark_bucket(t)).alias("bucket"))
+                for t in range(N_TABLES)
+            ])
+        ).alias("k"),
+    ).select("vec_id", "k.tbl", "k.bucket")
+    a = keys.select("tbl", "bucket", F.col("vec_id").alias("src"))
+    b = keys.select("tbl", "bucket", F.col("vec_id").alias("dst"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    es = e.select(F.col("vec_id").alias("src"), F.col("v").alias("vs"))
+    ed = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vd"))
+    scored = (
+        cand.join(es, "src")
+        .join(ed, "dst")
+        .select("src", "dst", F.round(cosine(F.col("vs"), F.col("vd")), 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select("src", "dst", "cos_sim", "rnk")
+        .orderBy("src", "rnk")
+    )
+
+
+knn_graph.__doc__ = knn_graph.__doc__.format(k=KNN_K, t=N_TABLES, p=N_PLANES)

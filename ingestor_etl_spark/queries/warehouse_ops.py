@@ -261,3 +261,67 @@ def snapshot_diff(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ----------------------------------------------------- compaction_plan
+COMPACTION_TARGET_BYTES = 8_000  # demo bin capacity (n_chars as byte proxy)
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+    WITH parts AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS part_bytes
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, part_bytes,
+           CAST((sum(part_bytes) OVER w - part_bytes)
+                // {COMPACTION_TARGET_BYTES} AS BIGINT) AS bin_id,
+           CAST(sum(part_bytes) OVER w AS BIGINT) AS cum_bytes
+    FROM parts
+    WINDOW w AS (ORDER BY part_bytes DESC, source, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin_id, part_bytes DESC, source, lang
+    """,
+    tags=("warehouse", "compaction", "layout"),
+)
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (the OPTIMIZE/bin-packing step
+    every lakehouse table needs): roll partition sizes up from the
+    data, order parts largest-first, and assign each to a target-size
+    output bin by sequential fill — ``bin_id = (running_sum − size)
+    div target``. Deterministic, engine-exact integer math.
+
+    Plan shape: the only per-row work is the size aggregation
+    (map-side combined; output rows = partition count, not row
+    count). The global window then runs over partition METADATA —
+    at 100 TB a table has thousands-to-millions of files/partitions,
+    kilobytes-to-megabytes of planner state, which is exactly what
+    Delta/Iceberg OPTIMIZE planners hold on one node; the plan's
+    single-task window is bounded by that metadata size by
+    construction, never by table rows. The emitted (part → bin)
+    assignment then drives bin-per-task rewrites with no further
+    shuffle."""
+    parts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("bigint").alias("part_bytes"))
+    )
+    w = (
+        Window.orderBy(F.desc("part_bytes"), "source", "lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.select(
+            "source",
+            "lang",
+            "part_bytes",
+            F.expr(
+                f"(sum(part_bytes) OVER (ORDER BY part_bytes DESC, source, lang "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - part_bytes) "
+                f"div {COMPACTION_TARGET_BYTES}"
+            ).alias("bin_id"),
+            F.sum("part_bytes").over(w).alias("cum_bytes"),
+        )
+        .orderBy("bin_id", F.desc("part_bytes"), "source", "lang")
+    )
