@@ -298,3 +298,98 @@ def dataset_card(spark, sf_dir):
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+# ----------------------------------------------------- winsorize_scores
+WINSOR_LO_PCT = 5  # clip below the per-source p05
+WINSOR_HI_PCT = 95  # and above the per-source p95
+
+
+@register(
+    "winsorize_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_score
+      FROM documents
+    ),
+    hist AS (
+      SELECT source, raw_score, count(*) AS c
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, raw_score,
+             sum(c) OVER (PARTITION BY source ORDER BY raw_score) AS cum_le,
+             sum(c) OVER (PARTITION BY source) AS n_src
+      FROM hist
+    ),
+    bounds AS (
+      SELECT source,
+             CAST(min(CASE WHEN cum_le >= ({WINSOR_LO_PCT} * n_src + 99) // 100
+                           THEN raw_score END) AS BIGINT) AS lo,
+             CAST(min(CASE WHEN cum_le >= ({WINSOR_HI_PCT} * n_src + 99) // 100
+                           THEN raw_score END) AS BIGINT) AS hi
+      FROM cum GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.raw_score, b.lo, b.hi,
+           least(greatest(s.raw_score, b.lo), b.hi) AS clipped
+    FROM scored s JOIN bounds b ON s.source = b.source
+    ORDER BY s.doc_id
+    """,
+    tags=("quality", "robust-stats", "histogram"),
+)
+def winsorize_scores(spark, sf_dir):
+    """Per-source winsorization (outlier clipping at p{lo}/p{hi}):
+    clamp each doc's raw quality score into its source's
+    [p{lo}, p{hi}] order-statistic band — the robust-stats
+    normalization applied before mixing per-source scores into one
+    curation objective (a single source's pathological tail stops
+    dominating the global threshold). Bounds are exact type-1
+    quantiles: the smallest score whose cumulative count reaches
+    ceil(q·n), all-integer arithmetic on both engines.
+
+    Plan shape (same skew-proof recipe as score_calibration): the
+    per-(source, score) histogram aggregates map-side (rows bounded
+    by the score domain, not the corpus), the cumulative window runs
+    over that aggregated relation, the two bounds reduce to one row
+    per source, and the broadcast join clips the row stream in
+    place. No row-level sort anywhere, so the ~90%-one-source skew
+    of a real crawl never pins a task."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("raw_score")
+    )
+    hist = scored.groupBy("source", "raw_score").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("source").orderBy("raw_score")
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "raw_score",
+        F.sum("c").over(w_cum).alias("cum_le"),
+        F.sum("c").over(w_all).alias("n_src"),
+    )
+
+    def bound(pct):
+        need = F.expr(f"({pct} * n_src + 99) div 100")
+        return F.min(F.when(F.col("cum_le") >= need, F.col("raw_score")))
+
+    bounds = cum.groupBy("source").agg(
+        bound(WINSOR_LO_PCT).cast("bigint").alias("lo"),
+        bound(WINSOR_HI_PCT).cast("bigint").alias("hi"),
+    )
+    return (
+        scored.join(F.broadcast(bounds), "source")
+        .select(
+            "doc_id",
+            "source",
+            "raw_score",
+            "lo",
+            "hi",
+            F.least(F.greatest("raw_score", "lo"), "hi").alias("clipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+winsorize_scores.__doc__ = winsorize_scores.__doc__.format(
+    lo=WINSOR_LO_PCT, hi=WINSOR_HI_PCT
+)

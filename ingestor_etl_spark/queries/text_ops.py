@@ -211,3 +211,50 @@ def token_count(spark, sf_dir):
             F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
         ).alias("bpe_ish_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------- lang_id_confusion
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS lang_declared,
+               {", ".join(f"{expr} AS score_{lang}" for lang, expr in _score_exprs("list_filter", _SQL_TOKENS).items())}
+        FROM documents
+    )
+    SELECT lang_declared,
+           {_lang_case("score_{lang}")} AS lang_pred,
+           count(*) AS n
+    FROM scored
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("text", "langid", "eval"),
+)
+def lang_id_confusion(spark, sf_dir):
+    """Classifier-evaluation surface for the lang_id operator: the
+    (declared label × predicted language) confusion matrix. 'zh'
+    has no marker list, so its column shows where a heuristic-miss
+    lands ('und' or a false positive) — exactly the audit a corpus
+    release needs before trusting per-language mixture numbers
+    (dataset_card, domain_mixture).
+
+    Plan shape: the same single narrow pass as lang_id (wordlists as
+    plan literals, no lookup join) folded into one map-side-combined
+    aggregation on the bounded (label, prediction) key — output rows
+    ≤ |langs|², constant at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.selectExpr(
+        "lang AS lang_declared",
+        *[
+            f"size(filter({_tokens_sql()}, t -> t IN ({', '.join(repr(w) for w in words)}))) AS score_{lang}"
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    return (
+        scored.selectExpr(
+            "lang_declared", f"{_lang_case('score_{lang}')} AS lang_pred"
+        )
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_declared", "lang_pred")
+    )

@@ -325,3 +325,237 @@ def compaction_plan(spark, sf_dir):
         )
         .orderBy("bin_id", F.desc("part_bytes"), "source", "lang")
     )
+
+
+# -------------------------------------------------- gdpr_delete_audit
+GDPR_TOMBSTONE_MOD = 97  # deletion-request users: user_id % 97 == 0
+
+
+@register(
+    "gdpr_delete_audit",
+    oracle=f"""
+    WITH tomb AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {GDPR_TOMBSTONE_MOD} = 0
+    ),
+    survivors AS (
+      SELECT e.* FROM events e ANTI JOIN tomb t ON e.user_id = t.user_id
+    ),
+    before AS (
+      SELECT event_type, count(*) AS rows_before FROM events GROUP BY event_type
+    ),
+    after AS (
+      SELECT event_type, count(*) AS rows_after,
+             CAST(sum(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                           AS BIGINT)) AS BIGINT) AS survivor_checksum
+      FROM survivors GROUP BY event_type
+    )
+    SELECT b.event_type, b.rows_before,
+           b.rows_before - COALESCE(a.rows_after, 0) AS rows_deleted,
+           COALESCE(a.rows_after, 0) AS rows_after,
+           COALESCE(a.survivor_checksum, 0) AS survivor_checksum
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type
+    ORDER BY b.event_type
+    """,
+    tags=("warehouse", "compliance", "delete"),
+)
+def gdpr_delete_audit(spark, sf_dir):
+    """Right-to-erasure propagation with an audit trail: a
+    deletion-request (tombstone) list anti-joins the fact table, and
+    the audit reports per-event-type rows before/deleted/after plus
+    an order-free content checksum of the survivors (sum of 32-bit
+    md5 prefixes of surviving event_ids) — the checksum proves the
+    anti-join deleted exactly the requested keys, not merely the
+    right NUMBER of rows.
+
+    Plan shape: the tombstone side is the distinct deletion keys —
+    at 100 TB erasure requests are thousands-to-millions of rows,
+    always the broadcast side — so the fact table never shuffles:
+    scan → broadcast anti-join → map-side-combined aggregation. The
+    before/after legs both fold into per-type partial aggregates;
+    nothing keys on the (skewed) user_id."""
+    e = load_table(spark, sf_dir, "events")
+    tomb = (
+        e.where(F.col("user_id") % GDPR_TOMBSTONE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    survivors = e.join(F.broadcast(tomb), "user_id", "left_anti")
+    checksum = F.sum(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    ).cast("bigint")
+    before = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_before"))
+    after = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        checksum.alias("survivor_checksum"),
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .select(
+            "event_type",
+            "rows_before",
+            (F.col("rows_before") - F.coalesce("rows_after", F.lit(0))).alias(
+                "rows_deleted"
+            ),
+            F.coalesce("rows_after", F.lit(0)).alias("rows_after"),
+            F.coalesce("survivor_checksum", F.lit(0)).alias("survivor_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------------ zone_map_prune
+ZONE_BUCKET_ROWS = 500  # rows per simulated file / row-group
+ZONE_PRED_LO = "2024-01-10 00:00:00"
+ZONE_PRED_HI = "2024-01-12 00:00:00"
+
+
+@register(
+    "zone_map_prune",
+    oracle=f"""
+    WITH z AS (
+      SELECT event_id // {ZONE_BUCKET_ROWS} AS bucket_id,
+             count(*) AS n_rows,
+             min(epoch_us(ts)) AS min_ts_us,
+             max(epoch_us(ts)) AS max_ts_us,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{ZONE_PRED_LO}'
+                            AND ts <  TIMESTAMP '{ZONE_PRED_HI}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(bucket_id AS BIGINT) AS bucket_id, n_rows,
+           min_ts_us, max_ts_us, n_match,
+           (max_ts_us < epoch_us(TIMESTAMP '{ZONE_PRED_LO}')
+            OR min_ts_us >= epoch_us(TIMESTAMP '{ZONE_PRED_HI}')) AS pruned
+    FROM z ORDER BY bucket_id
+    """,
+    tags=("warehouse", "zonemap", "data-skipping"),
+)
+def zone_map_prune(spark, sf_dir):
+    """Zone-map (min/max statistics) data-skipping report: bucket the
+    fact table into simulated files of {rows} rows, compute each
+    bucket's ts min/max zone map, and decide which buckets a range
+    predicate can skip without reading — alongside the ACTUAL match
+    count per bucket, so `pruned ⇒ n_match = 0` is checkable row by
+    row (asserted in tests). This is the audit view of what parquet
+    row-group statistics + predicate pushdown do physically (the scan
+    plans in test_plans.py assert PushedFilters; this query makes the
+    skipping arithmetic itself a first-class, oracle-checked result).
+
+    Plan shape: one map-side-combined aggregation on a derived
+    bucket key; output rows = bucket count (file metadata, not
+    data). At 100 TB this is the same footprint as an Iceberg
+    manifest scan — zone maps are why the 2-day predicate reads ~2
+    days of files, not 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    in_range = (F.col("ts") >= F.lit(ZONE_PRED_LO).cast("timestamp")) & (
+        F.col("ts") < F.lit(ZONE_PRED_HI).cast("timestamp")
+    )
+    z = (
+        e.groupBy((F.col("event_id") / ZONE_BUCKET_ROWS).cast("bigint").alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.unix_micros("ts")).alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            F.sum(in_range.cast("int")).cast("bigint").alias("n_match"),
+        )
+    )
+    lo_us = F.unix_micros(F.lit(ZONE_PRED_LO).cast("timestamp"))
+    hi_us = F.unix_micros(F.lit(ZONE_PRED_HI).cast("timestamp"))
+    return (
+        z.select(
+            "bucket_id",
+            "n_rows",
+            "min_ts_us",
+            "max_ts_us",
+            "n_match",
+            ((F.col("max_ts_us") < lo_us) | (F.col("min_ts_us") >= hi_us)).alias(
+                "pruned"
+            ),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+zone_map_prune.__doc__ = zone_map_prune.__doc__.format(rows=ZONE_BUCKET_ROWS)
+
+
+# --------------------------------------------------- incremental_rollup
+ROLLUP_SPLIT_TS = "2024-01-16 00:00:00"  # base/delta watermark
+
+
+@register(
+    "incremental_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events WHERE ts < TIMESTAMP '{ROLLUP_SPLIT_TS}'
+      GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events WHERE ts >= TIMESTAMP '{ROLLUP_SPLIT_TS}'
+      GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+           epoch_us(COALESCE(b.hr, d.hr)) AS hr_us,
+           CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(CAST(COALESCE(b.sv, 0) + COALESCE(d.sv, 0) AS DECIMAL(14,2))
+                AS DOUBLE) AS total_value
+    FROM base b FULL OUTER JOIN delta d
+      ON b.event_type = d.event_type AND b.hr = d.hr
+    ORDER BY event_type, hr_us
+    """,
+    tags=("warehouse", "incremental", "rollup"),
+)
+def incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance for an hourly
+    rollup: the stored BASE aggregate (events before the watermark)
+    merges with the DELTA aggregate (the new micro-batch) via a
+    full-outer combine on the group key — count and decimal sum are
+    both mergeable, so base ⊕ delta is bit-identical to a full
+    recompute (the oracle IS the same split recomputed; equality to
+    the direct one-pass rollup is asserted in tests).
+
+    Plan shape and the 100 TB story: on a real lakehouse the base
+    side is the stored rollup table — hours × types rows, NOT the
+    raw 100 TB — so each refresh scans only the new partition,
+    aggregates it map-side, and joins aggregate-to-aggregate on the
+    bounded group key. This query materializes both legs from the
+    fact table only because the sandbox has no persistent store;
+    the merge arithmetic (decimal, null-safe coalesce) is the
+    product surface."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(ROLLUP_SPLIT_TS).cast("timestamp")
+
+    def leg(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+        )
+
+    base = leg(e.where(F.col("ts") < split)).alias("b")
+    delta = leg(e.where(F.col("ts") >= split)).alias("d")
+    j = base.join(
+        delta,
+        (F.col("b.event_type") == F.col("d.event_type"))
+        & (F.col("b.hr") == F.col("d.hr")),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce("b.event_type", "d.event_type").alias("event_type"),
+            F.unix_micros(F.coalesce("b.hr", "d.hr")).alias("hr_us"),
+            (
+                F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce("b.sv", F.lit(0)) + F.coalesce("d.sv", F.lit(0))
+            ).cast("decimal(14,2)").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "hr_us")
+    )
