@@ -85,6 +85,20 @@ EXTENDED = [
     "dedup_report",
     "pcap_flow_stats",
     "salted_hot_agg",
+    # round-4 waves 3-5
+    "events_gapfill",
+    "cms_heavy_hitters",
+    "source_reputation",
+    "compaction_plan",
+    "knn_graph",
+    "gdpr_delete_audit",
+    "zone_map_prune",
+    "incremental_rollup",
+    "lang_id_confusion",
+    "winsorize_scores",
+    "session_transcripts",
+    "incremental_dedup",
+    "embedding_quantize_int8",
 ]
 
 

@@ -18,9 +18,11 @@ Scale design (100 TB corpus):
   distributed hash keys, no skew;
 - candidate pairs come only from same-bucket docs, so the
   quadratic join is confined to buckets (the whole point of LSH);
-- the exact-Jaccard verifier joins only on shared shingles —
-  worst-case hot shingles are bounded by dropping top-frequency
-  shingles (stop-shingle cut, mirrors stopword removal).
+- the exact-Jaccard verifier joins only on shared shingles; its
+  cost is quadratic in shingle document-frequency, so at corpus
+  scale it runs on LSH candidates (as the verifier stage) or on a
+  deterministic document stratum (lsh_dedup_eval's EVAL_KEEP gate)
+  — never on the full corpus shingle relation.
 """
 
 from __future__ import annotations
@@ -37,13 +39,18 @@ N_BANDS = 3  # bands of 2 rows over the 6 minhashes
 _SPARK_TOKS = "split(trim(lower(text)), ' +')"
 _SQL_TOKS = "string_split_regex(trim(lower(text)), ' +')"
 
+# Shifted-zip bigram construction (same trick as corpus_ops._ngrams):
+# higher-order-function lambdas are INTERPRETED, so an element_at(
+# split(...), i) inside the lambda re-splits the text once per
+# element — O(tokens²) work per doc (measured ~5 ms/doc; it made the
+# LSH banding join 25 s at sf0.1). Zipping two shifted slices keeps
+# every lambda referencing only its arguments: the split runs a
+# constant number of times per row and the zip is O(tokens).
 _SPARK_SHINGLES = f"""
-    CASE WHEN size({_SPARK_TOKS}) < 2 THEN array()
-    ELSE array_distinct(transform(
-        sequence(1, size({_SPARK_TOKS}) - 1),
-        i -> concat(element_at({_SPARK_TOKS}, int(i)), ' ',
-                    element_at({_SPARK_TOKS}, int(i) + 1))))
-    END
+    array_distinct(zip_with(
+        slice({_SPARK_TOKS}, 1, greatest(size({_SPARK_TOKS}) - 1, 0)),
+        slice({_SPARK_TOKS}, 2, greatest(size({_SPARK_TOKS}) - 1, 0)),
+        (x, y) -> concat(x, ' ', y)))
 """
 _SQL_SHINGLES = f"""
     CASE WHEN len({_SQL_TOKS}) < 2 THEN []
@@ -73,8 +80,18 @@ def _sql_minhash(salt: str) -> str:
 
 
 def _shingled(spark, sf_dir) -> DataFrame:
+    # Repartition BEFORE the shingle/minhash projections: the
+    # testdata parquet has one row group (unsplittable → one task),
+    # and the downstream per-doc expression work (shingling + 6
+    # salted-md5 minhash folds, interpreted HOF lambdas) is the cost
+    # center of the whole dedup stack — serialized on one core it
+    # dominates every LSH query. The shuffle moves only (doc_id,
+    # text), and on a real cluster with splittable inputs the
+    # round-robin repartition is a cheap rebalance of the same
+    # narrow pass (AQE would do the equivalent split).
     return (
         load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
         .where(F.size("shingles") > 0)
     )
@@ -291,11 +308,38 @@ def simhash_clusters(spark, sf_dir):
 # ------------------------------------------------------------ LSH evaluation
 _JACCARD_THRESHOLD = 0.5
 
+# Stratified evaluation sample: the exact ground truth is quadratic in
+# shingle document-frequency, and this corpus is templated (median
+# shingle df ≈ 6% of all docs), so the full-corpus truth join
+# materializes ~n²·0.06 pairs — 73M at sf0.1, and unbounded at 100 TB.
+# Both legs therefore run on a deterministic md5 stratum of documents
+# (EVAL_KEEP/EVAL_MOD of the corpus): pair mass falls by the sample
+# rate SQUARED while precision/recall stay unbiased estimates for the
+# stratum. The full-corpus exact form remains available as
+# ngram_jaccard_pairs (the registered verifier operator).
+EVAL_MOD = 10
+EVAL_KEEP = 4  # 40% of docs → 16% of the pair mass
+
+_SQL_EVAL_GATE = (
+    f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    f" % {EVAL_MOD} < {EVAL_KEEP}"
+)
+_SQL_EVAL_SHINGLED = f"SELECT * FROM ({_SQL_SHINGLED}) WHERE {_SQL_EVAL_GATE}"
+
+
+def _eval_gate_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % EVAL_MOD
+        < EVAL_KEEP
+    )
+
 
 @register(
     "lsh_dedup_eval",
     oracle=f"""
-    WITH shingled AS ({_SQL_SHINGLED}),
+    WITH shingled AS ({_SQL_EVAL_SHINGLED}),
     sigs AS (
         SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
         FROM shingled
@@ -357,14 +401,70 @@ def lsh_dedup_eval(spark, sf_dir):
     trusted. TP = candidate pairs that are true near-dups, FP =
     candidates below threshold (wasted verifier work), FN = true
     pairs LSH missed (banding recall loss). One full-outer join of
-    the two pair relations → a single global aggregate row. At
-    100 TB the exact ground truth is computed on a stratified
-    SAMPLE (the estimator is unbiased per stratum); the operator
-    shape is identical. Parity: counts are BIGINT; the two
+    the two pair relations → a single global aggregate row.
+
+    Both legs run on a deterministic md5 DOCUMENT stratum
+    ({keep}/{mod} of the corpus — see EVAL_KEEP above): exact truth
+    is quadratic in shingle document-frequency, so the stratum cuts
+    the pair mass by the sample rate squared while precision/recall
+    remain exact for the stratum (and unbiased estimators for the
+    corpus). This is the only form that exists at 100 TB — a
+    full-corpus exact ground truth is the O(n²) computation the LSH
+    pass is there to avoid. Parity: counts are BIGINT; the two
     precision/recall divisions are single int/int double divides —
     bit-identical, no rounding step."""
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    from ingestor_etl_spark.plans.layout import materialize
+
+    sampled = materialize(_shingled(spark, sf_dir).where(_eval_gate_col()))
+
+    # LSH leg on the stratum: signatures → bands → bucket join.
+    banded = sampled.selectExpr(
+        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    ).selectExpr("doc_id", *_SPARK_BAND_LIST)
+    long_form = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
+            "band_no", "band_key"
+        ),
+    )
+    la, lb = long_form.alias("la"), long_form.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.band_no") == F.col("lb.band_no"))
+            & (F.col("la.band_key") == F.col("lb.band_key"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+    # Exact-truth leg on the same stratum: shared-shingle join.
+    exploded = sampled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sampled.select("doc_id", F.size("shingles").alias("n"))
+    ea, eb = exploded.alias("ea"), exploded.alias("eb")
+    shared = (
+        ea.join(
+            eb,
+            (F.col("ea.shingle") == F.col("eb.shingle"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(F.col("ea.doc_id").alias("doc_a"), F.col("eb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    truth = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     c = cand.alias("c")
     t = truth.alias("t")
     j = c.join(
@@ -384,4 +484,77 @@ def lsh_dedup_eval(spark, sf_dir):
         F.sum(F.when(F.col("ca").isNull(), 1).otherwise(0)).alias("fn"),
         (tp / F.count("ca").cast("double")).alias("precision"),
         (tp / F.count("ta").cast("double")).alias("recall"),
+    )
+
+
+lsh_dedup_eval.__doc__ = lsh_dedup_eval.__doc__.format(keep=EVAL_KEEP, mod=EVAL_MOD)
+
+
+# --------------------------------------------------- incremental_dedup
+INCR_BATCH_MOD = 3  # "new batch" = doc_id % 3 == 0; rest = stored corpus
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ),
+    batch AS (
+      SELECT doc_id, fp FROM fps WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ),
+    firsts AS (
+      SELECT fp, min(doc_id) AS first_doc FROM batch GROUP BY fp
+    )
+    SELECT b.doc_id, b.fp,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id = f.first_doc THEN 'kept'
+                ELSE 'dup_in_batch' END AS verdict
+    FROM batch b
+    LEFT JOIN corpus c ON b.fp = c.fp
+    JOIN firsts f ON b.fp = f.fp
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "incremental", "exact"),
+)
+def incremental_dedup(spark, sf_dir):
+    """Continuous-crawl dedup: a NEW batch dedups against the stored
+    corpus fingerprint index AND within itself — every batch doc gets
+    a verdict: dup_of_corpus (fingerprint already stored), kept
+    (first occurrence in the batch), or dup_in_batch. This is the
+    operator a daily-ingest pipeline runs instead of re-deduping
+    100 TB from scratch (the batch-vs-index shape; exact_dedup is
+    the from-scratch form).
+
+    Plan shape: both legs shuffle on the uniform md5 fingerprint —
+    the corpus side is a DISTINCT fingerprint INDEX (at scale a
+    stored, bucketed-by-fp table, so the probe is a co-located or
+    broadcast join of the SMALL batch against it; the 100 TB corpus
+    itself is never rescanned). Within-batch firsts use the
+    aggregation-only min-per-fp shape (hot-fingerprint-safe, same
+    argument as canonical_docs)."""
+    fps = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    corpus = (
+        fps.where(F.col("doc_id") % INCR_BATCH_MOD != 0).select("fp").distinct()
+    )
+    batch = fps.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    in_corpus = corpus.withColumn("in_corpus", F.lit(True))
+    return (
+        batch.join(in_corpus, "fp", "left")
+        .join(firsts, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("doc_id") == F.col("first_doc"), "kept")
+            .otherwise("dup_in_batch")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
     )

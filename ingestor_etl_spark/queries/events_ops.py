@@ -460,3 +460,66 @@ def salted_hot_agg(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "session_transcripts",
+    oracle=f"""
+    {_SQL_SESSIONIZED}
+    SELECT user_id, session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+    FROM sessioned
+    WHERE user_id < 40
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    tags=("sessionization", "sequence", "training-data"),
+)
+def session_transcripts(spark, sf_dir):
+    """Behavioral-sequence assembly: each (user, session) becomes one
+    ordered action transcript ('click>view>purchase…') — the
+    sequence-building step that turns an event log into training
+    rows for next-action / session models (the sigshark transaction
+    assembly generalized from frames to ML sequences).
+
+    Plan shape: sessionization (lag/flag/running-sum) and the
+    transcript aggregation all key on user_id — one exchange end to
+    end. Ordering inside a session is made engine-exact without any
+    per-row sort task: Spark collects (ts, event_id, type) structs
+    per session and array_sorts WITHIN each group (bounded by
+    session length, the same per-key-state bound the streaming
+    variant has), matching the oracle's ORDER BY inside
+    string_agg."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    s = sessionize(
+        e,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+        gap_us=_SESSION_GAP_US,
+    )
+    ordered_types = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ),
+        lambda st: st["et"],
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(ordered_types, ">").alias("transcript"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "span_us"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -93,7 +93,13 @@ def _lsh_pairs(spark, sf_dir):
     base = _shingled(spark, sf_dir).selectExpr(
         "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
     )
-    banded = base.selectExpr("doc_id", *_SPARK_BAND_LIST)
+    # Materialize the banded signatures (7 small columns/doc): the
+    # band bucket self-join reads this relation on BOTH sides, and
+    # without the cache each side re-runs the full shingle+minhash
+    # pipeline (measured ~2× the whole query).
+    from ingestor_etl_spark.plans.layout import materialize
+
+    banded = materialize(base.selectExpr("doc_id", *_SPARK_BAND_LIST))
     long_form = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
@@ -536,7 +542,13 @@ def dedup_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
     )
-    pairs = _lsh_pairs(spark, sf_dir)
+    # Materialize the pair relation: it feeds both the count branch
+    # and connected_components' edge checkpoint — without this the
+    # full LSH banding join runs twice (measured ~2× the query cost
+    # at sf0.1).
+    from ingestor_etl_spark.plans.layout import materialize
+
+    pairs = materialize(_lsh_pairs(spark, sf_dir))
     cand = pairs.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
     clusters = connected_components(pairs, src="doc_a", dst="doc_b")
     cc = clusters.agg(

@@ -763,3 +763,114 @@ def knn_graph(spark, sf_dir):
 
 
 knn_graph.__doc__ = knn_graph.__doc__.format(k=KNN_K, t=N_TABLES, p=N_PLANES)
+
+
+# ------------------------------------------------ embedding_quantize_int8
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM e, LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+    ),
+    q AS (
+      SELECT vec_id, v, mns, mxs,
+             list_transform(range(1, {DIM} + 1),
+               i -> CAST(round(255 * (v[i] - mns[i]) / (mxs[i] - mns[i]))
+                         AS BIGINT)) AS qs
+      FROM e, stats
+    ),
+    err AS (
+      SELECT vec_id, qs,
+             list_transform(range(1, {DIM} + 1),
+               i -> CAST(round(abs(v[i] - (mns[i] + qs[i] * (mxs[i] - mns[i]) / 255))
+                              * 1e9) AS BIGINT)) AS errs
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_min(qs) AS BIGINT) AS q_min,
+           CAST(list_max(qs) AS BIGINT) AS q_max,
+           round(CAST(list_sum(errs) AS DOUBLE) / {DIM} / 1e9, 6) AS recon_mae
+    FROM err ORDER BY vec_id
+    """,
+    tags=("vector", "quantization", "compression"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding table (the 4×
+    storage-compression step vector stores apply before PQ): global
+    per-dimension min/max → affine map to 0..255 → per-vector code
+    summary (sum/min/max of codes) plus the mean reconstruction
+    error. Codes are integers from identical double arithmetic on
+    both engines; the error fold rounds each per-dim |x − dequant(q)|
+    into integer nano-units BEFORE summing, so the mean is
+    aggregation-order-free and engine-exact.
+
+    Plan shape: the stats pass is one posexplode + per-dim min/max
+    ({DIM} output rows — map-side combined, order-free aggregates);
+    the 1-row stats relation broadcasts back and quantization is a
+    pure narrow pass (array fold per row, no shuffle). At 100 TB
+    that is scan → broadcast → scan-shaped rewrite; the quantized
+    codes would be written back as the compressed column and serve
+    ann_pq_topk-style ADC search."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    dims = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    mn_i = lambda i: F.element_at("mns", i + 1)  # noqa: E731
+    mx_i = lambda i: F.element_at("mxs", i + 1)  # noqa: E731
+    q = e.crossJoin(F.broadcast(stats)).withColumn(
+        "qs",
+        F.transform(
+            "v",
+            lambda x, i: F.round(
+                F.lit(255) * (x - mn_i(i)) / (mx_i(i) - mn_i(i))
+            ).cast("bigint"),
+        ),
+    )
+    err = q.withColumn(
+        "errs",
+        F.transform(
+            "v",
+            lambda x, i: F.round(
+                F.abs(
+                    x
+                    - (
+                        mn_i(i)
+                        + F.element_at("qs", i + 1) * (mx_i(i) - mn_i(i)) / 255
+                    )
+                )
+                * 1e9
+            ).cast("bigint"),
+        ),
+    )
+    fold = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x)  # noqa: E731
+    return (
+        err.select(
+            "vec_id",
+            fold(F.col("qs")).alias("q_sum"),
+            F.array_min("qs").alias("q_min"),
+            F.array_max("qs").alias("q_max"),
+            F.round(
+                fold(F.col("errs")).cast("double") / DIM / F.lit(1e9), 6
+            ).alias("recon_mae"),
+        )
+        .orderBy("vec_id")
+    )

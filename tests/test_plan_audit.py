@@ -31,6 +31,10 @@ BNL_ALLOWED = {
     # three 1-row aggregate branches cross-joined into the report row
     # — literal-side by construction, same shape as q11
     "dedup_report",
+    # 1-row per-dimension min/max stats relation broadcast into the
+    # quantization pass — literal-side by construction, same shape
+    # as bm25_search
+    "embedding_quantize_int8",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch

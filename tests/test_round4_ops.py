@@ -129,14 +129,33 @@ def test_pq_approximates_exact_neighbors(spark):
 
 
 def test_lsh_eval_confusion_identities(spark):
+    import hashlib
+
+    from ingestor_etl_spark.queries.dedup_ops import EVAL_KEEP, EVAL_MOD
+
     row = REGISTRY["lsh_dedup_eval"].fn(spark, SF).collect()[0]
     assert row.tp + row.fp == row.n_candidates
     assert row.tp + row.fn == row.n_truth
     assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
-    # consistency with the two source relations
-    n_cand = REGISTRY["minhash_lsh_pairs"].fn(spark, SF).count()
-    n_truth = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).count()
+
+    # consistency with the two source relations RESTRICTED to the
+    # evaluation stratum (both endpoints inside the md5 doc sample)
+    def in_sample(doc_id: int) -> bool:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % EVAL_MOD
+            < EVAL_KEEP
+        )
+
+    n_cand = sum(
+        in_sample(r.doc_a) and in_sample(r.doc_b)
+        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, SF).collect()
+    )
+    n_truth = sum(
+        in_sample(r.doc_a) and in_sample(r.doc_b)
+        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
+    )
     assert (row.n_candidates, row.n_truth) == (n_cand, n_truth)
+    assert row.n_truth > 0, "stratum degenerate — no truth pairs at this sf"
 
 
 def test_vocab_coverage_python_reference(spark):
