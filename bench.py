@@ -99,6 +99,10 @@ EXTENDED = [
     "session_transcripts",
     "incremental_dedup",
     "embedding_quantize_int8",
+    "pit_dimension_join",
+    "salted_skew_join",
+    "rolling_zscore_outliers",
+    "containment_pairs",
 ]
 
 

@@ -474,3 +474,97 @@ def cms_heavy_hitters(spark, sf_dir):
 cms_heavy_hitters.__doc__ = cms_heavy_hitters.__doc__.format(
     d=CMS_DEPTH, w=CMS_WIDTH, k=CMS_TOPK, cells=CMS_DEPTH * CMS_WIDTH
 )
+
+
+# ---------------------------------------------- rolling_zscore_outliers
+ZSCORE_WINDOW = 20  # trailing rows per user
+ZSCORE_MIN_N = 10  # minimum window fill before flagging
+ZSCORE_SIGMA = 2  # |z| threshold
+
+
+@register(
+    "rolling_zscore_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts_us, cents,
+             count(*) OVER win AS n,
+             sum(cents) OVER win AS s,
+             sum(cents * cents) OVER win AS q
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN {ZSCORE_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, cents,
+           CAST(n AS BIGINT) AS n_window,
+           round((cents * n - s) / sqrt(CAST(n * q - s * s AS DOUBLE)), 4) AS z
+    FROM w
+    WHERE n >= {ZSCORE_MIN_N}
+      AND n * q - s * s > 0
+      AND (cents * n - s) * (cents * n - s)
+          > {ZSCORE_SIGMA * ZSCORE_SIGMA} * (n * q - s * s)
+    ORDER BY user_id, event_id
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def rolling_zscore_outliers(spark, sf_dir):
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates more than {sigma}σ from the mean of the user's trailing
+    {n}-event window. The OUTLIER DECISION is all-integer — values
+    become cents, and |z| > {sigma} is evaluated as
+    (c·n − S)² > {sigma}²·(n·Q − S²) over BIGINT window sums — so
+    the flag can never flip on float rounding and is bit-identical
+    across engines; the reported z itself is one double sqrt +
+    division, rounded for display.
+
+    Plan shape: one window frame per user (the same user_id exchange
+    the session/lag family uses) computing three mergeable sums;
+    selectivity is applied after the frame, so the scan stays one
+    pass. At 100 TB per-key state is the {n}-row frame — constant
+    memory, and the same three sums run unchanged as a streaming
+    stateful aggregation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(ZSCORE_WINDOW - 1), Window.currentRow)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("q"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("s")
+    var_scaled = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        w.where(
+            (F.col("n") >= ZSCORE_MIN_N)
+            & (var_scaled > 0)
+            & (dev * dev > ZSCORE_SIGMA * ZSCORE_SIGMA * var_scaled)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.col("n").cast("bigint").alias("n_window"),
+            F.round(dev / F.sqrt(var_scaled.cast("double")), 4).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+rolling_zscore_outliers.__doc__ = rolling_zscore_outliers.__doc__.format(
+    sigma=ZSCORE_SIGMA, n=ZSCORE_WINDOW
+)

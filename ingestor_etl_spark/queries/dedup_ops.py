@@ -305,6 +305,34 @@ def simhash_clusters(spark, sf_dir):
     )
 
 
+def _band_pairs(shingled_df: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from a shingled
+    relation: signatures → bands → per-(band_no, band_key) bucket
+    self-join. Shared by lsh_dedup_eval and containment_pairs."""
+    banded = shingled_df.selectExpr(
+        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    ).selectExpr("doc_id", *_SPARK_BAND_LIST)
+    long_form = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
+            "band_no", "band_key"
+        ),
+    )
+    la, lb = long_form.alias("la"), long_form.alias("lb")
+    return (
+        la.join(
+            lb,
+            (F.col("la.band_no") == F.col("lb.band_no"))
+            & (F.col("la.band_key") == F.col("lb.band_key"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
 # ------------------------------------------------------------ LSH evaluation
 _JACCARD_THRESHOLD = 0.5
 
@@ -416,30 +444,7 @@ def lsh_dedup_eval(spark, sf_dir):
     from ingestor_etl_spark.plans.layout import materialize
 
     sampled = materialize(_shingled(spark, sf_dir).where(_eval_gate_col()))
-
-    # LSH leg on the stratum: signatures → bands → bucket join.
-    banded = sampled.selectExpr(
-        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    ).selectExpr("doc_id", *_SPARK_BAND_LIST)
-    long_form = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
-            "band_no", "band_key"
-        ),
-    )
-    la, lb = long_form.alias("la"), long_form.alias("lb")
-    cand = (
-        la.join(
-            lb,
-            (F.col("la.band_no") == F.col("lb.band_no"))
-            & (F.col("la.band_key") == F.col("lb.band_key"))
-            & (F.col("la.doc_id") < F.col("lb.doc_id")),
-        )
-        .select(
-            F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
-        )
-        .dropDuplicates()
-    )
+    cand = _band_pairs(sampled)
 
     # Exact-truth leg on the same stratum: shared-shingle join.
     exploded = sampled.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -558,3 +563,114 @@ def incremental_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------- containment_pairs
+CONTAINMENT_THRESHOLD = 0.8
+
+_SQL_BAND_CAND = f"""
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (
+        SELECT doc_id, {_SQL_BANDS} FROM sigs
+    ),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long_form a JOIN long_form b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+{_SQL_BAND_CAND}
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(ns AS DOUBLE) / (na + nb - ns), 4) AS jaccard,
+           round(CAST(ns AS DOUBLE) / na, 4) AS contain_a,
+           round(CAST(ns AS DOUBLE) / nb, 4) AS contain_b
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(sa.shingles,
+                             s -> list_contains(sb.shingles, s))) AS ns,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+    ) c
+    WHERE CAST(ns AS DOUBLE) / na >= {CONTAINMENT_THRESHOLD}
+       OR CAST(ns AS DOUBLE) / nb >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "containment", "lsh"),
+)
+def containment_pairs(spark, sf_dir):
+    """Asymmetric near-duplication (shingle CONTAINMENT, Broder's
+    second measure): |A∩B|/|A| ≥ {t} catches a document quoted or
+    wholesale-included inside a larger one — pairs symmetric Jaccard
+    misses entirely (a 60-shingle doc inside a 600-shingle doc has
+    containment 1.0 but Jaccard ≤ 0.1). The quote/boilerplate-
+    inclusion detector every crawl-dedup pipeline runs next to the
+    symmetric pass.
+
+    Plan shape: candidates come from the SAME multi-band LSH bucket
+    join as the Jaccard stack (_band_pairs — no all-pairs anywhere),
+    then each candidate verifies with one native array_intersect
+    over the two shingle arrays (codegen'd collection function, not
+    an interpreted lambda). Work scales with candidate count ×
+    shingle length; both verification joins shuffle on doc ids
+    only. MinHash under-recalls low-Jaccard containment pairs by
+    construction — production tunes band count or uses suffix
+    sampling; the operator shape is unchanged."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    shingled = materialize(_shingled(spark, sf_dir))
+    cand = _band_pairs(shingled)
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb")
+    )
+    ns = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ns.alias("ns"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+    )
+    c_a = F.col("ns").cast("double") / F.col("na")
+    c_b = F.col("ns").cast("double") / F.col("nb")
+    jac = F.col("ns").cast("double") / (F.col("na") + F.col("nb") - F.col("ns"))
+    return (
+        scored.where(
+            (c_a >= CONTAINMENT_THRESHOLD) | (c_b >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(c_a, 4).alias("contain_a"),
+            F.round(c_b, 4).alias("contain_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+containment_pairs.__doc__ = containment_pairs.__doc__.format(
+    t=CONTAINMENT_THRESHOLD
+)

@@ -523,3 +523,75 @@ def session_transcripts(spark, sf_dir):
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hk,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT hk,
+             CAST('0x' || substr(md5(CAST(hk AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000 AS dim_code
+      FROM f
+    )
+    SELECT f.hk, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(f.v) AS DECIMAL(16,2)) AS DOUBLE) AS total_value,
+           MAX(d.dim_code) AS dim_code
+    FROM f JOIN dim d ON f.hk = d.hk
+    GROUP BY f.hk ORDER BY f.hk
+    """,
+    tags=("join", "skew", "salting"),
+)
+def salted_skew_join(spark, sf_dir):
+    """Skew-join salting as a registered, oracle-checked query: half
+    the fact rows collapse onto one hot key (every even user → key
+    0), which in a plain hash join lands ~50% of the table on ONE
+    task. The query detects hot keys with a cheap stats pass
+    (count > 10% of rows), salts the fact side across 8 salts,
+    replicates only the HOT dimension rows across those salts
+    (plans/layout.salt_join), joins on (key, salt), and aggregates
+    back — the result is bit-identical to the plain join (the
+    oracle runs the plain join) while the physical work spreads
+    across salt tasks. This is the AQE-skew-join fallback pattern
+    for when the skewed side feeds a window or AQE is off; at 100 TB
+    the hot list is a broadcast of a handful of keys."""
+    from ingestor_etl_spark.plans.layout import explode_hot_keys
+
+    e = load_table(spark, sf_dir, "events")
+    f = e.select(
+        F.when(F.col("user_id") % 2 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("hk"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    dim = f.select("hk").distinct().select(
+        "hk",
+        (
+            F.conv(F.substring(F.md5(F.col("hk").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 1000
+        ).alias("dim_code"),
+    )
+    n_rows = f.count()
+    hot = (
+        f.groupBy("hk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > n_rows / 10)
+        .select("hk")
+    )
+    big_s, small_s = explode_hot_keys(f, dim, ["hk"], hot)
+    return (
+        big_s.join(small_s, ["hk", "__salt"])
+        .groupBy("hk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v").cast("decimal(16,2)").cast("double").alias("total_value"),
+            F.max("dim_code").alias("dim_code"),
+        )
+        .orderBy("hk")
+    )

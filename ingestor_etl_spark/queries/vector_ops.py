@@ -90,15 +90,15 @@ N_PLANES = 4
 N_TABLES = 10  # independent hash tables for the near-dup candidate union
 
 
-def _hyperplanes(tbl: int = 0) -> list[list[float]]:
+def _hyperplanes(tbl: int = 0, n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Knuth-LCG values in
     [-1, 1] with exact 3-decimal literals so Spark and DuckDB parse
     bit-identical doubles). ``tbl`` selects an independent table;
     table 0 is the ann_lsh_bucketed table."""
     return [
-        [((((tbl * N_PLANES + j) * DIM + k) * 2654435761) % 2001 - 1000) / 1000.0
+        [((((tbl * n_planes + j) * DIM + k) * 2654435761) % 2001 - 1000) / 1000.0
          for k in range(DIM)]
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     ]
 
 
@@ -110,18 +110,18 @@ def _plane_literal_spark(plane: list[float]) -> str:
     return "array(" + ", ".join(f"{x:.3f}D" for x in plane) + ")"
 
 
-def _sql_bucket(tbl: int = 0) -> str:
+def _sql_bucket(tbl: int = 0, n_planes: int = N_PLANES) -> str:
     return " + ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(_hyperplanes(tbl))
+        for j, p in enumerate(_hyperplanes(tbl, n_planes))
     )
 
 
-def _spark_bucket(tbl: int = 0) -> str:
+def _spark_bucket(tbl: int = 0, n_planes: int = N_PLANES) -> str:
     return " + ".join(
         "(CASE WHEN aggregate(zip_with(v, {pl}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
         "THEN {w} ELSE 0 END)".format(pl=_plane_literal_spark(p), w=1 << j)
-        for j, p in enumerate(_hyperplanes(tbl))
+        for j, p in enumerate(_hyperplanes(tbl, n_planes))
     )
 
 
@@ -677,14 +677,33 @@ def embedding_stats(spark, sf_dir):
 
 # ----------------------------------------------------------- knn_graph
 KNN_K = 3
+# kNN buckets are FINER than the near-dup tables (6 sign bits → 64
+# buckets vs 4 → 16): candidate volume grows as n²·tables/2^planes
+# with corpus size, so plane count must track log2(corpus) — at the
+# benched scale 4-bit buckets hold ~300 vectors each and the
+# candidate join balloons ~16× (measured 8.5 s → ~1.5 s). At 100 TB
+# this knob is the operator's scale parameter (production ANN sizes
+# buckets to a target occupancy, not a fixed bit width).
+KNN_PLANES = 6
+
+_KNN_KEYS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {t} AS tbl, {_sql_bucket(t, KNN_PLANES)} AS bucket FROM e"
+    for t in range(N_TABLES)
+)
 
 
 @register(
     "knn_graph",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
     keys AS (
-{_NEAR_DUP_KEYS_SQL}
+{_KNN_KEYS_SQL}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -693,9 +712,7 @@ KNN_K = 3
     ),
     scored AS (
       SELECT c.src, c.dst,
-             round(list_dot_product(es.v, ed.v)
-                   / (sqrt(list_dot_product(es.v, es.v))
-                      * sqrt(list_dot_product(ed.v, ed.v))), 4) AS cos_sim
+             round(list_dot_product(es.nv, ed.nv), 4) AS cos_sim
       FROM cand c
       JOIN e es ON es.vec_id = c.src
       JOIN e ed ON ed.vec_id = c.dst
@@ -726,18 +743,47 @@ def knn_graph(spark, sf_dir):
     100 TB recall/cost tune via N_TABLES and N_PLANES exactly as the
     near-dup path documents; nodes sharing no bucket with anyone
     simply emit no edges (isolated in the graph)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Normalize ONCE per vector and materialize: the pair-scoring
+    # fold then needs a single 64-term dot product instead of three
+    # (dot + two norms) — HOF folds are interpreted, so per-pair op
+    # count is the cost driver on a large candidate set (measured
+    # ~3× on the scoring stage). Keys are materialized for the same
+    # reason: both sides of the bucket join would recompute the
+    # 10-table × 6-plane signature folds.
+    # Repartition before the fold-heavy projections: the testdata
+    # parquet is one row group (one task), and normalization + the
+    # 10-table × 6-plane signature folds are interpreted per-element
+    # work — serialized on a single core they dominate the query
+    # (same layout fix as dedup_ops._shingled).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
     )
-    keys = e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.expr(_spark_bucket(t)).alias("bucket"))
-                for t in range(N_TABLES)
-            ])
-        ).alias("k"),
-    ).select("vec_id", "k.tbl", "k.bucket")
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    env = materialize(
+        e.select(
+            "vec_id",
+            F.transform("v", lambda x: x / norm).alias("nv"),
+            "v",
+        )
+    )
+    keys = materialize(
+        env.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.expr(_spark_bucket(t, KNN_PLANES)).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ])
+            ).alias("k"),
+        ).select("vec_id", "k.tbl", "k.bucket")
+    )
     a = keys.select("tbl", "bucket", F.col("vec_id").alias("src"))
     b = keys.select("tbl", "bucket", F.col("vec_id").alias("dst"))
     cand = (
@@ -746,12 +792,16 @@ def knn_graph(spark, sf_dir):
         .select("src", "dst")
         .dropDuplicates()
     )
-    es = e.select(F.col("vec_id").alias("src"), F.col("v").alias("vs"))
-    ed = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vd"))
+    es = env.select(F.col("vec_id").alias("src"), F.col("nv").alias("nva"))
+    ed = env.select(F.col("vec_id").alias("dst"), F.col("nv").alias("nvb"))
     scored = (
         cand.join(es, "src")
         .join(ed, "dst")
-        .select("src", "dst", F.round(cosine(F.col("vs"), F.col("vd")), 4).alias("cos_sim"))
+        .select(
+            "src",
+            "dst",
+            F.round(_dot(F.col("nva"), F.col("nvb")), 4).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (
@@ -762,7 +812,7 @@ def knn_graph(spark, sf_dir):
     )
 
 
-knn_graph.__doc__ = knn_graph.__doc__.format(k=KNN_K, t=N_TABLES, p=N_PLANES)
+knn_graph.__doc__ = knn_graph.__doc__.format(k=KNN_K, t=N_TABLES, p=KNN_PLANES)
 
 
 # ------------------------------------------------ embedding_quantize_int8

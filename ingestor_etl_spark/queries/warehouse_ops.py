@@ -559,3 +559,72 @@ def incremental_rollup(spark, sf_dir):
         )
         .orderBy("event_type", "hr_us")
     )
+
+
+# --------------------------------------------------- pit_dimension_join
+@register(
+    "pit_dimension_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, epoch_us(ts) AS vf_us,
+             MAX(event_id) AS dim_event_id,
+             MAX(CAST(value AS DECIMAL(12,2))) AS dim_value
+      FROM events WHERE user_id < 40 AND event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    facts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id < 40 AND event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us,
+           d.dim_event_id,
+           CAST(d.dim_value AS DOUBLE) AS dim_value
+    FROM facts f ASOF LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.ts_us >= d.vf_us
+    ORDER BY f.user_id, f.event_id
+    """,
+    tags=("warehouse", "scd2", "point-in-time", "asof"),
+)
+def pit_dimension_join(spark, sf_dir):
+    """Point-in-time dimension join: attach to every fact row the
+    SCD2 dimension version that was valid AT THE FACT'S event time —
+    the lookup that naive pipelines get subtly wrong by joining the
+    current version (leaking future attribute values into history;
+    in ML-feature terms, train-time leakage). Because SCD2 intervals
+    are contiguous per key, "the version valid at ts" equals "the
+    latest version starting at or before ts", so the interval join
+    reduces to the backward as-of operator.
+
+    Plan shape: the union-and-carry as-of (operators/asof.py) — one
+    shuffle on the dimension key, one ordered window, no range-join
+    pair explosion; facts earlier than the key's first version keep
+    NULL dimension columns. The same plan at 100 TB: windows scale
+    with per-key version count + fact count, never their product."""
+    from ingestor_etl_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    dim = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(
+            F.max("event_id").alias("dim_event_id"),
+            F.max(F.col("value").cast("decimal(12,2)")).alias("dim_value"),
+        )
+    )
+    facts = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = asof_join_backward(
+        facts,
+        dim,
+        by=["user_id"],
+        ts_col="ts_us",
+        carry_cols=["dim_event_id", "dim_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "dim_event_id",
+        F.col("dim_value").cast("double").alias("dim_value"),
+    ).orderBy("user_id", "event_id")
