@@ -103,6 +103,9 @@ EXTENDED = [
     "salted_skew_join",
     "rolling_zscore_outliers",
     "containment_pairs",
+    "bloom_join_filter",
+    "frequent_paths",
+    "quantile_normalize",
 ]
 
 

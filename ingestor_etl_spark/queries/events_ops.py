@@ -595,3 +595,80 @@ def salted_skew_join(spark, sf_dir):
         )
         .orderBy("hk")
     )
+
+
+FREQUENT_PATHS_TOPK = 20
+
+
+@register(
+    "frequent_paths",
+    oracle=f"""
+    {_SQL_SESSIONIZED}
+    , transcripts AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+      FROM sessioned GROUP BY user_id, session_no
+    ),
+    counted AS (
+      SELECT transcript, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM transcripts GROUP BY transcript
+    )
+    SELECT transcript, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, transcript) AS rnk
+    FROM counted
+    QUALIFY rnk <= {FREQUENT_PATHS_TOPK}
+    ORDER BY rnk
+    """,
+    tags=("sessionization", "sequence", "mining"),
+)
+def frequent_paths(spark, sf_dir):
+    """Frequent-path mining: the top-{k} most common whole-session
+    action sequences across every user — the path-analysis /
+    behavioral-motif query product analytics runs on the transcript
+    relation (and, for LLM pipelines, the duplicate-trajectory
+    census before training on agent traces).
+
+    Plan shape: sessionize + in-group transcript assembly share the
+    user_id exchange (same as session_transcripts); the path census
+    is a map-side-combined aggregation on the transcript string, and
+    the top-{k} uses orderBy+limit (TakeOrderedAndProject — partial
+    per-partition top-k, no global-window hot task); the 20
+    survivors re-rank in a trivially bounded window."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        e,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+        gap_us=_SESSION_GAP_US,
+    )
+    ordered_types = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ),
+        lambda st: st["et"],
+    )
+    transcripts = s.groupBy("user_id", "session_no").agg(
+        F.array_join(ordered_types, ">").alias("transcript")
+    )
+    counted = transcripts.groupBy("transcript").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    topk = counted.orderBy(F.desc("n_sessions"), "transcript").limit(
+        FREQUENT_PATHS_TOPK
+    )
+    from pyspark.sql import Window
+
+    return topk.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n_sessions"), "transcript")),
+    ).orderBy("rnk")
+
+
+frequent_paths.__doc__ = frequent_paths.__doc__.format(k=FREQUENT_PATHS_TOPK)

@@ -393,3 +393,116 @@ def winsorize_scores(spark, sf_dir):
 winsorize_scores.__doc__ = winsorize_scores.__doc__.format(
     lo=WINSOR_LO_PCT, hi=WINSOR_HI_PCT
 )
+
+
+# ---------------------------------------------------- quantile_normalize
+@register(
+    "quantile_normalize",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_score
+      FROM documents
+    ),
+    src_hist AS (
+      SELECT source, raw_score, count(*) AS c
+      FROM scored GROUP BY 1, 2
+    ),
+    src_cdf AS (
+      SELECT source, raw_score,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY raw_score) - c
+                  AS BIGINT) AS cum_lt,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM src_hist
+    ),
+    g_hist AS (SELECT raw_score, count(*) AS c FROM scored GROUP BY 1),
+    g_cdf AS (
+      SELECT raw_score AS g_score,
+             CAST(sum(c) OVER (ORDER BY raw_score) AS BIGINT) AS gcum_le
+      FROM g_hist
+    ),
+    g_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+    ks AS (
+      SELECT s.source, s.raw_score,
+             CASE WHEN s.n_src > 1
+                  THEN greatest(1::BIGINT,
+                       CAST((s.cum_lt * g_n.n + s.n_src - 2) // (s.n_src - 1)
+                            AS BIGINT))
+                  ELSE 1::BIGINT END AS k
+      FROM src_cdf s CROSS JOIN g_n
+    ),
+    mapped AS (
+      SELECT ks.source, ks.raw_score,
+             min(g.g_score) AS qnorm_score
+      FROM ks JOIN g_cdf g ON g.gcum_le >= ks.k
+      GROUP BY 1, 2
+    )
+    SELECT sc.doc_id, sc.source, sc.raw_score, m.qnorm_score
+    FROM scored sc
+    JOIN mapped m ON sc.source = m.source AND sc.raw_score = m.raw_score
+    ORDER BY sc.doc_id
+    """,
+    tags=("quality", "normalization", "histogram"),
+)
+def quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization: replace each doc's raw
+    score with the GLOBAL score at the same within-source quantile —
+    the distribution-matching cousin of score_calibration (which
+    stops at ranks): after mapping, every source's score
+    distribution is a resampling of the corpus-wide one, so one
+    global threshold is simultaneously fair per source AND expressed
+    in interpretable global units. All-integer order statistics:
+    the target index is k = ceil(cum_lt·N/(n_src−1)) clamped to
+    [1, N], the mapped value the smallest global score whose
+    cumulative count reaches k.
+
+    Plan shape (same skew-proof recipe as the calibration family):
+    per-source and global histograms aggregate map-side (rows
+    bounded by the SCORE DOMAIN, not the corpus); the quantile
+    mapping is a non-equi join between the two AGGREGATED relations
+    — domain² work, corpus-size-independent — and the result
+    broadcasts back onto the row stream. No row-level sort
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("raw_score")
+    )
+    src_hist = scored.groupBy("source", "raw_score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("source").orderBy("raw_score")
+    w_all = Window.partitionBy("source")
+    src_cdf = src_hist.select(
+        "source",
+        "raw_score",
+        (F.sum("c").over(w_cum) - F.col("c")).cast("bigint").alias("cum_lt"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_src"),
+    )
+    g_hist = scored.groupBy("raw_score").agg(F.count(F.lit(1)).alias("c"))
+    g_cdf = g_hist.select(
+        F.col("raw_score").alias("g_score"),
+        F.sum("c").over(Window.orderBy("raw_score")).cast("bigint").alias("gcum_le"),
+    )
+    g_n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = src_cdf.crossJoin(F.broadcast(g_n)).select(
+        "source",
+        "raw_score",
+        F.when(
+            F.col("n_src") > 1,
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(cum_lt * n + n_src - 2) div (n_src - 1)").cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(1).cast("bigint"))
+        .alias("k"),
+    )
+    mapped = (
+        ks.join(F.broadcast(g_cdf), F.col("gcum_le") >= F.col("k"))
+        .groupBy("source", "raw_score")
+        .agg(F.min("g_score").alias("qnorm_score"))
+    )
+    return (
+        scored.join(F.broadcast(mapped), ["source", "raw_score"])
+        .select("doc_id", "source", "raw_score", "qnorm_score")
+        .orderBy("doc_id")
+    )

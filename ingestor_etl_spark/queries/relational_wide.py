@@ -311,3 +311,168 @@ def q9_product_profit(spark, sf_dir):
         .agg(F.sum(amount).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ----------------------------------------------------- bloom_join_filter
+BLOOM_BITS = 1024
+# 32 bits used per 64-bit word: keeps every shift < 32 so neither
+# engine hits the 1<<63 sign bit (DuckDB overflow-checks shifts).
+BLOOM_BPW = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_BPW
+
+
+def _bloom_pos_sql(key: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_spark(key_col, salt: str):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+@register(
+    "bloom_join_filter",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    pos AS (
+      SELECT k, {_bloom_pos_sql('k', 'a')} AS p1, {_bloom_pos_sql('k', 'b')} AS p2
+      FROM keys
+    ),
+    filt AS (
+      SELECT {", ".join(
+        f"CAST(bit_or(CASE WHEN p1 // {BLOOM_BPW} = {w} THEN (1::BIGINT << CAST(p1 % {BLOOM_BPW} AS INTEGER)) ELSE 0 END "
+        f"| CASE WHEN p2 // {BLOOM_BPW} = {w} THEN (1::BIGINT << CAST(p2 % {BLOOM_BPW} AS INTEGER)) ELSE 0 END) AS BIGINT) AS w{w}"
+        for w in range(BLOOM_WORDS))}
+      FROM pos
+    ),
+    probe AS (
+      SELECT l.l_orderkey,
+             {_bloom_pos_sql('l.l_orderkey', 'a')} AS p1,
+             {_bloom_pos_sql('l.l_orderkey', 'b')} AS p2,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem l
+    ),
+    tested AS (
+      SELECT p.*, (
+        (CASE {" ".join(f"WHEN p1 // {BLOOM_BPW} = {w} THEN f.w{w}" for w in range(BLOOM_WORDS))} END
+         & (1::BIGINT << CAST(p1 % {BLOOM_BPW} AS INTEGER))) <> 0
+        AND
+        (CASE {" ".join(f"WHEN p2 // {BLOOM_BPW} = {w} THEN f.w{w}" for w in range(BLOOM_WORDS))} END
+         & (1::BIGINT << CAST(p2 % {BLOOM_BPW} AS INTEGER))) <> 0
+      ) AS bloom_pass
+      FROM probe p CROSS JOIN filt f
+    ),
+    joined AS (
+      SELECT t.l_orderkey, t.price
+      FROM tested t JOIN keys ON t.l_orderkey = keys.k
+      WHERE t.bloom_pass
+    )
+    SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT
+                  {" + ".join(f"CAST(bit_count(w{w}) AS BIGINT)" for w in range(BLOOM_WORDS))}
+                 FROM filt) AS BIGINT) AS bits_set,
+           CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_lineitem,
+           CAST((SELECT count(*) FROM tested WHERE bloom_pass) AS BIGINT)
+             AS n_pass_bloom,
+           CAST(count(*) AS BIGINT) AS n_true_match,
+           CAST(CAST(sum(price) AS DECIMAL(16,2)) AS DOUBLE) AS matched_revenue
+    FROM joined
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def bloom_join_filter(spark, sf_dir):
+    """Bloom-filter join pruning as explicit dataflow (the mechanism
+    behind Spark's runtime filters / DPP, made inspectable): build a
+    {bits}-bit, 2-hash Bloom filter over the selective dim-side keys
+    (urgent orders), broadcast the CONSTANT-SIZE filter, pre-screen
+    the fact scan before the shuffle join, then run the real join on
+    survivors. The output row proves the mechanism end to end:
+    bloom_pass count vs true matches (the difference IS the false-
+    positive volume — deterministic here because the hash family is
+    md5), plus the joined revenue, which is bit-identical to the
+    unfiltered join by the no-false-negative property.
+
+    Plan shape at 100 TB: the filter build is one aggregation of the
+    SMALL side into {words} longs; the probe is a narrow map over
+    the fact scan (broadcast 1-row filter, integer bit tests) that
+    drops non-matching rows BEFORE they shuffle into the join —
+    precisely the rows_pruned × network saving runtime filters buy;
+    the per-row cost is two md5s + two AND/compare ops."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    pos = keys.select(
+        "k",
+        _bloom_pos_spark("k", "a").alias("p1"),
+        _bloom_pos_spark("k", "b").alias("p2"),
+    )
+
+    def word_expr(w: int) -> str:
+        return (
+            f"cast(bit_or("
+            f"(CASE WHEN p1 div {BLOOM_BPW} = {w} THEN shiftleft(1L, cast(p1 % {BLOOM_BPW} as int)) ELSE 0L END) | "
+            f"(CASE WHEN p2 div {BLOOM_BPW} = {w} THEN shiftleft(1L, cast(p2 % {BLOOM_BPW} as int)) ELSE 0L END)"
+            f") as bigint) AS w{w}"
+        )
+
+    filt = pos.selectExpr(*[word_expr(w) for w in range(BLOOM_WORDS)])
+    probe = lineitem.select(
+        "l_orderkey",
+        _bloom_pos_spark("l_orderkey", "a").alias("p1"),
+        _bloom_pos_spark("l_orderkey", "b").alias("p2"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    word_case = lambda p: "CASE " + " ".join(  # noqa: E731
+        f"WHEN {p} div {BLOOM_BPW} = {w} THEN w{w}" for w in range(BLOOM_WORDS)
+    ) + " END"
+    pass_sql = (
+        f"(({word_case('p1')} & shiftleft(1L, cast(p1 % {BLOOM_BPW} as int))) != 0) AND "
+        f"(({word_case('p2')} & shiftleft(1L, cast(p2 % {BLOOM_BPW} as int))) != 0)"
+    )
+    tested = probe.crossJoin(F.broadcast(filt)).withColumn(
+        "bloom_pass", F.expr(pass_sql)
+    )
+    joined = (
+        tested.where("bloom_pass")
+        .join(F.broadcast(keys), F.col("l_orderkey") == F.col("k"))
+        .select("l_orderkey", "price")
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    bits = filt.selectExpr(
+        "cast(" + " + ".join(f"bit_count(w{w})" for w in range(BLOOM_WORDS))
+        + " as bigint) AS bits_set"
+    )
+    n_li = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    n_pass = tested.where("bloom_pass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom")
+    )
+    res = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_match"),
+        F.sum("price").cast("decimal(16,2)").cast("double").alias("matched_revenue"),
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(res))
+    )
+
+
+bloom_join_filter.__doc__ = bloom_join_filter.__doc__.format(
+    bits=BLOOM_BITS, words=BLOOM_WORDS
+)

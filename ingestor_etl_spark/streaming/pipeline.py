@@ -357,3 +357,74 @@ def stream_neardup_dedup(
     return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["minhash_sig"]
     )
+
+
+def stream_zscore_outliers(
+    events: DataFrame,
+    window: int = 20,
+    min_n: int = 10,
+    sigma: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming counterpart of the batch rolling_zscore_outliers
+    query (§2.9 keyed-state surface): per-key trailing-{window}
+    z-score anomaly flags with the SAME all-integer decision rule —
+    cents become BIGINT, and |z| > sigma is evaluated as
+    (c·n − S)² > sigma²·(n·Q − S²), so batch and stream can never
+    disagree on a flag due to float rounding.
+
+    State per key is the trailing cents ring (≤ {window} longs —
+    constant, the streaming analogue of the batch window frame);
+    rows are ordered (ts, event_id) within each delivered group, so
+    with in-order delivery (availableNow over time-ordered files,
+    or an upstream watermark+sort) the emitted flags equal the batch
+    operator's. applyInPandasWithState because the decision needs
+    the raw trailing VALUES (a windowed agg can't carry them)."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = ["event_id", "user_id", "cents", "n_window", "z"]
+
+    def score(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        parts = [p for p in pdfs if len(p)]
+        out: list[tuple] = []
+        if parts:
+            rows = pd.concat(parts).sort_values(["ts", "event_id"])
+            for r in rows.itertuples():
+                c = int(round(r.value * 100))
+                hist.append(c)
+                if len(hist) > window:
+                    hist.pop(0)
+                n = len(hist)
+                s = sum(hist)
+                q = sum(x * x for x in hist)
+                var_scaled = n * q - s * s
+                dev = c * n - s
+                if (
+                    n >= min_n
+                    and var_scaled > 0
+                    and dev * dev > sigma * sigma * var_scaled
+                ):
+                    out.append(
+                        (
+                            int(r.event_id),
+                            int(key[0]),
+                            c,
+                            n,
+                            round(dev / _math.sqrt(var_scaled), 4),
+                        )
+                    )
+            state.update((hist,))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        score,
+        "event_id long, user_id long, cents long, n_window long, z double",
+        "cents array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -35,6 +35,14 @@ BNL_ALLOWED = {
     # quantization pass — literal-side by construction, same shape
     # as bm25_search
     "embedding_quantize_int8",
+    # 1-row Bloom-filter relation (32 longs) broadcast into the fact
+    # probe, plus 1-row stat branches cross-joined into the report —
+    # literal-side by construction, same shape as dedup_report
+    "bloom_join_filter",
+    # score-DOMAIN-bounded global-CDF relation (distinct score values,
+    # corpus-size-independent) in the non-equi quantile-mapping join,
+    # plus the 1-row global count — bounded-side by construction
+    "quantile_normalize",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch

@@ -312,3 +312,61 @@ def test_neardup_state_bounded_after_watermark(spark, tmp_path):
     # evicted once the 20:00 doc advances the watermark past 10:0x
     state_rows = _final_state_rows(q)
     assert state_rows is not None and state_rows <= 2, state_rows
+
+
+def test_stream_zscore_outliers_matches_integer_rule(spark, tmp_path):
+    """Streaming z-score flags must match a python recompute of the
+    batch integer decision rule on an in-order fixture (one file →
+    one micro-batch → arrival order = event order)."""
+    import math
+
+    from ingestor_etl_spark.streaming.pipeline import stream_zscore_outliers
+
+    # one user: 19 flat values then a spike, then more flat values
+    rows = []
+    vals = [10.0] * 12 + [10.5, 9.5] + [10.0] * 3 + [50.0] + [10.0] * 4
+    for i, v in enumerate(vals):
+        rows.append((i, 7, f"2024-01-01 10:{i:02d}:00", v))
+    src_dir = tmp_path / "z_events"
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    df.coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(str(src_dir))
+    out = stream_zscore_outliers(stream, window=20, min_n=10, sigma=2)
+    out_dir, ckpt = str(tmp_path / "z_out"), str(tmp_path / "z_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = (
+        spark.read.parquet(out_dir).toPandas()
+        if glob.glob(out_dir + "/*.parquet")
+        else None
+    )
+
+    # python reference with the same integer rule
+    cents = [int(round(v * 100)) for v in vals]
+    expect = {}
+    hist = []
+    for i, c in enumerate(cents):
+        hist.append(c)
+        if len(hist) > 20:
+            hist.pop(0)
+        n, s, qq = len(hist), sum(hist), sum(x * x for x in hist)
+        var_scaled = n * qq - s * s
+        dev = c * n - s
+        if n >= 10 and var_scaled > 0 and dev * dev > 4 * var_scaled:
+            expect[i] = round(dev / math.sqrt(var_scaled), 4)
+    assert expect, "fixture has no outlier"
+    assert got is not None
+    assert {int(r.event_id): r.z for r in got.itertuples()} == expect
+    # the spike row must be among the flags
+    assert vals.index(50.0) in expect
