@@ -106,6 +106,9 @@ EXTENDED = [
     "bloom_join_filter",
     "frequent_paths",
     "quantile_normalize",
+    "cube_revenue",
+    "sketch_shard_merge",
+    "zorder_layout",
 ]
 
 

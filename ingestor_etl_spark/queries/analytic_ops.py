@@ -568,3 +568,129 @@ def rolling_zscore_outliers(spark, sf_dir):
 rolling_zscore_outliers.__doc__ = rolling_zscore_outliers.__doc__.format(
     sigma=ZSCORE_SIGMA, n=ZSCORE_WINDOW
 )
+
+
+# ----------------------------------------------------- sketch_shard_merge
+SKETCH_SHARDS = 8
+
+
+@register(
+    "sketch_shard_merge",
+    oracle=f"""
+    SELECT CAST({SKETCH_SHARDS} AS BIGINT) AS n_shards,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+    tags=("sketch", "hll", "merge"),
+)
+def sketch_shard_merge(spark, sf_dir):
+    """HLL sketch MERGEABILITY — the property that makes sketches
+    the 100 TB distinct-count answer: each shard (simulated via
+    user_id-hash buckets, standing in for files/partitions) builds
+    its own Datasketches HLL of user_id; the global estimate comes
+    from hll_union_agg over the 8 serialized sketches, never from
+    re-reading rows. The oracle surface follows the
+    sketch_distinct_users convention: the query also computes the
+    exact distinct count and asserts the merged estimate lands
+    within 5% (rsd bound), so the comparison is deterministic while
+    the estimator itself stays approximate.
+
+    At 100 TB: per-file sketches persist as table metadata
+    (kilobytes each), incremental ingest unions the new file's
+    sketch in O(1), and the full-table distinct query never scans —
+    the merge tree here is that exact dataflow."""
+    e = load_table(spark, sf_dir, "events")
+    shard = (F.col("event_id") % SKETCH_SHARDS).alias("shard")
+    per_shard = e.groupBy(shard).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("shard_exact"),
+    )
+    merged = per_shard.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    j = merged.crossJoin(F.broadcast(exact))
+    return j.select(
+        "n_shards",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+        ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------- zorder_layout
+ZORDER_DIM_BITS = 6  # 6 bits per dimension → 4096 z-values
+ZORDER_FILES = 16  # simulated output files (z-range partitions)
+
+
+def _interleave_sql(bx: str, by: str) -> str:
+    terms = []
+    for i in range(ZORDER_DIM_BITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             CAST(user_id % 64 AS BIGINT) AS bx,
+             CAST(CAST(round(value * 100) AS BIGINT) % 64 AS BIGINT) AS by
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, bx, by,
+             CAST({_interleave_sql('bx', 'by')} AS BIGINT) AS zval
+      FROM b
+    )
+    SELECT CAST(zval // {4096 // ZORDER_FILES} AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(bx) AS BIGINT) AS min_bx, CAST(max(bx) AS BIGINT) AS max_bx,
+           CAST(min(by) AS BIGINT) AS min_by, CAST(max(by) AS BIGINT) AS max_by
+    FROM z GROUP BY 1 ORDER BY file_id
+    """,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering layout: interleave the bits
+    of two dimension buckets (user bucket × value bucket) into one
+    sort key and range-partition rows into files along it. The
+    output is the per-file zone map over BOTH dimensions — the
+    payoff of z-ordering: every file covers a small rectangle, so
+    min/max skipping prunes on user-predicates AND value-predicates
+    from one layout (a single-column sort gives skipping on one
+    dimension only; zone_map_prune shows that baseline).
+
+    Plan shape: the z-value is a pure bit-arithmetic narrow pass;
+    the file assignment here derives from fixed z-ranges (at scale:
+    repartitionByRange(z) before the write, the same shuffle any
+    sorted write pays); the zone-map report is one bounded-key
+    aggregation. Every step is engine-exact integer math."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        (F.col("user_id") % 64).cast("bigint").alias("bx"),
+        (F.round(F.col("value") * 100).cast("bigint") % 64)
+        .cast("bigint")
+        .alias("by"),
+    )
+    z = b.withColumn("zval", F.expr(_interleave_sql("bx", "by")).cast("bigint"))
+    return (
+        z.groupBy(
+            (F.col("zval") / (4096 // ZORDER_FILES)).cast("bigint").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("bx").cast("bigint").alias("min_bx"),
+            F.max("bx").cast("bigint").alias("max_bx"),
+            F.min("by").cast("bigint").alias("min_by"),
+            F.max("by").cast("bigint").alias("max_by"),
+        )
+        .orderBy("file_id")
+    )

@@ -485,3 +485,50 @@ def sql_passthrough(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grp_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grp_id, returnflag, linestatus
+    """,
+    tags=("aggregation", "cube", "grouping-sets"),
+)
+def cube_revenue(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus) with GROUPING() subtotal
+    flags — completes the grouping-sets family next to
+    rollup_returns: all four subtotal combinations in ONE aggregate
+    (Spark expands the cube into grouping sets with partial
+    aggregation intact; the grp_id bitmask distinguishes a real
+    'ALL' group from a hypothetical NULL-valued key, which COALESCE
+    alone cannot). Output rows = |flags|·|statuses| + |flags| + |statuses|
+    + 1 — bounded by the key domains, scan stays one pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    grp_id = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("bigint")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            grp_id.alias("grp_id"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp_id",
+            "revenue",
+            "n",
+        )
+        .orderBy("grp_id", "returnflag", "linestatus")
+    )

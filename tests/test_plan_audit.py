@@ -43,6 +43,9 @@ BNL_ALLOWED = {
     # corpus-size-independent) in the non-equi quantile-mapping join,
     # plus the 1-row global count — bounded-side by construction
     "quantile_normalize",
+    # 1-row exact-count branch cross-joined into the merged-sketch
+    # report row — literal-side by construction, same shape as q11
+    "sketch_shard_merge",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
