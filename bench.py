@@ -109,6 +109,9 @@ EXTENDED = [
     "cube_revenue",
     "sketch_shard_merge",
     "zorder_layout",
+    "window_zoo",
+    "datetime_functions",
+    "array_functions",
 ]
 
 

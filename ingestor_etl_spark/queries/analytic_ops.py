@@ -694,3 +694,64 @@ def zorder_layout(spark, sf_dir):
         )
         .orderBy("file_id")
     )
+
+
+# ------------------------------------------------------------ window_zoo
+@register(
+    "window_zoo",
+    oracle="""
+    SELECT event_id, user_id,
+           ntile(4) OVER wv AS quartile,
+           round(percent_rank() OVER wv, 6) AS pct_rank,
+           round(cume_dist() OVER wv, 6) AS cdist,
+           first_value(event_id) OVER wt AS first_eid,
+           nth_value(event_id, 2) OVER wt AS second_eid,
+           last_value(event_id) OVER wt AS last_eid_sofar,
+           lead(event_id, 1, -1) OVER wt AS next_eid,
+           lag(event_id, 2) OVER wt AS prev2_eid
+    FROM events
+    WHERE user_id < 15
+    WINDOW
+      wv AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+      wt AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "sql-surface"),
+)
+def window_zoo(spark, sf_dir):
+    """The remaining ANSI window-function surface in one query:
+    ntile, percent_rank, cume_dist (value-ranked window) and
+    first/nth/last_value, lead-with-default, multi-offset lag
+    (time-ordered running frame). Two window specs only — Spark
+    computes all nine functions with two sorts on ONE user_id
+    exchange (the partition key is shared, so the exchange is
+    reused; plan-checked in PLANS.md). Deterministic under the
+    event_id tiebreak in both orderings; percent_rank/cume_dist are
+    exact rationals rounded identically on both engines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 15)
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.ntile(4).over(wv).alias("quartile"),
+            F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(wv), 6).alias("cdist"),
+            F.first("event_id").over(wt).alias("first_eid"),
+            F.nth_value("event_id", 2).over(wt).alias("second_eid"),
+            F.last("event_id").over(wt).alias("last_eid_sofar"),
+            F.lead("event_id", 1, -1).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("next_eid"),
+            F.lag("event_id", 2).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev2_eid"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -532,3 +532,54 @@ def cube_revenue(spark, sf_dir):
         )
         .orderBy("grp_id", "returnflag", "linestatus")
     )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_us(o_orderdate) AS odate_us,
+           epoch_us(o_orderdate + INTERVAL 30 DAY) AS plus30d_us,
+           epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3mo_us,
+           epoch_us(last_day(o_orderdate::DATE)::TIMESTAMP) AS month_end_us,
+           epoch_us(date_trunc('quarter', o_orderdate)) AS quarter_us,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          o_orderdate::DATE) AS BIGINT) AS days_since_95,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS yyyymm
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("datetime", "sql-surface"),
+)
+def datetime_functions(spark, sf_dir):
+    """Calendar-function surface (§2.7 datetime family completed):
+    day/month interval arithmetic, month-end, quarter truncation,
+    date difference, ISO day-of-week, day-of-year, and a yyyymm
+    partition key — each paired with the exact DuckDB twin so the
+    calendar edge cases (month-length clamping in add-months, ISO
+    Monday=1 numbering, leap days) are oracle-pinned, not assumed.
+    One narrow projection; the filter prunes at the scan."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    as_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        o.select(
+            "o_orderkey",
+            as_us(d).alias("odate_us"),
+            as_us(d + F.expr("INTERVAL 30 DAYS")).alias("plus30d_us"),
+            as_us(F.add_months(d, 3).cast("timestamp")).alias("plus3mo_us"),
+            as_us(F.last_day(d).cast("timestamp")).alias("month_end_us"),
+            as_us(F.date_trunc("quarter", d)).alias("quarter_us"),
+            F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since_95"),
+            F.dayofweek(F.date_sub(d.cast("date"), 1)).cast("bigint").alias("iso_dow"),
+            F.dayofyear(d).cast("bigint").alias("doy"),
+            (F.year(d) * 100 + F.month(d)).cast("bigint").alias("yyyymm"),
+        )
+        .orderBy("o_orderkey")
+    )

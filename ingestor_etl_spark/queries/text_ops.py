@@ -258,3 +258,71 @@ def lang_id_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_declared", "lang_pred")
     )
+
+
+# ------------------------------------------------------ array_functions
+@register(
+    "array_functions",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           list_sort(list_distinct(toks))[1] AS first_sorted,
+           list_sort(list_distinct(toks))[-1] AS last_sorted,
+           CAST(list_position(toks, 'the') AS BIGINT) AS the_pos,
+           array_to_string(toks[1:3], '|') AS head3,
+           array_to_string(list_reverse_sort(list_distinct(toks))[1:2], '|')
+             AS top2_desc,
+           CAST(len(flatten([toks[1:2], toks[-2:]])) AS BIGINT)
+             AS n_ends,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+             AS total_chars
+    FROM t ORDER BY doc_id
+    """,
+    tags=("array", "sql-surface"),
+)
+def array_functions(spark, sf_dir):
+    """Array/collection-function surface (§2.7 completed): size,
+    distinct, sort ascending/descending with indexing from both
+    ends, position lookup, slicing, flatten, and a per-element
+    transform + fold — each against its DuckDB list twin, pinning
+    the cross-engine semantics that differ subtly between engines
+    (1-based indexing, position-of-missing = 0/NULL, negative
+    slices). Pure narrow projection, no shuffle before the final
+    presentation sort."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = F.split(F.trim(F.lower("text")), r" +")
+    t = d.select("doc_id", toks.alias("toks"))
+    dst = F.array_distinct("toks")
+    srt = F.array_sort(dst)
+    rsrt = F.reverse(F.array_sort(dst))
+    n = F.size("toks")
+    return (
+        t.select(
+            "doc_id",
+            n.cast("bigint").alias("n_toks"),
+            F.size(dst).cast("bigint").alias("n_distinct"),
+            F.element_at(srt, 1).alias("first_sorted"),
+            F.element_at(srt, -1).alias("last_sorted"),
+            F.coalesce(
+                F.array_position("toks", "the"), F.lit(0)
+            ).cast("bigint").alias("the_pos"),
+            F.array_join(F.slice("toks", 1, 3), "|").alias("head3"),
+            F.array_join(F.slice(rsrt, 1, 2), "|").alias("top2_desc"),
+            F.size(
+                F.flatten(
+                    F.array(F.slice("toks", 1, 2), F.slice("toks", -2, 2))
+                )
+            ).cast("bigint").alias("n_ends"),
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("total_chars"),
+        )
+        .orderBy("doc_id")
+    )

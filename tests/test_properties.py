@@ -199,3 +199,79 @@ def test_reassembly_order_invariance(order):
     out = _stitch_group(pdf)
     assert len(out) == 2
     assert sorted(out["request"]) == [False, True]
+
+
+# ---------------------------------------------------------------------------
+# Wave-8/9 pure-math properties (no Spark): CMS guarantee, Morton
+# locality, Bloom no-false-negatives.
+
+import hashlib as _hl
+
+
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=3),
+                min_size=1, max_size=200))
+def test_cms_estimate_never_undercounts(tokens):
+    """Count-min property: for EVERY token, min-over-rows of its
+    bucket counts >= its true count (whatever the collisions)."""
+    depth, width = 3, 16
+
+    def bucket(j, w):
+        return int(_hl.md5(f"{j}:{w}".encode()).hexdigest()[:8], 16) % width
+
+    cells: dict[tuple, int] = {}
+    from collections import Counter
+
+    for w in tokens:
+        for j in range(depth):
+            k = (j, bucket(j, w))
+            cells[k] = cells.get(k, 0) + 1
+    exact = Counter(tokens)
+    for w, n in exact.items():
+        est = min(cells[(j, bucket(j, w))] for j in range(depth))
+        assert est >= n
+
+
+@given(st.integers(0, 63), st.integers(0, 63), st.integers(0, 63),
+       st.integers(0, 63))
+def test_morton_z_preserves_rectangle_bound(x1, y1, x2, y2):
+    """Morton property the zorder_layout zone maps rely on: two
+    points in the same aligned 16×16 block share their z-value's
+    high bits (same 256-wide z-range); conversely same z div 256 ⟹
+    same 16×16 block."""
+
+    def morton(bx, by):
+        z = 0
+        for i in range(6):
+            z |= ((bx >> i) & 1) << (2 * i + 1)
+            z |= ((by >> i) & 1) << (2 * i)
+        return z
+
+    same_block = (x1 // 16 == x2 // 16) and (y1 // 16 == y2 // 16)
+    same_zrange = morton(x1, y1) // 256 == morton(x2, y2) // 256
+    assert same_block == same_zrange
+
+
+@given(st.sets(st.integers(0, 10_000), max_size=60),
+       st.lists(st.integers(0, 10_000), max_size=60))
+def test_bloom_no_false_negatives(keys, probes):
+    """Bloom property bloom_join_filter's correctness rests on:
+    every inserted key always passes membership (false positives
+    allowed, false negatives never)."""
+    bits, bpw = 1024, 32
+
+    def pos(salt, k):
+        return int(_hl.md5(f"{salt}{k}".encode()).hexdigest()[:8], 16) % bits
+
+    words: dict[int, int] = {}
+    for k in keys:
+        for p in (pos("a", k), pos("b", k)):
+            words[p // bpw] = words.get(p // bpw, 0) | (1 << (p % bpw))
+
+    def member(k):
+        return all(
+            words.get(pos(s, k) // bpw, 0) & (1 << (pos(s, k) % bpw))
+            for s in ("a", "b")
+        )
+
+    for k in keys:
+        assert member(k)
