@@ -112,6 +112,8 @@ EXTENDED = [
     "window_zoo",
     "datetime_functions",
     "array_functions",
+    "string_functions",
+    "json_functions",
 ]
 
 

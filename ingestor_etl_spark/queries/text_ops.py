@@ -326,3 +326,94 @@ def array_functions(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ string_functions
+@register(
+    "string_functions",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(source, lang) AS lev_src_lang,
+           translate(lang, 'aeiou', '12345') AS lang_translated,
+           lpad(lang, 6, '.') AS lang_lpad,
+           rpad(source, 8, '_') AS src_rpad,
+           split_part(source, 'c', 2) AS src_after_c,
+           repeat(lang, 3) AS lang_x3,
+           reverse(source) AS src_rev,
+           CAST(strpos(text, 'the') AS BIGINT) AS the_at,
+           left(text, 12) AS head12,
+           right(text, 8) AS tail8,
+           upper(lang) || ':' || lower(source) AS tagged,
+           CAST(length(trim(text)) AS BIGINT) AS trimmed_len
+    FROM documents
+    WHERE doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+    tags=("string", "sql-surface"),
+)
+def string_functions(spark, sf_dir):
+    """String-function surface (§2.7 completed): edit distance,
+    character translation, padding, split_part, repetition,
+    reversal, substring search (1-based, 0 when absent — pinned),
+    prefix/suffix extraction, case mapping and concatenation — each
+    against its DuckDB twin so cross-engine quirks (empty-needle
+    strpos, multi-byte length semantics) are oracle-checked. One
+    narrow projection with the filter at the scan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    return (
+        d.select(
+            "doc_id",
+            F.levenshtein("source", "lang").alias("lev_src_lang"),
+            F.translate("lang", "aeiou", "12345").alias("lang_translated"),
+            F.lpad("lang", 6, ".").alias("lang_lpad"),
+            F.rpad("source", 8, "_").alias("src_rpad"),
+            F.split_part("source", F.lit("c"), F.lit(2)).alias("src_after_c"),
+            F.repeat("lang", 3).alias("lang_x3"),
+            F.reverse("source").alias("src_rev"),
+            F.instr("text", "the").cast("bigint").alias("the_at"),
+            F.substring("text", 1, 12).alias("head12"),
+            F.substring(F.col("text"), -8, 8).alias("tail8"),
+            F.concat(F.upper("lang"), F.lit(":"), F.lower("source")).alias(
+                "tagged"
+            ),
+            F.length(F.trim("text")).cast("bigint").alias("trimmed_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------- json_functions
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           CAST(json_extract(props, '$.missing') IS NULL AS BOOLEAN)
+             AS missing_is_null
+    FROM events
+    WHERE event_id % 101 = 0
+    ORDER BY event_id
+    """,
+    tags=("json", "sql-surface"),
+)
+def json_functions(spark, sf_dir):
+    """Semi-structured JSON surface over the props column: typed
+    extraction (int cast), string extraction, validity predicate,
+    and missing-path null semantics — the get_json_object family
+    pinned against DuckDB's json_extract twins. JSON paths evaluate
+    in the scan projection; no shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.expr("isnotnull(try_parse_json(props))").alias("is_valid"),
+            F.get_json_object("props", "$.missing").isNull().alias(
+                "missing_is_null"
+            ),
+        )
+        .orderBy("event_id")
+    )
