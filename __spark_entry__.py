@@ -83,7 +83,18 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # names FIRST so CORRECTNESS_r04 covers them; everything previously
 # sampled (all green on its latest check) follows in registry order.
 _DRIVER_SAMPLE_PRIORITY = [
-    # round-4 additions first (never sampled by definition)
+    # round-4 waves 3-10 (newest; never sampled by definition)
+    "events_gapfill", "cms_heavy_hitters", "source_reputation",
+    "compaction_plan", "knn_graph", "gdpr_delete_audit",
+    "zone_map_prune", "incremental_rollup", "lang_id_confusion",
+    "winsorize_scores", "session_transcripts", "incremental_dedup",
+    "embedding_quantize_int8", "pit_dimension_join", "salted_skew_join",
+    "rolling_zscore_outliers", "containment_pairs", "bloom_join_filter",
+    "frequent_paths", "quantile_normalize", "cube_revenue",
+    "sketch_shard_merge", "zorder_layout", "window_zoo",
+    "datetime_functions", "array_functions", "string_functions",
+    "json_functions",
+    # round-4 waves 1-2
     "snapshot_diff", "quality_classifier", "canonical_docs",
     "rrf_hybrid_search", "ann_pq_topk", "lsh_dedup_eval",
     "vocab_coverage", "mixture_drift", "embedding_stats",
