@@ -308,10 +308,16 @@ def simhash_clusters(spark, sf_dir):
 def _band_pairs(shingled_df: DataFrame) -> DataFrame:
     """Distinct LSH candidate pairs (doc_a < doc_b) from a shingled
     relation: signatures → bands → per-(band_no, band_key) bucket
-    self-join. Shared by lsh_dedup_eval and containment_pairs."""
-    banded = shingled_df.selectExpr(
-        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    ).selectExpr("doc_id", *_SPARK_BAND_LIST)
+    self-join. Shared by lsh_dedup_eval and containment_pairs. The
+    banded signatures are materialized — both join sides read them,
+    and each would otherwise re-run the 6 minhash folds per doc."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    banded = materialize(
+        shingled_df.selectExpr(
+            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+        ).selectExpr("doc_id", *_SPARK_BAND_LIST)
+    )
     long_form = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])).alias(
