@@ -93,7 +93,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "frequent_paths", "quantile_normalize", "cube_revenue",
     "sketch_shard_merge", "zorder_layout", "window_zoo",
     "datetime_functions", "array_functions", "string_functions",
-    "json_functions",
+    "json_functions", "math_functions", "conditional_functions",
     # round-4 waves 1-2
     "snapshot_diff", "quality_classifier", "canonical_docs",
     "rrf_hybrid_search", "ann_pq_topk", "lsh_dedup_eval",

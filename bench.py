@@ -114,6 +114,8 @@ EXTENDED = [
     "array_functions",
     "string_functions",
     "json_functions",
+    "math_functions",
+    "conditional_functions",
 ]
 
 

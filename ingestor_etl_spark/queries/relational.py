@@ -583,3 +583,118 @@ def datetime_functions(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(abs(l_quantity - 25) AS DOUBLE) AS abs_dev,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+           CAST(floor(l_tax * 100 - 3.5) AS BIGINT) AS tax_floor_neg,
+           round(l_extendedprice / 7, 2) AS price_div7,
+           round(0.0 - l_discount - 0.005, 2) AS neg_half_round,
+           CAST(l_partkey % 7 AS BIGINT) AS pk_mod,
+           CAST(((l_partkey % 7) + 7) % 7 AS BIGINT) AS pk_pmod,
+           CAST((0 - l_partkey) % 7 AS BIGINT) AS negk_mod,
+           CAST(l_suppkey // 3 AS BIGINT) AS sk_div,
+           CAST(sqrt(l_quantity) * sqrt(l_quantity) >= l_quantity - 1e-9
+                AS BOOLEAN) AS sqrt_sane,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign
+    FROM lineitem
+    WHERE l_orderkey % 193 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("math", "sql-surface"),
+)
+def math_functions(spark, sf_dir):
+    """Arithmetic-function surface with the cross-engine edge cases
+    PINNED: % keeps the dividend's sign in both engines (negk_mod),
+    the pmod identity is spelled explicitly, integer division
+    truncates, ceil/floor on negatives, and .5-rounding on negative
+    values (Spark HALF_UP = DuckDB half-away-from-zero — they agree,
+    and neg_half_round proves it on real data rather than assuming
+    it). One pruned-scan projection."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 193 == 0)
+    q = F.col("l_quantity")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(q - 25).cast("double").alias("abs_dev"),
+            F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_ceil"),
+            F.floor(F.col("l_tax") * 100 - 3.5).cast("bigint").alias("tax_floor_neg"),
+            F.round(F.col("l_extendedprice") / 7, 2).alias("price_div7"),
+            F.round(F.lit(0.0) - F.col("l_discount") - 0.005, 2).alias(
+                "neg_half_round"
+            ),
+            (F.col("l_partkey") % 7).cast("bigint").alias("pk_mod"),
+            F.pmod(F.col("l_partkey"), F.lit(7)).cast("bigint").alias("pk_pmod"),
+            ((F.lit(0) - F.col("l_partkey")) % 7).cast("bigint").alias("negk_mod"),
+            F.expr("l_suppkey div 3").cast("bigint").alias("sk_div"),
+            (
+                F.sqrt(q) * F.sqrt(q) >= q - 1e-9
+            ).alias("sqrt_sane"),
+            F.signum(q - 25).cast("bigint").alias("qty_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'WAS-URGENT')
+             AS priority_tag,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           greatest(o_custkey % 100, o_orderkey % 100) AS g,
+           least(o_custkey % 100, o_orderkey % 100) AS l,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                     ELSE o_totalprice END IS NULL AS BOOLEAN) AS masked,
+           COALESCE(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END,
+                    CAST(-1 AS DECIMAL(12,2)))::DOUBLE AS price_or_default,
+           CAST(o_totalprice / NULLIF(o_custkey % 5, 0) IS NULL AS BOOLEAN)
+             AS div_guarded_null
+    FROM orders
+    WHERE o_orderkey % 151 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("conditional", "sql-surface"),
+)
+def conditional_functions(spark, sf_dir):
+    """Conditional/null-handling surface: NULLIF + COALESCE
+    composition, searched CASE bands, greatest/least, NULL masking,
+    decimal-typed defaults and the NULLIF-guarded division idiom
+    (divide-by-zero → NULL, not error, in both engines). Narrow
+    pruned-scan projection."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 151 == 0)
+    masked_price = F.when(
+        F.col("o_orderkey") % 10 == 0, F.lit(None)
+    ).otherwise(F.col("o_totalprice").cast("decimal(12,2)"))
+    return (
+        o.select(
+            "o_orderkey",
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                F.lit("WAS-URGENT"),
+            ).alias("priority_tag"),
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("size_band"),
+            F.greatest(F.col("o_custkey") % 100, F.col("o_orderkey") % 100).alias("g"),
+            F.least(F.col("o_custkey") % 100, F.col("o_orderkey") % 100).alias("l"),
+            masked_price.isNull().alias("masked"),
+            F.coalesce(masked_price, F.lit(-1).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("price_or_default"),
+            (F.col("o_totalprice") / F.nullif(F.col("o_custkey") % 5, F.lit(0)))
+            .isNull()
+            .alias("div_guarded_null"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -428,3 +428,42 @@ def stream_zscore_outliers(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cms_cells(
+    docs: DataFrame,
+    depth: int = 3,
+    width: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming count-min sketch: the SAME (row, bucket) cell
+    aggregation as the batch cms_heavy_hitters query, run as a
+    streaming groupBy in complete mode — legitimate precisely
+    because the state is the sketch itself: depth×width cells
+    (192 rows) regardless of stream volume, the bounded-state
+    property that makes CMS the streaming heavy-hitter structure.
+    Cells use the identical md5 bucket hash, so a snapshot of this
+    stream's output equals the batch sketch over the same prefix
+    (asserted in tests)."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r" +")).alias("w")
+    )
+    hashed = toks.select(
+        "w",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).select(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -370,3 +370,47 @@ def test_stream_zscore_outliers_matches_integer_rule(spark, tmp_path):
     assert {int(r.event_id): r.z for r in got.itertuples()} == expect
     # the spike row must be among the flags
     assert vals.index(50.0) in expect
+
+
+def test_stream_cms_cells_equal_batch_sketch(spark, tmp_path):
+    """The streaming CMS snapshot must equal the batch sketch over
+    the same data — mergeable bounded state (≤ depth×width rows)."""
+    import hashlib
+
+    from ingestor_etl_spark.streaming.pipeline import stream_cms_cells
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "a cat and a dog"),
+    ]
+    src_dir = tmp_path / "cms_docs"
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(src_dir)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src_dir)
+    )
+    cells = stream_cms_cells(stream, depth=3, width=64)
+    out_dir, ckpt = str(tmp_path / "cms_out"), str(tmp_path / "cms_ckpt")
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_cells")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_cells").collect()
+    }
+    expect: dict[tuple, int] = {}
+    for _, t in texts:
+        for w in t.strip().split():
+            for j in range(3):
+                b = int(hashlib.md5(f"{j}:{w}".encode()).hexdigest()[:8], 16) % 64
+                expect[(j, b)] = expect.get((j, b), 0) + 1
+    assert got == expect
+    assert len(got) <= 3 * 64
