@@ -94,6 +94,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "sketch_shard_merge", "zorder_layout", "window_zoo",
     "datetime_functions", "array_functions", "string_functions",
     "json_functions", "math_functions", "conditional_functions",
+    "curation_pipeline",
     # round-4 waves 1-2
     "snapshot_diff", "quality_classifier", "canonical_docs",
     "rrf_hybrid_search", "ann_pq_topk", "lsh_dedup_eval",

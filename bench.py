@@ -116,6 +116,7 @@ EXTENDED = [
     "json_functions",
     "math_functions",
     "conditional_functions",
+    "curation_pipeline",
 ]
 
 

@@ -571,3 +571,189 @@ def dedup_report(spark, sf_dir):
             ).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------- curation_pipeline
+PIPE_MIN_TOKENS = 30  # quality floor for the composite pipeline
+
+
+def _sql_curation_pre() -> str:
+    from ingestor_etl_spark.queries.corpus_ops import (
+        REPUTATION_GOOD_CHARS,
+        REPUTATION_KEEP_MILLI,
+    )
+
+    return f"""
+    docs0 AS (
+      SELECT doc_id, source, text, n_chars,
+             len({_SQL_TOKENS}) AS n_toks,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    firsts AS (SELECT fp, min(doc_id) AS keep FROM docs0 GROUP BY fp),
+    rep AS (
+      SELECT source,
+             CAST((1000 * sum(CASE WHEN n_chars >= {REPUTATION_GOOD_CHARS}
+                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+               AS rep_milli
+      FROM documents GROUP BY source
+    ),
+    flagged AS (
+      SELECT d.*, CASE WHEN d.doc_id <> f.keep THEN 'exact_dup'
+                       WHEN r.rep_milli < {REPUTATION_KEEP_MILLI}
+                         THEN 'bad_source'
+                       WHEN d.n_toks < {PIPE_MIN_TOKENS} THEN 'low_quality'
+                  END AS pre
+      FROM docs0 d
+      JOIN firsts f ON d.fp = f.fp
+      JOIN rep r ON d.source = r.source
+    ),
+    survivors AS (SELECT * FROM flagged WHERE pre IS NULL)
+"""
+
+
+def _make_curation_oracle() -> str:
+    from ingestor_etl_spark.queries.dedup_ops import _SQL_SHINGLES
+
+    return f"""
+    WITH RECURSIVE {_sql_curation_pre()},
+    shingled AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM survivors
+      WHERE len({_SQL_SHINGLES}) > 0
+    ),
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (SELECT doc_id, {_SQL_BANDS} FROM sigs),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long_form a JOIN long_form b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    canon AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM (
+          SELECT c.cluster_id, c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY s.n_toks DESC, c.doc_id) AS rnk
+          FROM clusters c JOIN survivors s USING (doc_id)
+        ) WHERE rnk = 1
+    ),
+    near AS (
+        SELECT c.doc_id FROM clusters c
+        JOIN canon k ON c.cluster_id = k.cluster_id
+        WHERE c.doc_id <> k.canonical_id
+    )
+    SELECT fl.doc_id, fl.source, CAST(fl.n_toks AS BIGINT) AS n_toks,
+           COALESCE(fl.pre,
+                    CASE WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                         ELSE 'kept' END) AS disposition
+    FROM flagged fl LEFT JOIN near ON fl.doc_id = near.doc_id
+    ORDER BY fl.doc_id
+    """
+
+
+@register(
+    "curation_pipeline",
+    oracle=_make_curation_oracle(),
+    tags=("pipeline", "composite", "dedup", "quality"),
+)
+def curation_pipeline(spark, sf_dir):
+    """The END-TO-END curation pass, one query: normalize →
+    exact-dedup (fingerprint firsts) → source-reputation gate →
+    token-count quality floor → MinHash-LSH near-dup clustering of
+    the SURVIVORS → canonical election — emitting every document
+    with its disposition (exact_dup / bad_source / low_quality /
+    near_dup / kept). This is the composition statement: the
+    operators the registry exposes individually chain into one plan
+    a real corpus release runs nightly, with precedence semantics
+    (a doc is judged by the FIRST gate that rejects it).
+
+    Plan shape: every stage keeps its standalone scale posture —
+    map-side fingerprint firsts, broadcast reputation keep-list,
+    LSH bucket joins confined to survivors, checkpointed label
+    propagation, aggregation-only canonical argmax (no per-cluster
+    window in the Spark plan; the oracle uses one, a bounded-group
+    idiom). The flagged relation materializes once and feeds both
+    the survivor branch and the final disposition join."""
+    from ingestor_etl_spark.plans.layout import materialize
+    from ingestor_etl_spark.queries.corpus_ops import (
+        REPUTATION_GOOD_CHARS,
+        REPUTATION_KEEP_MILLI,
+    )
+    from ingestor_etl_spark.queries.dedup_ops import _band_pairs, _SPARK_SHINGLES
+
+    d = load_table(spark, sf_dir, "documents")
+    toks_n = F.size(F.split(F.trim(F.col("text")), r" +"))
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        toks_n.alias("n_toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    firsts = base.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    rep = d.groupBy("source").agg(
+        F.expr(
+            f"(1000 * sum(CASE WHEN n_chars >= {REPUTATION_GOOD_CHARS} "
+            "THEN 1 ELSE 0 END)) div count(*)"
+        ).alias("rep_milli")
+    )
+    pre = (
+        F.when(F.col("doc_id") != F.col("keep"), "exact_dup")
+        .when(F.col("rep_milli") < REPUTATION_KEEP_MILLI, "bad_source")
+        .when(F.col("n_toks") < PIPE_MIN_TOKENS, "low_quality")
+    )
+    flagged = materialize(
+        base.join(firsts, "fp")
+        .join(F.broadcast(rep), "source")
+        .withColumn("pre", pre)
+    )
+    survivors = flagged.where(F.col("pre").isNull())
+    shingled = survivors.selectExpr(
+        "doc_id", f"{_SPARK_SHINGLES} AS shingles"
+    ).where(F.size("shingles") > 0)
+    pairs = _band_pairs(shingled)
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    canon = (
+        clusters.join(survivors.select("doc_id", "n_toks"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("n_toks"), (-F.col("doc_id")).alias("neg"))).alias("best"))
+        .select("cluster_id", (-F.col("best.neg")).alias("canonical_id"))
+    )
+    near = (
+        clusters.join(canon, "cluster_id")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", F.lit("near_dup").alias("nd"))
+    )
+    return (
+        flagged.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.coalesce("pre", "nd", F.lit("kept")).alias("disposition"),
+        )
+        .orderBy("doc_id")
+    )

