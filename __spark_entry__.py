@@ -83,7 +83,10 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # names FIRST so CORRECTNESS_r04 covers them; everything previously
 # sampled (all green on its latest check) follows in registry order.
 _DRIVER_SAMPLE_PRIORITY = [
-    # round-4 waves 3-10 (newest; never sampled by definition)
+    # round-4 wave 11 (newest; never sampled by definition)
+    "prefix_filter_join", "entity_resolution", "gopher_rules",
+    "char_entropy", "halflife_decay",
+    # round-4 waves 3-10
     "events_gapfill", "cms_heavy_hitters", "source_reputation",
     "compaction_plan", "knn_graph", "gdpr_delete_audit",
     "zone_map_prune", "incremental_rollup", "lang_id_confusion",

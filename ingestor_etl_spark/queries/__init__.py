@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         relational,
         relational_sub,
         relational_wide,
+        similarity_ops,
         text_ops,
         training_ops,
         vector_ops,

@@ -830,3 +830,93 @@ def source_reputation(spark, sf_dir):
 source_reputation.__doc__ = source_reputation.__doc__.format(
     keep=REPUTATION_KEEP_MILLI
 )
+
+
+# ----------------------------------------------------------- gopher_rules
+# Composite rule-based quality gate in the published Gopher/MassiveText
+# shape (Rae et al. 2021, §A1.1 — public paper): word-count bounds,
+# mean-word-length band, minimum stopword evidence, repetition cap,
+# alphabetic-token floor. Thresholds are corpus-tuned constants.
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(max(cnt) AS BIGINT) AS top_word_cnt,
+             CAST(sum(CASE WHEN tok IN {GOPHER_STOPWORDS} THEN cnt ELSE 0 END)
+                  AS BIGINT) AS stop_hits,
+             CAST(sum(length(tok) * cnt) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN regexp_full_match(tok, '[a-z]+')
+                           THEN cnt ELSE 0 END) AS BIGINT) AS alpha_cnt
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           round(sum_len / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+           round(top_word_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+           stop_hits,
+           round(alpha_cnt / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND sum_len / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10
+            AND stop_hits >= 2
+            AND top_word_cnt / CAST(n_words AS DOUBLE) <= 0.2
+            AND alpha_cnt / CAST(n_words AS DOUBLE) >= 0.8) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    tags=("quality", "gopher", "corpus"),
+)
+def gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality rules, computed from ONE
+    per-(doc, token) aggregation: word-count bounds, mean word
+    length in [3, 10], >= 2 stopword occurrences, top-word fraction
+    <= 0.2 (repetition cap), alphabetic-token fraction >= 0.8.
+
+    Scale shape: explode -> groupBy(doc_id, tok) -> groupBy(doc_id)
+    — both aggregations are doc-keyed and map-side combined; every
+    rule is integer arithmetic with one exactly-rounded division at
+    the end, so the verdict is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r" +")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    stop = F.col("tok").isin(*GOPHER_STOPWORDS)
+    alpha = F.col("tok").rlike("^[a-z]+$")
+    m = tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.max("cnt").cast("bigint").alias("top_word_cnt"),
+        F.sum(F.when(stop, F.col("cnt")).otherwise(0)).cast("bigint").alias("stop_hits"),
+        F.sum(F.length("tok") * F.col("cnt")).cast("bigint").alias("sum_len"),
+        F.sum(F.when(alpha, F.col("cnt")).otherwise(0)).cast("bigint").alias("alpha_cnt"),
+    )
+    mean_wl = F.col("sum_len") / F.col("n_words").cast("double")
+    top_frac = F.col("top_word_cnt") / F.col("n_words").cast("double")
+    alpha_frac = F.col("alpha_cnt") / F.col("n_words").cast("double")
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        "stop_hits",
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mean_wl.between(3, 10)
+            & (F.col("stop_hits") >= 2)
+            & (top_frac <= 0.2)
+            & (alpha_frac >= 0.8)
+        ).alias("keep"),
+    ).orderBy("doc_id")

@@ -672,3 +672,83 @@ def frequent_paths(spark, sf_dir):
 
 
 frequent_paths.__doc__ = frequent_paths.__doc__.format(k=FREQUENT_PATHS_TOPK)
+
+
+# ---------------------------------------------------------- halflife_decay
+# One-day half-life, capped at 30 days (the events table spans 30
+# days): weight(age k days) = 2^-k. All arithmetic stays integral —
+# cents * 2^(30-k) summed as DECIMAL(38,0) — so the score is exact
+# until one final power-of-two division, bit-identical across
+# engines (no exp()/pow() in any engine's hot path).
+DECAY_HORIZON_DAYS = 30
+
+
+@register(
+    "halflife_decay",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT user_id, max(CAST(ts AS DATE)) AS anchor FROM events GROUP BY user_id
+    ),
+    weighted AS (
+      SELECT e.user_id,
+             CAST(round(e.value * 100) AS BIGINT)
+               * (CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - least(
+                   date_diff('day', CAST(e.ts AS DATE), a.anchor),
+                   {DECAY_HORIZON_DAYS}))) AS contrib
+      FROM events e JOIN anchors a USING (user_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS DOUBLE)
+                 / {1 << DECAY_HORIZON_DAYS} / 100.0, 6) AS decayed_score
+    FROM weighted GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "decay", "scoring"),
+)
+def halflife_decay(spark, sf_dir):
+    """Per-user exponentially-decayed activity score with a one-day
+    half-life: each event contributes value * 2^-age_days relative
+    to that user's most recent event day (freshness weighting for
+    replay buffers / user-activity ranking).
+
+    Exactness: contributions are cents scaled by an integer power
+    of two (shiftleft, never pow()), summed as DECIMAL(38,0); the
+    single final division by 2^30*100 is exactly rounded in IEEE —
+    so Spark and DuckDB agree bitwise despite the "exponential".
+
+    Scale shape: per-user anchor is a map-side-combined aggregation
+    joined back on user_id (high-cardinality key — no hot
+    partition); the weighted sum is a second user-keyed
+    aggregation. Two shuffles total, both on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    anchors = e.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("anchor")
+    )
+    age = F.least(
+        F.datediff(F.col("anchor"), F.to_date("ts")),
+        F.lit(DECAY_HORIZON_DAYS),
+    )
+    weighted = (
+        e.join(anchors, "user_id")
+        .withColumn("age", age)
+        .select(
+            "user_id",
+            F.expr(
+                "cast(round(value * 100) as bigint)"
+                f" * shiftleft(cast(1 as bigint), {DECAY_HORIZON_DAYS} - age)"
+            ).alias("contrib"),
+        )
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,0)")).cast("double")
+                / (1 << DECAY_HORIZON_DAYS)
+                / 100.0,
+                6,
+            ).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,320 @@
+"""Set-similarity join and entity resolution — the two classic
+record-matching workloads of large-scale data curation.
+
+``prefix_filter_join`` is the PPJoin/AllPairs family (Bayardo et al.
+WWW'07; Xiao et al. WWW'08 — public literature): an exact
+Jaccard-threshold self-join whose candidate generation is bounded by
+PREFIX FILTERING instead of LSH's probabilistic banding. Where
+``minhash_lsh_pairs`` trades recall for speed, prefix filtering is
+lossless: two sets with Jaccard >= t MUST share at least one element
+among each set's (sz - ceil(t*sz) + 1) globally-rarest elements, so
+joining only on prefix elements provably finds every qualifying
+pair.
+
+``entity_resolution`` is blocked fuzzy matching (the
+Fellegi-Sunter/record-linkage shape): a deterministic "dirty feed"
+derived from ``part`` is matched back against the clean catalog via
+a blocking key (first 3 chars of the name's last token) and
+Levenshtein edit distance, with a min-struct aggregation electing
+the best match per dirty record.
+
+Reference parity: the reference engine's correlation operators match
+records across feeds by exact keys (SURVEY §2 J1-J5); these two
+operators extend the same matching surface to the approximate-key
+regime a training-data pipeline needs (near-identical documents,
+misspelled catalog entries).
+
+Scale design (100 TB):
+- prefix_filter_join: element document-frequencies are one
+  token-keyed aggregation (map-side combined); per-doc prefix
+  ranking is a window over ONE document's elements (bounded by
+  document length, never by corpus size); the candidate join is
+  confined to prefix elements — rare-first ordering makes prefix
+  elements precisely the ones with SMALL document frequency, so
+  bucket sizes in the candidate join are small by construction
+  (the anti-skew property that makes PPJoin scale); verification
+  joins candidate pairs back to two array-typed set columns —
+  O(candidates), not O(n²).
+- entity_resolution: the block join's fan-out is bounded by block
+  size (a 3-char prefix over catalog names); best-match election is
+  groupBy + min(struct) — map-side combined, hot-block safe, the
+  same shape segment_dedup uses (training_ops.py:100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ingestor_etl_spark.catalog import load_table
+from ingestor_etl_spark.queries import register
+from ingestor_etl_spark.queries.dedup_ops import _SQL_SHINGLED, _shingled
+
+JACCARD_T = 0.6  # similarity threshold for the prefix-filter join
+MAX_EDIT_DIST = 3  # entity-resolution match acceptance bound
+
+
+# ------------------------------------------------------- prefix_filter_join
+@register(
+    "prefix_filter_join",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, shingles, len(shingles) AS sz FROM ({_SQL_SHINGLED})
+    ),
+    el AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sets),
+    dfreq AS (SELECT s, count(*) AS df FROM el GROUP BY s),
+    ranked AS (
+      SELECT doc_id, sz, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+      FROM el JOIN dfreq USING (s)
+    ),
+    prefix AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rk <= sz - CAST(ceil({JACCARD_T} * sz) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter_sz,
+             sa.sz + sb.sz - len(list_intersect(sa.shingles, sb.shingles))
+               AS union_sz
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.doc_a
+      JOIN sets sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter_sz AS BIGINT) AS inter_sz,
+           CAST(union_sz AS BIGINT) AS union_sz,
+           round(inter_sz / CAST(union_sz AS DOUBLE), 6) AS jaccard
+    FROM verified
+    WHERE inter_sz / CAST(union_sz AS DOUBLE) >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "similarity-join", "prefix-filter"),
+)
+def prefix_filter_join(spark, sf_dir):
+    """Exact Jaccard-threshold set-similarity self-join over
+    word-bigram shingle sets, with PPJoin-style prefix filtering:
+    each document contributes only its (sz - ceil(t*sz) + 1)
+    globally-RAREST shingles to the candidate join — lossless for
+    Jaccard >= t, and rare-first ordering keeps candidate buckets
+    small (the hot shingles that would explode a naive
+    shared-element join never appear in any prefix).
+
+    Shuffles: one df aggregation (shingle-keyed, map-side
+    combined), one per-doc ranking exchange (doc-keyed; window
+    group = one document's shingles), the prefix equi-join, and the
+    two verification joins on doc_id. The Jaccard verdict is
+    integer-ratio arithmetic — bit-identical across engines."""
+    sets = (
+        _shingled(spark, sf_dir)
+        .withColumn("sz", F.size("shingles"))
+    )
+    el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
+    dfreq = el.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = el.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("sz") - F.ceil(F.lit(JACCARD_T) * F.col("sz")) + 1
+    ).select("doc_id", "sz", "s")
+    # The candidate self-join is byte-small but OUTPUT-heavy (each
+    # shared prefix element emits a pair): AQE's size-based
+    # coalescing would fold it onto 1-2 tasks. An explicit keyed
+    # repartition is respected by AQE (REPARTITION_BY_COL shuffles
+    # are never coalesced) and both aliases reuse the one exchange.
+    prefix = prefix.repartition(spark.sparkContext.defaultParallelism, "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length (size) filtering — the second lossless PPJoin prune:
+    # J(a,b) >= t forces t*sz_a <= sz_b (and symmetrically), so
+    # size-incompatible pairs are dropped INSIDE the candidate join,
+    # before the distinct and the array-verification work.
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= JACCARD_T * F.col("a.sz"))
+            & (F.col("a.sz") >= JACCARD_T * F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        # Verification evaluates array_intersect over two shingle
+        # arrays per pair — CPU-heavy but byte-light, exactly the
+        # shape AQE's size-based coalescing underestimates (it would
+        # fold the verify stage onto a couple of tasks). Spread
+        # candidates across the executor cores explicitly.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_sz"),
+            (F.col("sz_a") + F.col("sz_b") - inter).alias("union_sz"),
+        )
+        .where(
+            F.col("inter_sz") / F.col("union_sz").cast("double") >= JACCARD_T
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_sz").cast("bigint").alias("inter_sz"),
+            F.col("union_sz").cast("bigint").alias("union_sz"),
+            F.round(
+                F.col("inter_sz") / F.col("union_sz").cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------------- entity_resolution
+# Deterministic dirty-feed perturbations keyed on p_partkey % 4:
+#   0 — unchanged, 1 — last char dropped, 2 — pluralized (+ 's'),
+#   3 — first char dropped. All survive the last-token-prefix
+# blocking key, so recall failures measure matching, not blocking.
+_SQL_DIRTY = """
+    SELECT p_partkey AS dirty_id,
+           CASE p_partkey % 4
+             WHEN 0 THEN p_name
+             WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+             WHEN 2 THEN p_name || 's'
+             ELSE substr(p_name, 2)
+           END AS dirty_name
+    FROM part
+"""
+
+
+@register(
+    "entity_resolution",
+    oracle=f"""
+    WITH dirty AS ({_SQL_DIRTY}),
+    blocked_dirty AS (
+      SELECT dirty_id, dirty_name,
+             substr(string_split(dirty_name, ' ')[-1], 1, 3) AS blk
+      FROM dirty
+    ),
+    blocked_clean AS (
+      SELECT p_partkey, p_name,
+             substr(string_split(p_name, ' ')[-1], 1, 3) AS blk
+      FROM part
+    ),
+    scored AS (
+      SELECT dirty_id, dirty_name, p_partkey, p_name,
+             levenshtein(dirty_name, p_name) AS dist,
+             row_number() OVER (
+               PARTITION BY dirty_id
+               ORDER BY levenshtein(dirty_name, p_name), p_partkey
+             ) AS rk
+      FROM blocked_dirty JOIN blocked_clean USING (blk)
+      WHERE levenshtein(dirty_name, p_name) <= {MAX_EDIT_DIST}
+    )
+    SELECT dirty_id, dirty_name,
+           p_partkey AS matched_partkey, p_name AS matched_name,
+           CAST(dist AS BIGINT) AS match_dist,
+           (p_partkey = dirty_id) AS is_correct
+    FROM scored WHERE rk = 1 ORDER BY dirty_id
+    """,
+    tags=("entity-resolution", "fuzzy-join", "blocking"),
+)
+def entity_resolution(spark, sf_dir):
+    """Blocked fuzzy entity resolution: a deterministically
+    perturbed "dirty feed" of part names (dropped/added chars) is
+    matched back to the clean catalog. Blocking on the first 3
+    chars of the name's last token confines the Levenshtein
+    comparisons to one block; the best match per dirty record is a
+    min(struct(dist, key)) aggregation — map-side combined, no
+    per-block sort, hot-block safe (same election shape as
+    segment_dedup, training_ops.py:100).
+
+    The oracle uses an equivalent row_number() formulation; both
+    pick the (min dist, min key) row, so results agree exactly."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    dirty = part.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.when(k == 0, F.col("p_name"))
+        .when(k == 1, F.expr("substr(p_name, 1, length(p_name) - 1)"))
+        .when(k == 2, F.concat(F.col("p_name"), F.lit("s")))
+        .otherwise(F.expr("substr(p_name, 2)"))
+        .alias("dirty_name"),
+    ).withColumn(
+        "blk", F.expr("substr(element_at(split(dirty_name, ' '), -1), 1, 3)")
+    )
+    # Length-banded blocking: dist <= 3 forces |len(a) - len(b)| <= 3,
+    # so a clean record in length band (len div 4) can only match
+    # dirty records in bands band-1..band+1. Replicating the DIRTY
+    # side into its 3 adjacent bands keeps the join a pure equi-join
+    # on (blk, band) — each (dirty, clean) pair meets exactly once —
+    # while multiplying join-key cardinality by the number of bands
+    # (no 25-hot-key shuffle) and cutting the comparison volume to
+    # length-compatible pairs. The edit distance itself uses the
+    # banded THRESHOLD form (levenshtein(a, b, k) — O(n*k), early
+    # exit, -1 when > k) instead of the full O(n*m) matrix.
+    dirty_banded = dirty.withColumn(
+        "delta", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        "dirty_id",
+        "dirty_name",
+        "blk",
+        (F.expr("length(dirty_name) div 4") + F.col("delta")).alias("band"),
+    )
+    clean = part.select(
+        "p_partkey",
+        "p_name",
+        F.expr("substr(element_at(split(p_name, ' '), -1), 1, 3)").alias("blk"),
+        F.expr("length(p_name) div 4").alias("band"),
+    )
+    # Same AQE caveat as prefix_filter_join: the block join's inputs
+    # are kilobytes but its output (and the per-pair edit distances)
+    # are the cost — pin the join's parallelism explicitly.
+    par = spark.sparkContext.defaultParallelism
+    dirty_banded = dirty_banded.repartition(par, "blk", "band")
+    clean = clean.repartition(par, "blk", "band")
+    scored = (
+        dirty_banded.join(clean, ["blk", "band"])
+        .where(
+            F.abs(F.length("dirty_name") - F.length("p_name")) <= MAX_EDIT_DIST
+        )
+        .withColumn(
+            "dist", F.levenshtein("dirty_name", "p_name", MAX_EDIT_DIST)
+        )
+        .where(F.col("dist") >= 0)
+    )
+    best = (
+        scored.groupBy("dirty_id", "dirty_name")
+        .agg(
+            F.min(F.struct("dist", "p_partkey", "p_name")).alias("best")
+        )
+        .select(
+            "dirty_id",
+            "dirty_name",
+            F.col("best.p_partkey").alias("matched_partkey"),
+            F.col("best.p_name").alias("matched_name"),
+            F.col("best.dist").cast("bigint").alias("match_dist"),
+            (F.col("best.p_partkey") == F.col("dirty_id")).alias("is_correct"),
+        )
+        .orderBy("dirty_id")
+    )
+    return best

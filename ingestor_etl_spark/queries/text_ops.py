@@ -417,3 +417,66 @@ def json_functions(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ----------------------------------------------------------- char_entropy
+@register(
+    "char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cf AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             sum(CAST(cnt * round(log2(cnt), 6) AS DECIMAL(28,6))) AS s
+      FROM cf GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, distinct_chars,
+           round(log2(n_chars_counted)
+                 - CAST(s AS DOUBLE) / n_chars_counted, 4) AS entropy_bits
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("quality", "entropy", "corpus"),
+)
+def char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the
+    compression-ratio proxy quality signal (low-entropy text is
+    boilerplate/repetition; very high entropy is binary junk).
+
+    Uses the decomposition H = log2(n) - (1/n) * sum(cnt*log2(cnt))
+    so the per-term log argument is an INTEGER count: each term is
+    rounded to 6 decimals and summed as exact decimals (the same
+    order-independent log-parity recipe as unigram_logprob), then
+    the final expression is rounded to 4 — cross-engine exact.
+
+    Scale shape: explode -> two doc-keyed aggregations, both
+    map-side combined; per-doc group size is bounded by the
+    alphabet, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    cf = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(
+            (F.col("cnt") * F.round(F.log2("cnt"), 6)).cast("decimal(28,6)")
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars_counted",
+        "distinct_chars",
+        F.round(
+            F.log2("n_chars_counted")
+            - F.col("s").cast("double") / F.col("n_chars_counted"),
+            4,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
