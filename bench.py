@@ -117,6 +117,15 @@ EXTENDED = [
     "math_functions",
     "conditional_functions",
     "curation_pipeline",
+    # wave 11: similarity joins + quality signals. Note on the two
+    # join ops: the synthetic testdata is their worst case (50-word
+    # vocabulary -> dense shingle df; 99%-duplicated part names ->
+    # maximal block collisions); see SCALING.md §17.
+    "prefix_filter_join",
+    "entity_resolution",
+    "gopher_rules",
+    "char_entropy",
+    "halflife_decay",
 ]
 
 
@@ -175,10 +184,16 @@ def main() -> None:
     extended: dict[str, float] = {}
     for name in (n for n in EXTENDED if n in registry):
         df = registry[name].fn(spark, sf_dir)
+        # Warm-up + best-of-two: a single timed run still recorded
+        # occasional 5x cold-codegen/contention spikes (r4: a 4.3 s
+        # bpe_pair_counts draw whose steady state is 0.8 s).
         df.write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        extended[name] = round(best, 3)
         release_caches()
 
     protocol = bench_protocol_throughput(spark)

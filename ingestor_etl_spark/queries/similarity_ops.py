@@ -47,10 +47,42 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ingestor_etl_spark.catalog import load_table
 from ingestor_etl_spark.queries import register
-from ingestor_etl_spark.queries.dedup_ops import _SQL_SHINGLED, _shingled
 
 JACCARD_T = 0.6  # similarity threshold for the prefix-filter join
 MAX_EDIT_DIST = 3  # entity-resolution match acceptance bound
+
+# Word-TRIGRAM shingle sets (vs the bigrams dedup_ops uses): the
+# prefix filter's selectivity is inversely proportional to element
+# document frequency, and on this synthetic 50-word vocabulary
+# bigram df is ~2% of the corpus — trigrams push the element
+# universe to ~vocab³ so the rare-first prefix actually prunes,
+# matching the df distribution real shingled corpora have.
+# Construction is the same shifted-zip O(tokens) trick as
+# dedup_ops._SPARK_SHINGLES (nested zip_with for arity 3).
+_TOKS = "split(trim(lower(text)), ' +')"
+_SPARK_TRIGRAMS = f"""
+    array_distinct(zip_with(
+        zip_with(
+            slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)),
+            slice({_TOKS}, 2, greatest(size({_TOKS}) - 2, 0)),
+            (x, y) -> concat(x, ' ', y)),
+        slice({_TOKS}, 3, greatest(size({_TOKS}) - 2, 0)),
+        (xy, z) -> concat(xy, ' ', z)))
+"""
+_SQL_TOKS = "string_split_regex(trim(lower(text)), ' +')"
+_SQL_TRIGRAMS = f"""
+    CASE WHEN len({_SQL_TOKS}) < 3 THEN []
+    ELSE list_distinct(list_transform(
+        range(1, len({_SQL_TOKS}) - 1),
+        i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]
+             || ' ' || {_SQL_TOKS}[i + 2]))
+    END
+"""
+_SQL_TRIGRAM_SETS = f"""
+    SELECT doc_id, {_SQL_TRIGRAMS} AS shingles
+    FROM documents
+    WHERE len({_SQL_TRIGRAMS}) > 0
+"""
 
 
 # ------------------------------------------------------- prefix_filter_join
@@ -58,7 +90,7 @@ MAX_EDIT_DIST = 3  # entity-resolution match acceptance bound
     "prefix_filter_join",
     oracle=f"""
     WITH sets AS (
-      SELECT doc_id, shingles, len(shingles) AS sz FROM ({_SQL_SHINGLED})
+      SELECT doc_id, shingles, len(shingles) AS sz FROM ({_SQL_TRIGRAM_SETS})
     ),
     el AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sets),
     dfreq AS (SELECT s, count(*) AS df FROM el GROUP BY s),
@@ -110,7 +142,10 @@ def prefix_filter_join(spark, sf_dir):
     two verification joins on doc_id. The Jaccard verdict is
     integer-ratio arithmetic — bit-identical across engines."""
     sets = (
-        _shingled(spark, sf_dir)
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", f"{_SPARK_TRIGRAMS} AS shingles")
+        .where(F.size("shingles") > 0)
         .withColumn("sz", F.size("shingles"))
     )
     el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))

@@ -20,9 +20,15 @@ def test_prefix_filter_is_lossless(spark, sf_dir):
     """Every pair found by the brute-force O(n²) Jaccard join must
     be found by the prefix-filtered plan (the PPJoin completeness
     guarantee), and vice versa."""
-    from ingestor_etl_spark.queries.dedup_ops import _shingled
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.similarity_ops import _SPARK_TRIGRAMS
 
-    sets = _shingled(spark, sf_dir).withColumn("sz", F.size("shingles"))
+    sets = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_SPARK_TRIGRAMS} AS shingles")
+        .where(F.size("shingles") > 0)
+        .withColumn("sz", F.size("shingles"))
+    )
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
