@@ -752,3 +752,142 @@ def halflife_decay(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ----------------------------------------------------- multitouch_attribution
+# U-shaped (position-based) credit: 40% first touch, 40% last touch,
+# 20% split across middles; single-touch gets 100%, two-touch 50/50.
+ATTRIB_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+ATTRIB_CHANNELS = ("click", "view")
+
+
+@register(
+    "multitouch_attribution",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv_id,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv_ts_us,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv_value
+      FROM events
+    ),
+    touches AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY ts_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM ordered
+      WHERE event_type IN {ATTRIB_CHANNELS}
+        AND conv_id IS NOT NULL
+        AND conv_ts_us - ts_us <= {ATTRIB_LOOKBACK_US}
+    ),
+    credited AS (
+      SELECT event_type AS channel,
+             CAST(round(conv_value * 100) AS DECIMAL(18,0)) AS cents,
+             CAST(round(CASE WHEN n = 1 THEN 1.0
+                             WHEN n = 2 THEN 0.5
+                             WHEN rn = 1 OR rn = n THEN 0.4
+                             ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(18,6))
+               AS credit
+      FROM touches
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(cents * credit) AS DOUBLE) / 100, 4)
+             AS attributed_revenue
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+    tags=("events", "attribution", "marketing"),
+)
+def multitouch_attribution(spark, sf_dir):
+    """U-shaped multi-touch revenue attribution: each click/view is
+    assigned to the user's NEXT purchase within a 7-day lookback
+    (forward as-of via the union-and-carry window — one pass, no
+    per-pair join), then position-based credit (40/20/40) splits
+    the purchase value across its touches, aggregated per channel.
+
+    Exactness: credits are doubles exactly rounded to 6 decimals,
+    then all revenue math is decimal (cents x credit) — the sums
+    are order-independent and bit-identical across engines.
+
+    Scale shape: both windows partition by high-cardinality keys
+    (user_id, then conversion id) with per-group size bounded by a
+    user's events in the lookback, never by table size; the final
+    aggregation is channel-keyed with map-side combine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    carry = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_conv = F.col("event_type") == "purchase"
+    ordered = e.select(
+        "*",
+        F.last(F.when(is_conv, F.col("event_id")), ignorenulls=True)
+        .over(carry)
+        .alias("conv_id"),
+        F.last(F.when(is_conv, F.col("ts_us")), ignorenulls=True)
+        .over(carry)
+        .alias("conv_ts_us"),
+        F.last(F.when(is_conv, F.col("value")), ignorenulls=True)
+        .over(carry)
+        .alias("conv_value"),
+    )
+    touches = ordered.where(
+        F.col("event_type").isin(*ATTRIB_CHANNELS)
+        & F.col("conv_id").isNotNull()
+        & (F.col("conv_ts_us") - F.col("ts_us") <= ATTRIB_LOOKBACK_US)
+    )
+    pos = Window.partitionBy("conv_id").orderBy("ts_us", "event_id")
+    sized = Window.partitionBy("conv_id")
+    credited = touches.select(
+        F.col("event_type").alias("channel"),
+        F.round(F.col("conv_value") * 100).cast("decimal(18,0)").alias("cents"),
+        F.row_number().over(pos).alias("rn"),
+        F.count(F.lit(1)).over(sized).alias("n"),
+    ).select(
+        "channel",
+        "cents",
+        F.round(
+            F.when(F.col("n") == 1, 1.0)
+            .when(F.col("n") == 2, 0.5)
+            .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+            .otherwise(0.2 / (F.col("n") - 2)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(F.col("cents") * F.col("credit")).cast("double") / 100, 4
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -387,3 +387,89 @@ def value_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------ inverted_index_shards
+# Doc-hash sharded posting lists: the retrieval-index build step of a
+# corpus pipeline. Postings are "doc:tf" strings aggregated in doc
+# order; the driver-visible result carries per-(term, shard) counts
+# and a posting-list fingerprint, never the lists themselves.
+INDEX_SHARDS = 8
+
+
+@register(
+    "inverted_index_shards",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {INDEX_SHARDS} AS shard_id
+      FROM toks GROUP BY doc_id, term
+    )
+    SELECT term, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                          ',' ORDER BY doc_id)) AS postings_fp
+    FROM tf GROUP BY term, shard_id
+    ORDER BY term, shard_id
+    """,
+    tags=("retrieval", "index", "sharding"),
+)
+def inverted_index_shards(spark, sf_dir):
+    """Sharded positional-free inverted index build: per-document
+    term frequencies hash into {n} doc-shards (md5(doc_id), the
+    shard_pack recipe), and each (term, shard) emits its posting
+    count plus an order-pinned fingerprint of the "doc:tf" posting
+    list.
+
+    Scale design: doc-sharding bounds every posting list at
+    df/​n_shards — the standard segment layout that keeps hot-term
+    (stopword) postings from concentrating on one task; at corpus
+    scale n_shards tracks corpus size and writers emit shard
+    segments independently. The tf relation aggregates map-side
+    before the (term, shard) shuffle, and the fingerprint stands in
+    for materialized lists in the driver result (lists stay in the
+    executors / on disk in a real deployment)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r" +")).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "shard_id",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % INDEX_SHARDS,
+        )
+    )
+    posting = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ),
+            lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+        ),
+    )
+    return (
+        tf.groupBy("term", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.md5(posting).alias("postings_fp"),
+        )
+        .orderBy("term", "shard_id")
+    )
+
+
+inverted_index_shards.__doc__ = inverted_index_shards.__doc__.replace(
+    "{n}", str(INDEX_SHARDS)
+)

@@ -467,3 +467,41 @@ def stream_cms_cells(
         ).alias("bucket"),
     )
     return hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookahead: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native watermarked stream-stream interval join — the J1
+    request/response correlation expressed with Spark's built-in
+    join-state machinery instead of applyInPandasWithState
+    (stream_correlate_diameter is the custom-state form; this is
+    the declarative one). A left row joins right rows of the same
+    key whose event time lands in [left.ts, left.ts + lookahead].
+
+    State boundedness comes from the two watermarks PLUS the
+    interval condition: Spark derives each side's state-eviction
+    watermark from the time-range predicate, so buffered rows are
+    dropped as soon as the other side's watermark passes their
+    join window — no unbounded buffering, the precondition for
+    running this on an infinite stream (a bare equi-join of two
+    streams without a time bound is rejected by Spark for append
+    mode precisely because its state never drains)."""
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{ts_col} >= l.{ts_col} "
+        f"AND r.{ts_col} <= l.{ts_col} + interval {lookahead}"
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+    )
