@@ -141,7 +141,12 @@ def prefix_filter_join(spark, sf_dir):
     group = one document's shingles), the prefix equi-join, and the
     two verification joins on doc_id. The Jaccard verdict is
     integer-ratio arithmetic — bit-identical across engines."""
-    sets = (
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Trigram construction feeds THREE consumers (df ranking, the
+    # a-side arrays, the b-side arrays); materialize so the HOF
+    # shingle work runs once, not once per branch.
+    sets = materialize(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .selectExpr("doc_id", f"{_SPARK_TRIGRAMS} AS shingles")
