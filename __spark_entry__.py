@@ -83,7 +83,8 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # names FIRST so CORRECTNESS_r04 covers them; everything previously
 # sampled (all green on its latest check) follows in registry order.
 _DRIVER_SAMPLE_PRIORITY = [
-    # round-4 waves 11-12 (newest; never sampled by definition)
+    # round-4 waves 11-13 (newest; never sampled by definition)
+    "embedding_outliers", "active_user_stickiness",
     "multitouch_attribution", "inverted_index_shards",
     "prefix_filter_join", "entity_resolution", "gopher_rules",
     "char_entropy", "halflife_decay",

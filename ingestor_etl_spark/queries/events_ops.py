@@ -891,3 +891,74 @@ def multitouch_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ------------------------------------------------------ active_user_stickiness
+@register(
+    "active_user_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, CAST(cd AS DATE) AS covered_day
+      FROM ud, LATERAL (
+        SELECT unnest(generate_series(CAST(day AS TIMESTAMP),
+                                      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS cd
+      ) g
+    ),
+    wau AS (
+      SELECT covered_day AS day, CAST(count(*) AS BIGINT) AS wau
+      FROM cover GROUP BY covered_day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST((1000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN wau USING (day)
+    ORDER BY dau.day
+    """,
+    tags=("events", "engagement", "sliding-distinct"),
+)
+def active_user_stickiness(spark, sf_dir):
+    """DAU / WAU / stickiness per day, with the trailing-7-day
+    distinct-user count computed EXACTLY and scalably: sliding
+    COUNT(DISTINCT) has no bounded-state windowed form, so each
+    (user, day) activity pair is exploded into the 7 target days it
+    covers and deduplicated — turning the sliding distinct into two
+    plain distinct-aggregations (constant 7x amplification, every
+    shuffle on high-cardinality keys, no per-day re-scan).
+    Stickiness is integer-division milli-units (exact).
+
+    Only days with observed activity are reported (inner join
+    dau⋈wau), so the trailing coverage past the last active day is
+    dropped symmetrically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            # timestamp (not date) so pandas sees datetime64 on both
+            # engines — DuckDB DATE already arrives as datetime64.
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(1000 * dau) div wau").cast("bigint").alias("stickiness_milli"),
+        )
+        .orderBy("day")
+    )

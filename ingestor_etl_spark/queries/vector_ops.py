@@ -924,3 +924,105 @@ def embedding_quantize_int8(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ----------------------------------------------------------- embedding_outliers
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+      SELECT vec_id, label, i,
+             CAST(round(v[i], 6) AS DECIMAL(18,6)) AS x
+      FROM e, LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+    ),
+    cent AS (
+      SELECT label, i, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY label, i
+    ),
+    d2 AS (
+      SELECT el.vec_id, el.label,
+             sum(CAST(round((cent.n * el.x - cent.sx)
+                            * (cent.n * el.x - cent.sx), 6)
+                      AS DECIMAL(28,6))) AS dist2_scaled,
+             max(cent.n) AS n
+      FROM el JOIN cent ON el.label = cent.label AND el.i = cent.i
+      GROUP BY el.vec_id, el.label
+    ),
+    lbl AS (
+      SELECT label, sum(dist2_scaled) AS tot, CAST(count(*) AS BIGINT) AS m
+      FROM d2 GROUP BY label
+    )
+    SELECT d2.vec_id, d2.label,
+           round(CAST(d2.dist2_scaled AS DOUBLE) / (d2.n * d2.n), 6)
+             AS centroid_dist2
+    FROM d2 JOIN lbl ON d2.label = lbl.label
+    WHERE 20 * lbl.m * d2.dist2_scaled > 21 * lbl.tot
+    ORDER BY d2.vec_id
+    """,
+    tags=("embeddings", "outliers", "hygiene"),
+)
+def embedding_outliers(spark, sf_dir):
+    """Per-label embedding outlier flagging: squared L2 distance to
+    the label centroid, flagged when a vector's distance exceeds 1.05x
+    its label's mean (the gate is a tunable rational constant) — the embedding-hygiene gate that catches
+    mislabeled / corrupted vectors before they enter training.
+
+    Exactness without sqrt or mean division: components and per-dim
+    squared diffs round to 6 decimals (keeping every decimal sum
+    under 2^53 scaled, so the one double cast is exactly rounded on
+    both engines), and the comparison is cross-multiplied into pure
+    decimal integers — (n·x − Σx)² for the distance (n²·dist²) and
+    20·m·dist2 > 21·Σdist2 for the outlier gate — so both engines agree
+    bitwise; only the reported score divides once, exactly rounded.
+
+    Plan shape: posexplode → (label, dim) centroid aggregation
+    (map-side combined; |labels|×64 rows, broadcast back), then a
+    vec_id-keyed aggregation and a label-keyed threshold join. No
+    windows, no per-label sort — hot labels cost one combine, not
+    one task."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    el = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("i", "raw"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.round("raw", 6).cast("decimal(18,6)").alias("x"),
+    )
+    cent = el.groupBy("label", "i").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    diff = F.col("n") * F.col("x") - F.col("sx")
+    d2 = (
+        el.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(diff * diff, 6).cast("decimal(28,6)")).alias(
+                "dist2_scaled"
+            ),
+            F.max("n").alias("n"),
+        )
+    )
+    lbl = d2.groupBy("label").agg(
+        F.sum("dist2_scaled").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    return (
+        d2.join(F.broadcast(lbl), "label")
+        .where(20 * F.col("m") * F.col("dist2_scaled") > 21 * F.col("tot"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dist2_scaled").cast("double")
+                / (F.col("n") * F.col("n")),
+                6,
+            ).alias("centroid_dist2"),
+        )
+        .orderBy("vec_id")
+    )
