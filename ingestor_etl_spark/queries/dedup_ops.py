@@ -324,6 +324,16 @@ def _band_pairs(shingled_df: DataFrame) -> DataFrame:
             "band_no", "band_key"
         ),
     )
+    # The bucket self-join is byte-small but pair-output-heavy; an
+    # ENSURE_REQUIREMENTS shuffle here gets AQE-coalesced onto 1-2
+    # tasks (measured: a single-task stage dominating the query).
+    # REPARTITION_BY_COL is exempt from coalescing and one exchange
+    # serves both aliases. Same trick for the emitted pairs, whose
+    # consumers do CPU-heavy array verification.
+    sc = shingled_df.sparkSession.sparkContext
+    long_form = long_form.repartition(
+        sc.defaultParallelism, "band_no", "band_key"
+    )
     la, lb = long_form.alias("la"), long_form.alias("lb")
     return (
         la.join(
@@ -336,6 +346,7 @@ def _band_pairs(shingled_df: DataFrame) -> DataFrame:
             F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
         )
         .dropDuplicates()
+        .repartition(sc.defaultParallelism, "doc_a")
     )
 
 
