@@ -84,6 +84,7 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # sampled (all green on its latest check) follows in registry order.
 _DRIVER_SAMPLE_PRIORITY = [
     # round-4 waves 11-13 (newest; never sampled by definition)
+    "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",
     "multitouch_attribution", "inverted_index_shards",
     "prefix_filter_join", "entity_resolution", "gopher_rules",

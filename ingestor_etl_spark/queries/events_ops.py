@@ -962,3 +962,71 @@ def active_user_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ----------------------------------------------------- event_transition_matrix
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+    {_SQL_SESSIONIZED}
+    , steps AS (
+      SELECT user_id, session_no, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id, session_no
+                                   ORDER BY ts, event_id) AS from_type
+      FROM sessioned
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM steps WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST((1000 * p.n) // t.tot AS BIGINT) AS prob_milli
+    FROM pairs p JOIN totals t USING (from_type)
+    ORDER BY p.from_type, p.to_type
+    """,
+    tags=("events", "markov", "sessionization"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """Within-session Markov transition matrix over event types:
+    lag() inside each (user, session) gives consecutive steps, then
+    two (from, to)-keyed aggregations produce counts and integer
+    milli-probabilities (exact division, no doubles).
+
+    Scale shape: the lag window rides the SAME (user_id) shuffle
+    sessionization already performs — per-group size is one user's
+    session; the transition aggregation is |event_types|²-bounded
+    output with map-side combine. This is the matrix form of
+    frequent_paths (which keeps whole top-k sequences)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        e,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+        gap_us=_SESSION_GAP_US,
+    )
+    w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    steps = s.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    pairs = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(1000 * n) div tot").cast("bigint").alias("prob_milli"),
+        )
+        .orderBy("from_type", "to_type")
+    )
