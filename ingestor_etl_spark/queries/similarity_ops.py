@@ -320,11 +320,22 @@ def entity_resolution(spark, sf_dir):
         "blk",
         (F.expr("length(dirty_name) div 4") + F.col("delta")).alias("band"),
     )
-    clean = part.select(
-        "p_partkey",
-        "p_name",
-        F.expr("substr(element_at(split(p_name, ' '), -1), 1, 3)").alias("blk"),
-        F.expr("length(p_name) div 4").alias("band"),
+    # Entity-collapse before matching: the election takes min(dist,
+    # p_partkey), so for any given catalog NAME only its minimum-
+    # partkey holder can ever win — deduplicate the clean side to
+    # (name, min key) first. On a duplicate-heavy catalog (this
+    # synthetic one is ~99% name-duplicated) the comparison volume
+    # drops by the duplication factor; on a real catalog it is free.
+    # The aggregation is map-side combined and name-keyed.
+    clean = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.expr("substr(element_at(split(p_name, ' '), -1), 1, 3)").alias("blk"),
+            F.expr("length(p_name) div 4").alias("band"),
+        )
     )
     # Same AQE caveat as prefix_filter_join: the block join's inputs
     # are kilobytes but its output (and the per-pair edit distances)
