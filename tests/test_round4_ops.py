@@ -129,33 +129,108 @@ def test_pq_approximates_exact_neighbors(spark):
 
 
 def test_lsh_eval_confusion_identities(spark):
+    """Full Python re-derivation of lsh_dedup_eval: fixed-size md5
+    stratum, stop-shingle cut, aggregation-form minhash, banding,
+    exact Jaccard truth — demand the identical confusion row."""
     import hashlib
+    from collections import defaultdict
 
-    from ingestor_etl_spark.queries.dedup_ops import EVAL_KEEP, EVAL_MOD
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.dedup_ops import (
+        EVAL_N,
+        N_BANDS,
+        SALTS,
+        STOP_SHINGLE_MAX_DOCS,
+        _JACCARD_THRESHOLD,
+    )
 
     row = REGISTRY["lsh_dedup_eval"].fn(spark, SF).collect()[0]
     assert row.tp + row.fp == row.n_candidates
     assert row.tp + row.fn == row.n_truth
     assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
-
-    # consistency with the two source relations RESTRICTED to the
-    # evaluation stratum (both endpoints inside the md5 doc sample)
-    def in_sample(doc_id: int) -> bool:
-        return (
-            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % EVAL_MOD
-            < EVAL_KEEP
-        )
-
-    n_cand = sum(
-        in_sample(r.doc_a) and in_sample(r.doc_b)
-        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, SF).collect()
-    )
-    n_truth = sum(
-        in_sample(r.doc_a) and in_sample(r.doc_b)
-        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
-    )
-    assert (row.n_candidates, row.n_truth) == (n_cand, n_truth)
     assert row.n_truth > 0, "stratum degenerate — no truth pairs at this sf"
+
+    docs = {
+        r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()
+    }
+    md5hex = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    stratum = sorted(docs, key=lambda d: (md5hex(str(d)), d))[:EVAL_N]
+    shingles = {}
+    for d in stratum:
+        toks = docs[d].strip().lower().split()
+        sset = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if sset:
+            shingles[d] = sset
+    df_count = defaultdict(set)
+    for d, sset in shingles.items():
+        for s in sset:
+            df_count[s].add(d)
+    hot = {s for s, ds in df_count.items() if len(ds) > STOP_SHINGLE_MAX_DOCS}
+    live = {
+        d: {s for s in sset if s not in hot} for d, sset in shingles.items()
+    }
+    live = {d: sset for d, sset in live.items() if sset}
+    h60 = lambda s: int(md5hex(s)[:15], 16)  # noqa: E731
+    sigs = {
+        d: [min(h60(salt + s) for s in sset) for salt in SALTS]
+        for d, sset in live.items()
+    }
+    buckets = defaultdict(set)
+    for d, sig in sigs.items():
+        for i in range(N_BANDS):
+            buckets[(i, f"{sig[2 * i]}:{sig[2 * i + 1]}")].add(d)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i_, a in enumerate(ds):
+            for b in ds[i_ + 1 :]:
+                cand.add((a, b))
+    truth = set()
+    ids = sorted(live)
+    for i_, a in enumerate(ids):
+        for b in ids[i_ + 1 :]:
+            inter = len(live[a] & live[b])
+            if inter and inter / (len(live[a]) + len(live[b]) - inter) >= _JACCARD_THRESHOLD:
+                truth.add((a, b))
+    tp = len(cand & truth)
+    assert (row.n_candidates, row.n_truth, row.tp, row.fp, row.fn) == (
+        len(cand),
+        len(truth),
+        tp,
+        len(cand) - tp,
+        len(truth) - tp,
+    )
+
+
+def test_stop_shingle_cut_bounds_hot_shingles(spark):
+    """The truth-leg blowup guard: a boilerplate shingle shared by
+    many more docs than STOP_SHINGLE_MAX_DOCS is dropped entirely
+    (zero pairs from it), normal shingles survive, and the hot list
+    is applied as a broadcast anti-join (never shuffled)."""
+    from ingestor_etl_spark.queries.dedup_ops import (
+        STOP_SHINGLE_MAX_DOCS,
+        stop_shingle_cut,
+    )
+
+    n_hot = STOP_SHINGLE_MAX_DOCS * 3
+    rows = [(i, "hot shingle") for i in range(n_hot)]
+    rows += [(1000, "rare pair"), (1001, "rare pair"), (1002, "loner one")]
+    exploded = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    live = stop_shingle_cut(exploded)
+    got = sorted((r.doc_id, r.shingle) for r in live.collect())
+    assert got == [
+        (1000, "rare pair"),
+        (1001, "rare pair"),
+        (1002, "loner one"),
+    ]
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # at exactly the threshold the shingle survives (cut is strict >)
+    at_cap = spark.createDataFrame(
+        [(i, "edge") for i in range(STOP_SHINGLE_MAX_DOCS)],
+        ["doc_id", "shingle"],
+    )
+    assert stop_shingle_cut(at_cap).count() == STOP_SHINGLE_MAX_DOCS
 
 
 def test_vocab_coverage_python_reference(spark):
