@@ -105,10 +105,88 @@ def test_entity_resolution_matches_brute_force_distance(spark, sf_dir):
 
 def test_entity_resolution_band_replication_meets_once(spark, sf_dir):
     """The 3-band dirty replication must not double-count a
-    (dirty, clean) pair: each clean row has exactly one band, so
-    grouping the raw scored relation can never see a pair twice.
-    Verified indirectly: per-dirty best rows are unique and the
-    plan contains no more than one join of the banded relations."""
-    df = REG["entity_resolution"].fn(spark, sf_dir)
-    dup = df.groupBy("dirty_id").count().where(F.col("count") > 1).count()
+    (dirty, clean) pair: count raw rows of the SCORED comparison
+    relation per (dirty_id, p_partkey) and demand each pair appears
+    exactly once."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.similarity_ops import er_scored_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    dirty = part.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.when(k == 0, F.col("p_name"))
+        .when(k == 1, F.expr("substr(p_name, 1, length(p_name) - 1)"))
+        .when(k == 2, F.concat(F.col("p_name"), F.lit("s")))
+        .otherwise(F.expr("substr(p_name, 2)"))
+        .alias("dirty_name"),
+    )
+    clean = part.groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
+    scored = er_scored_pairs(dirty, clean.select("p_partkey", "p_name"))
+    dup = (
+        scored.groupBy("dirty_id", "p_partkey")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
     assert dup == 0
+    assert scored.count() > 0
+
+
+def test_entity_resolution_hot_block_fallback_bounds_comparisons(spark):
+    """The hot-block guard: a suffix-heavy catalog (every name ends
+    in ' inc') would collapse the whole feed into one 3-char block —
+    with the cap exceeded, records must fall back to the composite
+    (blk, second-to-last-token prefix) key, so comparison volume is
+    per-sub-block, not catalog². Identical names must still match
+    (the fallback key agrees when the name is unperturbed), and the
+    hot list must reach the join as a broadcast."""
+    from ingestor_etl_spark.queries.similarity_ops import er_scored_pairs
+
+    # 40 distinct clean names, all ending " inc", spread over 20
+    # middle tokens with DISTINCT 3-char prefixes → each composite
+    # sub-block holds 2 names
+    names = [f"name{i:02d} {chr(ord('a') + i % 20) * 4} inc" for i in range(40)]
+    clean = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["p_partkey", "p_name"]
+    )
+    dirty = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["dirty_id", "dirty_name"]
+    )
+    scored = er_scored_pairs(dirty, clean, block_cap=8)
+    rows = scored.collect()
+    # every identical pair found …
+    exact = {(r.dirty_id, r.p_partkey) for r in rows if r.dist == 0}
+    assert exact == {(i, i) for i in range(40)}
+    # … and comparisons bounded by sub-block size (2 names share a
+    # mid-token, each within edit distance of the other), never the
+    # 40×40 single-block volume
+    assert len(rows) <= 40 * 2
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_entity_resolution_cold_blocks_unaffected_by_cap(spark):
+    """Below the cap the fallback key must stay inert: er_scored_pairs
+    with a huge cap and a tiny cap agree on a catalog with no hot
+    blocks."""
+    from ingestor_etl_spark.queries.similarity_ops import er_scored_pairs
+
+    # distinct last-token prefixes → every block holds one name, so
+    # even block_cap=1 marks nothing hot (the cut is strict >)
+    names = [f"alpha{i} {chr(ord('b') + i) * 6}" for i in range(10)]
+    clean = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["p_partkey", "p_name"]
+    )
+    dirty = spark.createDataFrame(
+        [(i, n[:-1]) for i, n in enumerate(names)], ["dirty_id", "dirty_name"]
+    )
+    a = {
+        (r.dirty_id, r.p_partkey, r.dist)
+        for r in er_scored_pairs(dirty, clean, block_cap=1000).collect()
+    }
+    b = {
+        (r.dirty_id, r.p_partkey, r.dist)
+        for r in er_scored_pairs(dirty, clean, block_cap=1).collect()
+    }
+    assert a and a == b
