@@ -120,7 +120,7 @@ EXTENDED = [
     # wave 11: similarity joins + quality signals. Note on the two
     # join ops: the synthetic testdata is their worst case (50-word
     # vocabulary -> dense shingle df; 99%-duplicated part names ->
-    # maximal block collisions); see SCALING.md §17.
+    # maximal block collisions); see SCALING.md §19.
     "prefix_filter_join",
     "entity_resolution",
     "gopher_rules",
@@ -154,6 +154,83 @@ def _layout_note(sf_dir: str) -> str | None:
     return None
 
 
+# ------------------------------------------------- splittable input copy
+_SPLIT_ROW_GROUPS = 32  # target row groups per table in the split copy
+
+
+def _split_copy_dir(sf_dir: str) -> str | None:
+    """Materialize a SPLITTABLE multi-row-group copy of the testdata
+    (≥_SPLIT_ROW_GROUPS row groups per table) under /tmp, cached by a
+    (name, size, mtime) fingerprint of the source files — the same
+    caching scheme orc_ingest uses. The driver's testdata ships one
+    row group per table (unsplittable → single-task scans), which is
+    NOT the layout BASELINE.md was measured on and not what any real
+    deployment reads; benching both layouts separates plan quality
+    from this test-rig artifact (SCALING.md §15). Returns None if the
+    copy can't be built (bench then reports raw-layout numbers only).
+    """
+    import glob
+    import hashlib
+    import tempfile
+
+    try:
+        import pyarrow.parquet as pq
+
+        srcs = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+        if not srcs:
+            return None
+        fp = hashlib.md5(
+            "|".join(
+                f"{os.path.basename(p)}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+                for p in srcs
+            ).encode()
+        ).hexdigest()[:12]
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ingestor_etl_spark_bench_split_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        )
+        marker = os.path.join(out_dir, "_DONE")
+        if os.path.exists(marker):
+            return out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        for p in srcs:
+            t = pq.ParquetFile(p).read()
+            rg = max(1024, t.num_rows // _SPLIT_ROW_GROUPS)
+            # version 2.6 preserves TIMESTAMP(NANOS) (events.ts)
+            pq.write_table(
+                t,
+                os.path.join(out_dir, os.path.basename(p)),
+                row_group_size=rg,
+                version="2.6",
+            )
+        with open(marker, "w") as fh:
+            fh.write(fp)
+        return out_dir
+    except Exception:
+        return None
+
+
+# maxPartitionBytes for the split-copy runs: sized so the sf0.1
+# multi-row-group tables fan out across the local cores (the setting
+# is runtime-mutable per-query via SQLConf, so the raw-layout runs
+# keep the production 128 MB default).
+_SPLIT_MAX_PARTITION_BYTES = 4 * 1024 * 1024
+
+
+def _time_query(df, n_runs: int) -> float:
+    """Warm-up (amortizes whole-stage-codegen JIT) + best-of-N noop
+    writes (robust to transient host contention on shared VMs —
+    measured ±9%/±25% run-to-run swings on identical code;
+    SCALING.md "Bench drift")."""
+    df.write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(n_runs):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,49 +242,65 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     names = [n for n in HEADLINE if n in registry]
-    timings: dict[str, float] = {}
+
+    # Raw-layout headline: the driver's own parquet (one row group
+    # per table → single-task scans). Comparable round-over-round
+    # with BENCH_r01-r04.
+    raw_timings: dict[str, float] = {}
     for name in names:
-        df = registry[name].fn(spark, sf_dir)
-        # One untimed run amortizes whole-stage-codegen JIT; report
-        # the best of three timed runs (robust to transient host
-        # contention on shared VMs — measured ±9%/±25% run-to-run
-        # swings on identical code; SCALING.md "Bench drift").
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        raw_timings[name] = _time_query(registry[name].fn(spark, sf_dir), 3)
         release_caches()  # query-scoped cache contract
 
+    # Split-layout headline: a splittable multi-row-group copy (the
+    # layout BASELINE.md was measured on, and the only layout that
+    # exists at cluster scale), scans fanned out via a runtime
+    # maxPartitionBytes override. Reported as the PRIMARY number;
+    # the raw numbers + delta quantify the test-rig layout artifact
+    # permanently (round-4 verdict item 5, SCALING.md §15).
+    split_dir = _split_copy_dir(sf_dir)
+    split_timings: dict[str, float] = {}
+    if split_dir:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(_SPLIT_MAX_PARTITION_BYTES)
+        )
+        for name in names:
+            split_timings[name] = _time_query(
+                registry[name].fn(spark, split_dir), 3
+            )
+            release_caches()
+
     extended: dict[str, float] = {}
+    ext_dir = split_dir or sf_dir
     for name in (n for n in EXTENDED if n in registry):
-        df = registry[name].fn(spark, sf_dir)
-        # Warm-up + best-of-two: a single timed run still recorded
-        # occasional 5x cold-codegen/contention spikes (r4: a 4.3 s
-        # bpe_pair_counts draw whose steady state is 0.8 s).
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        extended[name] = round(best, 3)
+        extended[name] = _time_query(registry[name].fn(spark, ext_dir), 2)
         release_caches()
+    if split_dir:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
 
     protocol = bench_protocol_throughput(spark)
 
-    total = round(sum(timings.values()), 3)
+    raw_total = round(sum(raw_timings.values()), 3)
+    split_total = round(sum(split_timings.values()), 3) if split_timings else None
+    primary = split_total if split_total is not None else raw_total
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_total",
-                "value": total,
+                "value": primary,
                 "unit": "sec",
-                "queries": timings,
+                "queries": split_timings or raw_timings,
+                "raw_layout_queries": raw_timings,
+                "raw_layout_total": raw_total,
+                "layout_delta_sec": (
+                    round(raw_total - split_total, 3)
+                    if split_total is not None
+                    else None
+                ),
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "extended_layout": "split" if split_dir else "raw",
                 "protocol_throughput": protocol,
                 "layout_note": _layout_note(sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -276,5 +369,178 @@ def bench_protocol_throughput(spark) -> dict:
     }
 
 
+# ----------------------------------------------------------- skew stress
+def _skew_main() -> None:
+    """`bench.py --skew`: stress the blowup guards on generated
+    hot-key data at meaningful volume (not the toy unit fixtures) —
+    one hot key carrying ~30-50% of the mass, exactly the shape that
+    kills unguarded plans at 100 TB. Times the four guard surfaces
+    the round-4 verdict asked for (pagerank candidate cut, the
+    stop-shingle truth leg, LSH hot-bucket pair emission, salted agg
+    + salted skew join) plus entity_resolution's hot-block fallback
+    on a 90%-corporate-suffix catalog. Prints ONE JSON line; the
+    committed copy lives in SKEWBENCH.json with the analysis in
+    SCALING.md."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.plans.layout import explode_hot_keys, salted_agg
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _band_pairs_from_sigs,
+        stop_shingle_cut,
+    )
+    from ingestor_etl_spark.queries.rank_ops import candidate_pairs
+    from ingestor_etl_spark.queries.similarity_ops import er_scored_pairs
+
+    spark = get_spark("ingestor-etl-spark-skewbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, df, meta: dict) -> None:
+        t = _time_query(df, 2)
+        results[name] = {"sec": t, **meta}
+        release_caches()
+
+    # 1. pagerank candidate cut: 1M (doc, seg) rows, ONE segment on
+    # 30% of them; uncut this is C(300k, 2) ≈ 4.5e10 pairs.
+    n, hot_frac = 1_000_000, 0.3
+    segs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("HOTSEG"))
+        .otherwise(F.concat(F.lit("seg"), (F.col("id") % 100_000).cast("string")))
+        .alias("seg"),
+    )
+    run(
+        "pagerank_candidates_hot",
+        candidate_pairs(segs),
+        {"rows": n, "hot_mass": hot_frac, "uncut_pairs": "C(300k,2)≈4.5e10"},
+    )
+
+    # 2. stop-shingle cut + exact-truth self-join: 1M exploded
+    # (doc, shingle) rows, one shingle on 30%.
+    exploded = spark.range(n).select(
+        (F.col("id") % 200_000).alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("the quick brown"))
+        .otherwise(
+            F.concat(F.lit("sh"), (F.col("id") % 150_000).cast("string"))
+        )
+        .alias("shingle"),
+    ).dropDuplicates()
+    live = stop_shingle_cut(exploded)
+    la, lb = live.alias("la"), live.alias("lb")
+    truth_shared = (
+        la.join(
+            lb,
+            (F.col("la.shingle") == F.col("lb.shingle"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .groupBy(F.col("la.doc_id"), F.col("lb.doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    run(
+        "stop_shingle_truth_hot",
+        truth_shared,
+        {"rows": n, "hot_mass": hot_frac, "uncut_pairs": "≈4.5e10"},
+    )
+
+    # 3. LSH hot bucket: 50k signatures, 2k docs share ONE signature
+    # (true mass duplication — the pairs MUST be emitted for dedup);
+    # measures bounded pair-emission throughput, ~2M pairs.
+    sigs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        *[
+            F.when(F.col("id") % 25 == 0, F.lit(7))
+            .otherwise(F.col("id") * 31 + i)
+            .alias(s)
+            for i, s in enumerate(
+                ("mh0", "mh1", "mh2", "mh3", "mh4", "mh5")
+            )
+        ],
+    )
+    run(
+        "lsh_bucket_hot",
+        _band_pairs_from_sigs(sigs),
+        {"docs": 50_000, "hot_bucket_docs": 2_000, "emitted_pairs": "≈2M×3bands"},
+    )
+
+    # 4. salted aggregation: 5M rows over 3 keys — every key hot.
+    ev = spark.range(5_000_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 1000).cast("decimal(12,2)").alias("v"),
+    )
+    run(
+        "salted_agg_hot",
+        salted_agg(ev, ["k"], {"n": ("v", "count"), "s": ("v", "sum")}),
+        {"rows": 5_000_000, "keys": 3},
+    )
+
+    # 5. salted skew join: 5M fact rows, 50% on one key, 100k-key dim.
+    fact = spark.range(5_000_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 100_000).alias("hk"),
+        F.col("id").cast("decimal(12,2)").alias("v"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("hk"), (F.col("id") * 7 % 997).alias("dim_code")
+    )
+    hot_keys = spark.range(1).select(F.lit(0).alias("hk"))
+    big_s, small_s = explode_hot_keys(fact, dim, ["hk"], hot_keys)
+    joined = (
+        big_s.join(small_s, ["hk", "__salt"])
+        .groupBy("hk")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    run(
+        "salted_skew_join_hot",
+        joined,
+        {"fact_rows": 5_000_000, "hot_mass": 0.5, "dim_keys": 100_000},
+    )
+
+    # 6. entity resolution on a 90%-corporate-suffix catalog: 200k
+    # clean names, 180k ending " inc" (one 3-char block). The middle
+    # token starts with a discriminative 3-hex-char bucket, so the
+    # hot-block fallback key splits the suffix mass into ~4096
+    # sub-blocks of ~44 names (bounded comparisons); the dirty
+    # perturbation drops the FIRST char (last + middle tokens intact,
+    # so both block keys survive and the comparisons are real).
+    n_names = 200_000
+    base = spark.range(n_names).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(
+            F.lit("name"),
+            F.col("id").cast("string"),
+            F.lit(" "),
+            F.lpad(F.hex(F.col("id") % 4096), 3, "0"),
+            F.lit("mid"),
+            F.when(F.col("id") % 10 < 9, F.lit(" inc")).otherwise(
+                F.concat(F.lit(" co"), (F.col("id") % 97).cast("string"))
+            ),
+        ).alias("p_name"),
+    )
+    dirty = base.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr("substr(p_name, 2)").alias("dirty_name"),
+    )
+    run(
+        "entity_resolution_hot_suffix",
+        er_scored_pairs(dirty, base),
+        {"names": n_names, "suffix_mass": 0.9},
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_bench",
+                "unit": "sec",
+                "value": round(sum(r["sec"] for r in results.values()), 3),
+                "workloads": results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        _skew_main()
+    else:
+        main()

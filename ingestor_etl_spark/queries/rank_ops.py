@@ -44,14 +44,20 @@ rows (≤ T² pairs per segment) — the same stop-key move as
 ngram_jaccard's stop-shingle cut and segment_dedup's groupBy-first
 shape. The oracle applies the identical cut, so parity is exact.
 
-Overflow bound: ranks and inflows are BIGINT; per-edge contributions
-are ≤ PR_ONE (1e9), so ``85 * inflow`` overflows signed 64-bit only
-when a single node's in-degree approaches 2^63/(85·1e9) ≈ 1.1e11 —
-far beyond any real duplicate graph, but NOT checked at runtime;
-DuckDB sums into HUGEINT, so past that bound Spark would wrap while
-the oracle stays exact. Documented domain: graphs with max
-in-degree < ~1e11 (with the stop-segment cut, in-degree is further
-bounded by STOP_SEG_MAX_DOCS × segments-per-doc).
+Overflow bound (round 5: lifted from BIGINT to DECIMAL(38,0)
+staging): ranks, per-edge contributions, and the damping update all
+run in DECIMAL(38,0) — the Spark analogue of DuckDB's HUGEINT sum
+promotion — with floor division expressed exactly as
+``(a − pmod(a, b)) / b`` (the numerator is an exact multiple of b,
+so the decimal divide is exact; see _floor_div_dec). Spark's
+precision-loss rule caps a decimal division's integral digits at 32,
+so bit-parity with the oracle holds for any rank value < 10^32 —
+vs < 9.2e18 (signed 64-bit) before; the old binding step,
+``85 * inflow`` at in-degree ≈ 2^63/(85·1e9) ≈ 1.1e11, is now exact
+(property-tested at and past that boundary,
+test_rank_ops.test_fixed_point_update_exact_past_long_range). Ranks
+cast to BIGINT only at the final output projection; a graph whose
+top rank exceeds 2^63 would need that cast widened too.
 """
 
 from __future__ import annotations
@@ -91,13 +97,15 @@ def _oracle() -> str:
       SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
     )""",
         "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
-        f"pr0 AS (SELECT node, CAST({PR_ONE} AS BIGINT) AS pr FROM deg)",
+        # HUGEINT ranks mirror the Spark side's DECIMAL(38,0) staging;
+        # BIGINT only at the final output cast.
+        f"pr0 AS (SELECT node, CAST({PR_ONE} AS HUGEINT) AS pr FROM deg)",
     ]
     for k in range(1, PR_ITERS + 1):
         ctes.append(
             f"""pr{k} AS (
       SELECT d.node,
-             CAST({PR_BASE} + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+             {PR_BASE} + (85 * COALESCE(f.inflow, 0)) // 100 AS pr
       FROM deg d LEFT JOIN (
         SELECT e.dst AS node, sum(p.pr // dd.deg) AS inflow
         FROM edges e
@@ -111,11 +119,23 @@ def _oracle() -> str:
         "    WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT node AS doc_id, pr AS rank_fp
+    SELECT node AS doc_id, CAST(pr AS BIGINT) AS rank_fp
     FROM pr{PR_ITERS}
     ORDER BY pr DESC, doc_id LIMIT {PR_TOPK}
     """
     )
+
+
+def _floor_div_dec(a, b):
+    """Exact floor division for non-negative DECIMAL(38,0) operands:
+    ``(a − pmod(a, b)) / b``. The numerator is an exact multiple of
+    b, so the decimal division's value is integral and Spark's
+    precision-loss rounding (which caps the quotient's integral
+    digits at 32) reproduces it exactly for quotients < 10^32 —
+    matching DuckDB's HUGEINT ``//`` over the same domain. Unlike
+    the ``div`` operator (IntegralDivide), the result is NOT forced
+    into a 64-bit long, so staging stays exact past 2^63."""
+    return ((a - F.pmod(a, b)) / b).cast("decimal(38,0)")
 
 
 def candidate_pairs(segs):
@@ -174,18 +194,21 @@ def pagerank_dup_graph(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
-    pr = deg.select("node", "deg", F.lit(PR_ONE).cast("long").alias("pr"))
+    pr = deg.select("node", "deg", F.lit(PR_ONE).cast("decimal(38,0)").alias("pr"))
+    zero_dec = F.lit(0).cast("decimal(38,0)")
     for _ in range(PR_ITERS):
         inflow = (
             edges.join(
                 pr.select(
                     F.col("node").alias("src"),
-                    F.expr("pr div deg").alias("contrib"),
+                    _floor_div_dec(F.col("pr"), F.col("deg")).alias("contrib"),
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("contrib").alias("inflow"))
+            # sum over decimal(38,0) stays decimal(38,0) — the Spark
+            # analogue of DuckDB's sum-into-HUGEINT promotion
+            .agg(F.sum("contrib").cast("decimal(38,0)").alias("inflow"))
         )
         pr = (
             deg.join(inflow, "node", "left_outer")
@@ -194,13 +217,21 @@ def pagerank_dup_graph(spark, sf_dir):
                 "deg",
                 (
                     F.lit(PR_BASE)
-                    + F.expr("(85 * coalesce(inflow, 0L)) div 100")
-                ).cast("long").alias("pr"),
+                    + _floor_div_dec(
+                        (F.coalesce(F.col("inflow"), zero_dec) * 85).cast(
+                            "decimal(38,0)"
+                        ),
+                        F.lit(100),
+                    )
+                ).cast("decimal(38,0)").alias("pr"),
             )
             .localCheckpoint(eager=True)
         )
     return (
-        pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("rank_fp"))
+        pr.select(
+            F.col("node").alias("doc_id"),
+            F.col("pr").cast("long").alias("rank_fp"),
+        )
         .orderBy(F.desc("rank_fp"), "doc_id")
         .limit(PR_TOPK)
     )

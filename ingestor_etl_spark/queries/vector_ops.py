@@ -976,6 +976,20 @@ def embedding_outliers(spark, sf_dir):
     20·m·dist2 > 21·Σdist2 for the outlier gate — so both engines agree
     bitwise; only the reported score divides once, exactly rounded.
 
+    Decimal-headroom bound (the cross-engine "bit-identical" claim
+    is conditional, not absolute): with per-component magnitude
+    ≤ C and L vectors in the largest label, the largest intermediate
+    is 20·m·dist2 ≤ 20·L·(dims·(2LC)²) — with dims=64 that is
+    5120·L³·C², which must stay below the 10^32 integral headroom of
+    DECIMAL(38,6). For C = 1 (normalized embeddings) that holds to
+    L ≈ 2.7e9 vectors PER LABEL; the earlier diff² step alone is
+    exact to L ≈ 5e15. Past those bounds Spark applies
+    precision-loss rounding at scale 6 while DuckDB promotes or
+    errors, and the engines may diverge — a deployment with
+    billion-vector labels should bump the gate arithmetic to
+    DECIMAL(38,0) after pre-scaling (the PageRank fixed-point trick,
+    rank_ops.py) or accept double semantics.
+
     Plan shape: posexplode → (label, dim) centroid aggregation
     (map-side combined; |labels|×64 rows, broadcast back), then a
     vec_id-keyed aggregation and a label-keyed threshold join. No

@@ -89,3 +89,49 @@ def test_pagerank_hub_outranks_leaves(spark):
     # output is deterministically ordered
     ranks = [(-r.rank_fp, r.doc_id) for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_fixed_point_update_exact_past_long_range(spark):
+    """The DECIMAL(38,0) staging property test at the old 64-bit
+    boundary: per-edge floor division and the damping update must
+    match Python's arbitrary-precision integers for values past
+    2^63 (where the previous BIGINT arithmetic wrapped), up to the
+    documented 10^32 quotient headroom."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.queries.rank_ops import _floor_div_dec
+
+    cases = [
+        (2**63 + 12345, 7),            # just past signed-64
+        (85 * (2**63 // 85 + 3), 100),  # the old 85*inflow boundary
+        (11 * 10**19 * 85, 100),        # in-degree ≈ 1.1e11 × PR_ONE
+        (10**31 + 7, 3),                # near the 10^32 headroom
+        (999, 1000),                    # floor → 0
+        (0, 17),
+    ]
+    rows = [(str(a), str(b)) for a, b in cases]
+    df = spark.createDataFrame(rows, ["a", "b"]).select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    got = df.select(_floor_div_dec(F.col("a"), F.col("b")).alias("q")).collect()
+    assert [int(r.q) for r in got] == [a // b for a, b in cases]
+
+    # full damping update at the boundary: PR_BASE + (85·inflow)//100
+    inflows = [2**63 // 85 + 1, 11 * 10**19, 10**29, 0]
+    df2 = spark.createDataFrame([(str(x),) for x in inflows], ["inflow"]).select(
+        F.col("inflow").cast("decimal(38,0)").alias("inflow")
+    )
+    upd = df2.select(
+        (
+            F.lit(PR_BASE)
+            + _floor_div_dec(
+                (F.col("inflow") * 85).cast("decimal(38,0)"), F.lit(100)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("pr")
+    ).collect()
+    assert [int(r.pr) for r in upd] == [
+        PR_BASE + (85 * x) // 100 for x in inflows
+    ]
