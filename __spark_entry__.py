@@ -99,8 +99,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "q8_market_share", "q9_product_profit", "ann_cosine_topk",
     "embedding_near_dup", "ann_lsh_bucketed", "ann_ivf", "merge_upsert",
     "scd2_history",
-    # round-5 changes — re-sample the two reworked operators
-    "lsh_dedup_eval", "entity_resolution",
+    # round-5 changes — re-sample reworked/new operators
+    "lsh_dedup_eval", "entity_resolution", "multimodal_decode_image",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -126,6 +126,8 @@ EXTENDED = [
     "gopher_rules",
     "char_entropy",
     "halflife_decay",
+    # round-5 additions
+    "multimodal_decode_image",
 ]
 
 

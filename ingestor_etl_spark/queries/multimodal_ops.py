@@ -9,13 +9,18 @@ Arrow buffers — the only layer that *must* be Python — and
 everything before/after (filtering, grouping, joins, dedup by
 checksum) stays native and prunable.
 
-Because the test container has no image/audio codecs, the decode
-step is a clearly-marked DETERMINISTIC STUB (`_stub_decode`): it
-derives a fake "feature vector" from the payload bytes (length +
-md5-prefix ints). The Spark-side plumbing — schema, binary
-round-trip through Arrow, batch shapes, partitioning — is real and
-oracle-checked, and `decode_image()` raises NotImplementedError to
-mark where a codec (Pillow/ffmpeg) plugs in on a real cluster.
+`decode_image()` is a REAL decoder for two containers (round 5):
+binary PPM (P6) and 8-bit PNG (gray/GA/RGB/RGBA, all five scanline
+filters, stdlib zlib only — no third-party codec needed), exercised
+end-to-end with a DuckDB oracle by `multimodal_decode_image` (the
+payload is an actual PPM/PNG encoding of document bytes, decoded
+back executor-side). Formats beyond that (JPEG, palette/16-bit PNG,
+audio/video) still raise NotImplementedError — the hook where
+Pillow/ffmpeg plug in on a real cluster. The FEATURE-extraction step
+of `multimodal_features` remains the documented deterministic stub
+(`_stub_decode`: md5-derived ints) so its oracle stays engine-
+reproducible; the decode layer below it is no longer stubbed for
+PPM/PNG.
 
 The synthetic payloads are built FROM the documents table (text
 bytes as the 'blob'), so the oracle can reproduce them in SQL.
@@ -42,13 +47,117 @@ from ingestor_etl_spark.queries import register
 N_FEATURES = 4
 
 
-def decode_image(payload: bytes) -> object:
-    """Real-codec hook: decode an image payload to pixels. Not
-    available in this container — the pipeline uses _stub_decode."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to ``(width, height, channels,
+    pixels)`` with ``pixels`` as row-major interleaved 8-bit samples.
+
+    Real stdlib-only codecs (round 5 — the stub is gone for these
+    formats): binary PPM (P6, maxval ≤ 255) and 8-bit PNG
+    (grayscale / gray+alpha / RGB / RGBA, all five scanline filter
+    types, via zlib). Exotic PNG shapes (palette, 16-bit, interlace)
+    and other containers still raise NotImplementedError — that is
+    where Pillow/ffmpeg plug in on a real cluster. The Arrow/
+    mapInPandas plumbing around this function is format-agnostic
+    either way."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "plug Pillow/torchvision here on a real cluster"
+        "unsupported image container (PPM P6 and 8-bit PNG decode "
+        "natively; plug Pillow/torchvision here for other formats)"
     )
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    #-comments, then raw interleaved RGB bytes."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, 3, bytes(pixels)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """8-bit non-interlaced PNG: walk chunks, zlib-inflate the IDAT
+    stream, undo the per-scanline filter (types 0-4, including the
+    Paeth predictor)."""
+    import struct
+    import zlib
+
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/GA/RGB/RGBA PNG supported"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
 
 
 def _stub_decode(payload: bytes) -> list[int]:
@@ -254,3 +363,158 @@ def multimodal_frame_sample(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
     return d.mapInPandas(sample, _FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+# ------------------------------------------------ real-codec decode query
+_DEC_W = 4  # decode-query image width (pixels); 3 bytes/pixel (RGB)
+_DEC_ROW = _DEC_W * 3
+
+
+def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PPM (P6) encoder for RGB payloads — the inverse of
+    _decode_ppm, used to build real image containers from document
+    bytes inside the executors (and by tests)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, channels: int = 3, filters=None
+) -> bytes:
+    """Minimal 8-bit PNG encoder (stdlib zlib): one IDAT, correct
+    CRCs, per-scanline filter types from ``filters`` (default all 0)
+    APPLIED to the data — so a decoder must actually undo them.
+    Inverse of _decode_png for the supported color types."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        ftype = filters[y]
+        enc = bytearray(line)
+        if ftype == 1:  # Sub
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (line[i] - line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_md5", StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_decode_image",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS container,
+           {_DEC_W} AS width,
+           CAST((length(text) - length(text) % {_DEC_ROW}) / {_DEC_ROW} AS INTEGER)
+             AS height,
+           3 AS channels,
+           md5(substr(text, 1, length(text) - length(text) % {_DEC_ROW}))
+             AS pixel_md5
+    FROM documents
+    WHERE length(text) >= {_DEC_ROW}
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "pandas-udf"),
+)
+def multimodal_decode_image(spark, sf_dir):
+    """REAL image decode end-to-end: document bytes are packed into
+    an actual image container executor-side (even doc_id → binary
+    PPM, odd → 8-bit PNG with Sub/Up/Average/Paeth filters cycling
+    per scanline), then decoded back with decode_image — a genuine
+    parse of headers, chunk CRCs, zlib streams, and filter
+    reconstruction, not a stub. The md5 of the DECODED pixel buffer
+    must equal the md5 of the source bytes (which is what the DuckDB
+    oracle computes), so any codec bug breaks parity.
+
+    Scale notes: encode+decode run inside one mapInPandas pass —
+    blobs never leave the executor, batches bounded by Arrow
+    maxRecordsPerBatch; this is the plumbing shape a Pillow/ffmpeg
+    decode sweep uses at 100 TB, with the codec swapped."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                usable = len(blob) - len(blob) % _DEC_ROW
+                if usable < _DEC_ROW:
+                    continue
+                pixels, h = blob[:usable], usable // _DEC_ROW
+                if doc_id % 2 == 0:
+                    container = "ppm"
+                    img = encode_ppm(pixels, _DEC_W, h)
+                else:
+                    container = "png"
+                    img = encode_png(
+                        pixels, _DEC_W, h, 3, [(y % 5) for y in range(h)]
+                    )
+                w2, h2, ch2, decoded = decode_image(img)
+                rows.append(
+                    (
+                        int(doc_id),
+                        container,
+                        w2,
+                        h2,
+                        ch2,
+                        hashlib.md5(decoded).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_SCHEMA.fields]
+            )
+
+    return d.mapInPandas(roundtrip, _DECODE_SCHEMA).orderBy("doc_id")

@@ -414,3 +414,146 @@ def test_stream_cms_cells_equal_batch_sketch(spark, tmp_path):
                 expect[(j, b)] = expect.get((j, b), 0) + 1
     assert got == expect
     assert len(got) <= 3 * 64
+
+
+def test_correlate_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """§2.9 recovery: stop stream_correlate_diameter after batch 1
+    (requests parked in keyed state), RESTART against the same
+    checkpoint with new source files, and demand (a) answers arriving
+    after the restart still correlate with requests parked BEFORE it
+    (state recovered, msisdn enriched from the pre-restart request),
+    (b) no pre-restart output row is re-emitted (exactly-once), and
+    (c) the union of both runs equals the single-run batch answer."""
+    from ingestor_etl_spark.streaming.pipeline import stream_correlate_diameter
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+    schema = (
+        "command_code long, hop_by_hop_id long, end_to_end_id long, "
+        "session_id string, request boolean, ts timestamp, "
+        "msisdn string, imsi string, result_code long"
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t0 = __import__("datetime").datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + __import__("datetime").timedelta(seconds=s)
+
+    # batch 1: key A = request only (parks in state), key B = full pair
+    write_batch(
+        "b1",
+        [
+            (272, 1, 1, "sessA", True, ts(0), "5215550001", "imsiA", None),
+            (272, 2, 2, "sessB", True, ts(1), "5215550002", "imsiB", None),
+            (272, 2, 2, "sessB", False, ts(2), None, None, 2001),
+        ],
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        pairs = stream_correlate_diameter(stream)
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # ---- run 1: terminates; sessA request parked in state
+    got1 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert sorted(got1.session_id) == ["sessB"]
+    assert got1.iloc[0].matched == "matched"
+
+    # batch 2 lands while the stream is DOWN: the answer for the
+    # parked sessA request + a fresh full pair
+    write_batch(
+        "b2",
+        [
+            (272, 1, 1, "sessA", False, ts(30), None, None, 2001),
+            (272, 3, 3, "sessC", True, ts(31), "5215550003", "imsiC", None),
+            (272, 3, 3, "sessC", False, ts(32), None, None, 5012),
+        ],
+    )
+
+    run_once()  # ---- run 2: same checkpoint, must resume from state
+    got2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    by_sess = got2.sort_values("session_id").set_index("session_id")
+    # exactly-once: sessB appears ONCE (not re-emitted by run 2)
+    assert list(by_sess.index) == ["sessA", "sessB", "sessC"]
+    # state recovery: sessA matched, enriched from the PRE-restart request
+    assert by_sess.loc["sessA"].matched == "matched"
+    assert by_sess.loc["sessA"].msisdn == "5215550001"
+    assert by_sess.loc["sessA"].result_code == 2001
+    assert by_sess.loc["sessC"].matched == "matched"
+    assert by_sess.loc["sessC"].result_code == 5012
+
+
+def test_neardup_checkpoint_recovery_suppresses_across_restart(spark, tmp_path):
+    """§2.9 recovery for stream_neardup_dedup: a near-duplicate
+    arriving AFTER a restart must still be suppressed by the
+    signature state written BEFORE it (dropDuplicatesWithinWatermark
+    state survives the checkpoint), and pre-restart survivors must
+    not be re-emitted."""
+    from ingestor_etl_spark.streaming.pipeline import stream_neardup_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t0 = __import__("datetime").datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + __import__("datetime").timedelta(seconds=s)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        deduped = stream_neardup_dedup(stream, watermark="10 minutes")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_batch(
+        "b1",
+        [
+            (0, ts(0), "alpha beta gamma delta epsilon zeta"),
+            (1, ts(10), "totally different words entirely here now"),
+        ],
+    )
+    run_once()
+    got1 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert sorted(got1.doc_id) == [0, 1]
+
+    # after the restart: one dup of doc 0 (inside the watermark) and
+    # one genuinely new doc
+    write_batch(
+        "b2",
+        [
+            (2, ts(60), "alpha beta gamma delta epsilon zeta"),  # dup of 0
+            (3, ts(70), "fresh unseen content streaming through here"),
+        ],
+    )
+    run_once()
+    got2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # doc 2 suppressed by recovered signature state; 0/1 not re-emitted
+    assert sorted(got2.doc_id) == [0, 1, 3]
