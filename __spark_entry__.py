@@ -101,6 +101,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "scd2_history",
     # round-5 changes — re-sample reworked/new operators
     "lsh_dedup_eval", "entity_resolution", "multimodal_decode_image",
+    "tfidf_cosine_pairs", "funnel_conversion", "retention_cohorts",
+    "shingle_df_profile", "minhash_jaccard_estimate", "code_detect",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -128,6 +128,12 @@ EXTENDED = [
     "halflife_decay",
     # round-5 additions
     "multimodal_decode_image",
+    "tfidf_cosine_pairs",
+    "funnel_conversion",
+    "retention_cohorts",
+    "shingle_df_profile",
+    "minhash_jaccard_estimate",
+    "code_detect",
 ]
 
 

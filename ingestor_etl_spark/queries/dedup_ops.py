@@ -774,3 +774,161 @@ def containment_pairs(spark, sf_dir):
 containment_pairs.__doc__ = containment_pairs.__doc__.format(
     t=CONTAINMENT_THRESHOLD
 )
+
+
+# --------------------------------------------------- shingle_df_profile
+@register(
+    "shingle_df_profile",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    dfreq AS (
+      SELECT shingle, count(DISTINCT doc_id) AS df FROM exploded GROUP BY shingle
+    )
+    SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_doc_refs,
+           CAST(max(df) AS BIGINT) AS max_df,
+           min(shingle) AS example_shingle
+    FROM dfreq GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "profiling", "planning"),
+)
+def shingle_df_profile(spark, sf_dir):
+    """Shingle document-frequency histogram in power-of-two buckets —
+    the PLANNING query behind every degree-cut constant in this
+    engine (STOP_SHINGLE_MAX_DOCS, rank_ops.STOP_SEG_MAX_DOCS): run
+    it first, read where the boilerplate tail starts, set the cut.
+    Bucketing is integer-exact via binary-representation length
+    (length(bin(df)) − 1 == floor(log2(df)) with no float log), and
+    the whole query is two map-side-combined aggregations — runnable
+    on the full 100 TB corpus before any pair join is attempted."""
+    exploded = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfreq = exploded.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        dfreq.groupBy(
+            (F.length(F.bin("df")) - 1).cast("int").alias("df_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_doc_refs"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.min("shingle").alias("example_shingle"),
+        )
+        .orderBy("df_bucket_log2")
+    )
+
+
+# --------------------------------------------- minhash_jaccard_estimate
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+{_SQL_BAND_CAND},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             {" + ".join(f"CASE WHEN sa.{s} = sb.{s} THEN 1 ELSE 0 END" for s in SALTS)}
+               AS n_equal
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    ),
+    exact AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+               AS ninter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.n_equal AS INTEGER) AS n_equal_minhashes,
+           round(e.n_equal / {len(SALTS)}.0, 6) AS jaccard_est,
+           round(CAST(x.ninter AS DOUBLE) / (x.na + x.nb - x.ninter), 6)
+             AS jaccard_exact
+    FROM est e JOIN exact x USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "estimation"),
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Signature-space Jaccard estimation for LSH candidates: the
+    fraction of equal minhashes is the unbiased MinHash estimate of
+    true Jaccard — the CHEAP verifier a production pipeline applies
+    to candidate pairs before (or instead of) touching shingle
+    arrays, reported here side-by-side with the exact array verdict
+    so the estimator's calibration is itself auditable.
+
+    Plan shape: candidates come from the shared _band_pairs bucket
+    join; the estimate leg joins two 7-long-column signature rows
+    per pair (bytes, not arrays); only the audit column re-reads the
+    shingle arrays — at scale the exact column is dropped and this
+    operator touches no document content at all."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    shingled = materialize(_shingled(spark, sf_dir))
+    sigs = materialize(
+        shingled.selectExpr(
+            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+        )
+    )
+    cand = _band_pairs_from_sigs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(s).alias(f"a_{s}") for s in SALTS],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(s).alias(f"b_{s}") for s in SALTS],
+    )
+    n_equal = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in SALTS
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_equal.alias("n_equal"))
+    )
+    xa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    xb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    ninter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ninter.alias("ninter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_equal").cast("int").alias("n_equal_minhashes"),
+            F.round(F.col("n_equal") / F.lit(float(len(SALTS))), 6).alias(
+                "jaccard_est"
+            ),
+            F.round(
+                F.col("ninter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ninter")),
+                6,
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1030,3 +1030,177 @@ def event_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------- funnel_conversion
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS stage_no, '{_FUNNEL[0]}' AS stage,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, '{_FUNNEL[1]}', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, '{_FUNNEL[2]}', (SELECT count(*) FROM s3)
+    )
+    SELECT stage_no, stage, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(n_users, 1, n_users) OVER (ORDER BY stage_no), 6)
+             AS conv_from_prev
+    FROM counts ORDER BY stage_no
+    """,
+    tags=("events", "funnel", "behavioral"),
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase): a user
+    advances to stage k only with a stage-k event STRICTLY AFTER
+    their stage-(k−1) entry time — the sequence-respecting funnel
+    product analytics runs, and the trajectory-completion census an
+    agent-training pipeline runs over tool-use traces.
+
+    Plan shape: three user_id-keyed min-aggregations chained by
+    user_id joins — the same single exchange key end to end (no
+    windows, no ordering of raw events); the three stage counts are
+    1-row aggregates unioned into the report. Timestamps compare as
+    unix micros (integers) so stage gating is exact; the only
+    division is the final per-stage conversion ratio."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s1 = (
+        e.where(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = None
+    for i, (stage, df) in enumerate(zip(_FUNNEL, (s1, s2, s3)), start=1):
+        c = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_no"), F.lit(stage).alias("stage"), "n_users"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_no")
+    return counts.select(
+        "stage_no",
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double"),
+            6,
+        ).alias("conv_from_prev"),
+    ).withColumn(
+        "conv_from_prev", F.coalesce(F.col("conv_from_prev"), F.lit(1.0))
+    ).orderBy("stage_no")
+
+
+# --------------------------------------------------- retention_cohorts
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS day0 FROM days GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT c.day0 // 7 AS cohort_week,
+             (d.day - c.day0) // 7 AS week_offset,
+             d.user_id
+      FROM days d JOIN cohorts c USING (user_id)
+    ),
+    sizes AS (
+      SELECT day0 // 7 AS cohort_week, count(*) AS cohort_size
+      FROM cohorts GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: users are cohorted by the epoch-week
+    of their FIRST event; cell (cohort, k) counts distinct cohort
+    members active k weeks later. All bucketing is integer floor
+    arithmetic on epoch days (no calendar week-start semantics to
+    disagree on across engines); the only division is the final
+    retention ratio.
+
+    Plan shape: first-touch is a user_id-keyed min (map-side
+    combined); the activity relation is a user-keyed join + distinct
+    on (cohort_week, offset, user) — uniform keys; cohort sizes are
+    a tiny aggregate joined back broadcast. At 100 TB the distinct
+    bounds state by (users × active weeks), the same cardinality any
+    engagement warehouse stores."""
+    days = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    active = (
+        days.join(cohorts, "user_id")
+        .select(
+            F.expr("day0 div 7").alias("cohort_week"),
+            F.expr("(day - day0) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy(F.expr("day0 div 7").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

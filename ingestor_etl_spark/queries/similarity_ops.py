@@ -447,3 +447,166 @@ def entity_resolution(spark, sf_dir):
         .orderBy("dirty_id")
     )
     return best
+
+
+# ------------------------------------------------------ tfidf_cosine_pairs
+# Non-distinct trigram lists (the bag, not the set): tf matters here,
+# so no array_distinct/list_distinct.
+_SPARK_TRIGRAMS_ALL = f"""
+    zip_with(
+        zip_with(
+            slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)),
+            slice({_TOKS}, 2, greatest(size({_TOKS}) - 2, 0)),
+            (x, y) -> concat(x, ' ', y)),
+        slice({_TOKS}, 3, greatest(size({_TOKS}) - 2, 0)),
+        (xy, z) -> concat(xy, ' ', z))
+"""
+_SQL_TRIGRAMS_ALL = f"""
+    CASE WHEN len({_SQL_TOKS}) < 3 THEN []
+    ELSE list_transform(
+        range(1, len({_SQL_TOKS}) - 1),
+        i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]
+             || ' ' || {_SQL_TOKS}[i + 2])
+    END
+"""
+
+TFIDF_DF_CAP = 64  # stop-shingle cut (same rationale as dedup_ops)
+TFIDF_COS_NUM, TFIDF_COS_DEN = 3, 5  # cosine threshold 3/5 = 0.6
+_IDF_SCALE = 1_000_000
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH bags AS (
+      SELECT doc_id, {_SQL_TRIGRAMS_ALL} AS grams FROM documents
+      WHERE len({_SQL_TRIGRAMS_ALL}) > 0
+    ),
+    tf AS (
+      SELECT doc_id, unnest(grams) AS g FROM bags
+    ),
+    tfc AS (
+      SELECT doc_id, g, count(*) AS tf FROM tf GROUP BY doc_id, g
+    ),
+    dfreq AS (
+      SELECT g, count(*) AS df FROM tfc GROUP BY g
+    ),
+    w AS (
+      SELECT t.doc_id, t.g, t.tf * ({_IDF_SCALE} // d.df) AS w
+      FROM tfc t JOIN dfreq d USING (g)
+      WHERE d.df <= {TFIDF_DF_CAP}
+    ),
+    norms AS (
+      SELECT doc_id, sum(w * w) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(dot AS BIGINT) AS dot,
+           CAST(na.nrm AS BIGINT) AS norm_a,
+           CAST(nb.nrm AS BIGINT) AS norm_b,
+           round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+             AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE {TFIDF_COS_DEN * TFIDF_COS_DEN} * (CAST(dot AS HUGEINT) * dot)
+          >= {TFIDF_COS_NUM * TFIDF_COS_NUM} * (CAST(na.nrm AS HUGEINT) * nb.nrm)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("similarity-join", "tfidf", "sparse-vectors"),
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine similarity self-join over word-trigram
+    bags: the weighted companion to prefix_filter_join's set
+    Jaccard — near-identical docs whose OVERLAP is concentrated in
+    rare shingles score high even when lengths differ. This is the
+    sparse-vector document-similarity pass (the classic IR shape)
+    done as pure relational algebra.
+
+    Cross-engine exactness: weights are INTEGERS (tf ×
+    (1e6 // df) — floor division, no ln()); dot products and norms
+    are exact integer sums; the cosine ≥ 3/5 gate is the
+    cross-multiplied comparison 25·dot² ≥ 9·‖a‖²·‖b‖² staged through
+    DECIMAL(38,0)/HUGEINT. Only the DISPLAYED cosine divides (one
+    sqrt + one divide of identical doubles on both engines).
+
+    Scale plan: tf and df are map-side-combined aggregations; the
+    pair join runs on the stop-cut weight relation (df ≤
+    {cap} — boilerplate shingles carry no idf mass anyway, so the
+    cut is both the blowup guard and nearly free in recall), giving
+    per-shingle fan-out ≤ {cap}²; norms join back on doc ids. Same
+    bounded-bucket argument as the measured skew-bench workloads."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    spark_sc = spark.sparkContext
+    bags = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark_sc.defaultParallelism)
+        .selectExpr("doc_id", f"{_SPARK_TRIGRAMS_ALL} AS grams")
+        .where(F.size("grams") > 0)
+    )
+    tfc = (
+        bags.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tfc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = materialize(
+        tfc.join(dfreq, "g")
+        .where(F.col("df") <= TFIDF_DF_CAP)
+        .select(
+            "doc_id",
+            "g",
+            (F.col("tf") * F.expr(f"{_IDF_SCALE} div df")).alias("w"),
+        )
+        .repartition(spark_sc.defaultParallelism, "g")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    dot_d = F.col("dot").cast("decimal(38,0)")
+    na_d = F.col("nrm_a").cast("decimal(38,0)")
+    nb_d = F.col("nrm_b").cast("decimal(38,0)")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            F.lit(TFIDF_COS_DEN * TFIDF_COS_DEN) * (dot_d * dot_d)
+            >= F.lit(TFIDF_COS_NUM * TFIDF_COS_NUM) * (na_d * nb_d)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            F.col("nrm_a").cast("bigint").alias("norm_a"),
+            F.col("nrm_b").cast("bigint").alias("norm_b"),
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+tfidf_cosine_pairs.__doc__ = tfidf_cosine_pairs.__doc__.format(cap=TFIDF_DF_CAP)

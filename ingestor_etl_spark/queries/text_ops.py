@@ -480,3 +480,102 @@ def char_entropy(spark, sf_dir):
             4,
         ).alias("entropy_bits"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------------- code_detect
+# Code-vs-prose signals: structural symbols and keyword hits. On the
+# word-salad synthetic corpus scores are ~0 — the operator's value is
+# the exact, engine-agnostic arithmetic and the plan shape; real
+# corpora light it up.
+_CODE_SYMBOLS = ("{", "}", ";", "(", ")", "=", "[", "]")
+_CODE_KEYWORDS = ("def ", "return ", "import ", "class ", "void ", "func ")
+# Deterministic probe: the synthetic corpus is word salad (every
+# code signal 0 — a constant output is a weak oracle check), so
+# docs with doc_id % 7 == 0 get a code fragment appended on BOTH
+# engines before scoring; the operator logic itself is unchanged.
+_CODE_SNIPPET = "def probe(x) { return x[0]; }"
+
+
+def _sym_count_spark() -> str:
+    terms = [
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _CODE_SYMBOLS
+    ]
+    return " + ".join(terms)
+
+
+def _sym_count_sql() -> str:
+    terms = [
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _CODE_SYMBOLS
+    ]
+    return " + ".join(terms)
+
+
+def _kw_hits_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN contains(lower(text), '{kw}') THEN 1 ELSE 0 END"
+        for kw in _CODE_KEYWORDS
+    )
+
+
+@register(
+    "code_detect",
+    oracle=f"""
+    WITH probe AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' {_CODE_SNIPPET}' ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_sym_count_sql()} AS BIGINT) AS n_symbols,
+           CAST({_kw_hits_sql()} AS INTEGER) AS n_keywords,
+           round(({_sym_count_sql()}) / CAST(length(text) AS DOUBLE), 6)
+             AS symbol_ratio,
+           (({_sym_count_sql()}) * 20 > length(text)) AS looks_like_code
+    FROM probe
+    WHERE length(text) > 0
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "code"),
+)
+def code_detect(spark, sf_dir):
+    """Code-vs-prose detection: structural-symbol density and
+    programming-keyword hits — the routing signal an LLM data
+    pipeline uses to separate code into its own mixture bucket
+    before tokenizer/quality decisions. The verdict is an exact
+    integer cross-multiplication (symbols × 20 > length, i.e.
+    density > 5%), so no float threshold can disagree across
+    engines; symbol counts are length-difference arithmetic (one
+    codegen'd projection, no regex engine in the loop, no UDF).
+
+    Plan shape: a single narrow projection over the scan — column-
+    pruned to (doc_id, text), embarrassingly parallel at any scale."""
+    sym = F.expr(_sym_count_spark())
+    kw = sum(
+        F.when(F.lower(F.col("text")).contains(k), 1).otherwise(0)
+        for k in _CODE_KEYWORDS
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" " + _CODE_SNIPPET)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .where(F.length("text") > 0)
+    )
+    return d.select(
+        "doc_id",
+        sym.cast("bigint").alias("n_symbols"),
+        kw.cast("int").alias("n_keywords"),
+        F.round(sym / F.length("text").cast("double"), 6).alias(
+            "symbol_ratio"
+        ),
+        (sym * 20 > F.length("text")).alias("looks_like_code"),
+    ).orderBy("doc_id")

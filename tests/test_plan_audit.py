@@ -91,3 +91,27 @@ def test_every_plan_bounded_exchanges(audit):
         if a["n_exchanges"] > 12 and not a["cached_scans"]
     }
     assert not offenders, offenders
+
+
+def test_executed_plan_counts_on_cached_heavy_queries(spark, sf_dir):
+    """The POST-AQE reality check the parsed audit approximates
+    (round-4 verdict item 9): for the cached-heavy queries whose
+    formatted-explain numbers nest the full lineage under every
+    cache reuse, walk the EXECUTED tree and demand (a) the walk
+    succeeds, (b) executed Python operators stay inside the
+    documented surfaces (zero here), and (c) AQE/cache reuse is
+    actually happening where the plan intends it (reuses + cache
+    scans > 0)."""
+    from ingestor_etl_spark.plans.audit import executed_facts
+    from ingestor_etl_spark.plans.layout import release_caches
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    for name in ("lsh_dedup_eval", "prefix_filter_join"):
+        df = reg[name].fn(spark, sf_dir)
+        e = executed_facts(df)
+        release_caches()
+        assert "exec_error" not in e, (name, e)
+        assert e["exec_exchanges"] > 0, (name, e)
+        assert e["exec_pyevals"] == 0, (name, e)
+        assert e["exec_reused"] + e["exec_cache_scans"] > 0, (name, e)
