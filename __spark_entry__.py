@@ -103,6 +103,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "lsh_dedup_eval", "entity_resolution", "multimodal_decode_image",
     "tfidf_cosine_pairs", "funnel_conversion", "retention_cohorts",
     "shingle_df_profile", "minhash_jaccard_estimate", "code_detect",
+    "ann_recall_eval", "dup_graph_degree_stats", "bigram_novelty",
+    "label_balance_resample",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -134,6 +134,10 @@ EXTENDED = [
     "shingle_df_profile",
     "minhash_jaccard_estimate",
     "code_detect",
+    "ann_recall_eval",
+    "dup_graph_degree_stats",
+    "bigram_novelty",
+    "label_balance_resample",
 ]
 
 

@@ -140,48 +140,105 @@ def eval_holdout_split(spark, sf_dir):
     window by construction, and the oracle keeps the one-phase SQL.
     """
     d = load_table(spark, sf_dir, "documents")
-    keyed = d.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+    return (
+        deterministic_topk_per_group(
+            d, "source", "doc_id", HOLDOUT_PER_SOURCE, HOLDOUT_FUDGE
+        )
+        .select("doc_id", "source", "rnk")
+        .orderBy("source", "rnk")
     )
-    counts = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+
+
+def deterministic_topk_per_group(
+    df, group_col: str, id_col: str, k: int, fudge: int = 8
+):
+    """Deterministic md5-rank top-k per group with the two-phase
+    hot-partition-safe plan (factored out of eval_holdout_split in
+    round 5; reused by label_balance_resample): phase 1 keeps rows
+    whose md5's leading 32 bits fall below a per-group threshold
+    ``min(1, fudge·k/n)·2^32`` (expected survivors ≈ fudge·k per
+    group regardless of group skew), phase 2 runs the exact
+    row_number window on survivors only; any group whose survivor
+    count fell below k deterministically falls back to ranking all
+    its rows, so the result is bit-identical to the one-phase window
+    by construction. Returns the input columns plus ``rnk`` (1..k)
+    for the kept rows."""
+    keyed = df.select(
+        "*", F.md5(F.col(id_col).cast("string")).alias("hkey")
+    )
+    counts = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_grp"))
     thr = counts.select(
-        "source",
+        group_col,
         F.least(
             F.lit(1 << 32).cast("long"),
-            (
-                F.lit(float((1 << 32) * HOLDOUT_FUDGE * HOLDOUT_PER_SOURCE))
-                / F.col("n_src")
-            ).cast("long")
+            (F.lit(float((1 << 32) * fudge * k)) / F.col("n_grp")).cast("long")
             + 1,
         ).alias("thr"),
     )
     hkey32 = F.conv(F.substring("hkey", 1, 8), 16, 10).cast("long")
-    pre = (
-        keyed.join(F.broadcast(thr), "source")
-        .where(hkey32 < F.col("thr"))
-        .select("doc_id", "source", "hkey")
-    )
-    # deterministic fallback: any source whose survivor count fell
-    # below k ranks all of its rows instead (empty in practice)
+    pre = keyed.join(F.broadcast(thr), group_col).where(
+        hkey32 < F.col("thr")
+    ).drop("thr")
     short = (
-        pre.groupBy("source")
+        pre.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("m"))
-        .join(counts, "source", "right_outer")
-        .where(F.coalesce(F.col("m"), F.lit(0)) < HOLDOUT_PER_SOURCE)
-        .select("source")
+        .join(counts, group_col, "right_outer")
+        .where(F.coalesce(F.col("m"), F.lit(0)) < k)
+        .select(group_col)
     )
-    base = pre.join(F.broadcast(short), "source", "left_anti").unionAll(
-        keyed.join(F.broadcast(short), "source", "left_semi")
+    base = pre.join(F.broadcast(short), group_col, "left_anti").unionAll(
+        keyed.join(F.broadcast(short), group_col, "left_semi")
     )
-    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    w = Window.partitionBy(group_col).orderBy("hkey", id_col)
     return (
         base.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= HOLDOUT_PER_SOURCE)
-        .select("doc_id", "source", "rnk")
-        .orderBy("source", "rnk")
+        .where(F.col("rnk") <= k)
+        .drop("hkey")
     )
+
+
+BALANCE_PER_LABEL = 30
+
+
+@register(
+    "label_balance_resample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {BALANCE_PER_LABEL}
+    ORDER BY label, rnk
+    """,
+    tags=("sampling", "balance", "deterministic"),
+)
+def label_balance_resample(spark, sf_dir):
+    """Class-balanced downsample: every label keeps exactly
+    min(count, {k}) vectors chosen by md5(vec_id) rank — the
+    deterministic class-rebalancing pass a training pipeline runs
+    when one label dominates the corpus (and the reproducible
+    alternative to per-class random sampling). Same two-phase
+    hot-partition-safe plan as eval_holdout_split
+    (deterministic_topk_per_group): a label with 90% of 100 TB costs
+    a broadcast-threshold filter plus a window over ~{fudge}·{k}
+    survivors, never a sort of the hot label."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        deterministic_topk_per_group(
+            e, "label", "vec_id", BALANCE_PER_LABEL, HOLDOUT_FUDGE
+        )
+        .select("vec_id", "label", "rnk")
+        .orderBy("label", "rnk")
+    )
+
+
+label_balance_resample.__doc__ = label_balance_resample.__doc__.format(
+    k=BALANCE_PER_LABEL, fudge=HOLDOUT_FUDGE
+)
 
 
 @register(

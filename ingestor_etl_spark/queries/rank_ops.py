@@ -13,8 +13,9 @@ hopeless (5 rounds of double math compound ulp differences), so the
 iteration runs in FIXED-POINT INTEGER arithmetic: ranks live in
 units of 1e-9 (pr0 = 1_000_000_000), every per-edge contribution is
 ``pr div deg`` (integer floor division), and the damping update is
-``150_000_000 + (85 * inflow) div 100`` — all BIGINT ops with
-identical floor semantics in Spark (`div`) and DuckDB (`//`), so
+``150_000_000 + (85 * inflow) div 100`` — integer ops (staged in
+DECIMAL(38,0)/HUGEINT, see the overflow paragraph below) with
+identical floor semantics in Spark and DuckDB, so
 the oracle matches bit-for-bit after any number of rounds. The
 quantization error vs real PageRank is ≤ |E| ulps of 1e-9 per round
 — noise for ranking purposes.
@@ -78,8 +79,11 @@ PR_TOPK = 20
 STOP_SEG_MAX_DOCS = 64
 
 
-def _oracle() -> str:
-    ctes = [
+def _graph_ctes() -> list[str]:
+    """The shared duplicate-graph construction (segs → stop-segment
+    cut → pairs → edges → degrees), used by both the PageRank oracle
+    and dup_graph_degree_stats."""
+    return [
         f"segs AS ({_SEGS_SQL})",
         f"""hot AS (
       SELECT seg FROM (
@@ -97,6 +101,12 @@ def _oracle() -> str:
       SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
     )""",
         "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+    ]
+
+
+def _oracle() -> str:
+    ctes = [
+        *_graph_ctes(),
         # HUGEINT ranks mirror the Spark side's DECIMAL(38,0) staging;
         # BIGINT only at the final output cast.
         f"pr0 AS (SELECT node, CAST({PR_ONE} AS HUGEINT) AS pr FROM deg)",
@@ -234,4 +244,60 @@ def pagerank_dup_graph(spark, sf_dir):
         )
         .orderBy(F.desc("rank_fp"), "doc_id")
         .limit(PR_TOPK)
+    )
+
+
+# ----------------------------------------------- dup_graph_degree_stats
+@register(
+    "dup_graph_degree_stats",
+    oracle=(
+        "    WITH "
+        + ",\n    ".join(_graph_ctes())
+        + """
+    SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS deg_bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg) AS BIGINT) AS total_degree,
+           CAST(max(deg) AS BIGINT) AS max_degree,
+           CAST(min(node) AS BIGINT) AS example_node
+    FROM deg GROUP BY 1 ORDER BY 1
+    """
+    ),
+    tags=("graph", "profiling", "planning"),
+)
+def dup_graph_degree_stats(spark, sf_dir):
+    """Degree histogram of the duplicate graph in power-of-two
+    buckets — the graph-side planning query (the companion to
+    shingle_df_profile): before running PageRank or connected
+    components at 100 TB, this is the pass that tells you whether
+    the stop-segment cut left hubs that need further bounding, and
+    it is the empirical check on the in-degree bound PageRank's
+    DECIMAL staging documents. Same exact integer bucketing
+    (length(bin(deg)) − 1 == floor(log2)), one aggregation over the
+    edge relation — no iteration, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    n_segs = ((F.size(toks) + F.lit(SEG_LEN - 1)) / SEG_LEN).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * SEG_LEN + 1, SEG_LEN)),
+    )
+    segs = d.select("doc_id", F.explode(seg_arr).alias("seg"))
+    pairs = candidate_pairs(segs)
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin("deg")) - 1).cast("int").alias("deg_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("total_degree"),
+            F.max("deg").cast("bigint").alias("max_degree"),
+            F.min("node").cast("bigint").alias("example_node"),
+        )
+        .orderBy("deg_bucket_log2")
     )

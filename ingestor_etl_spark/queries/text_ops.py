@@ -579,3 +579,76 @@ def code_detect(spark, sf_dir):
         ),
         (sym * 20 > F.length("text")).alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------- bigram_novelty
+@register(
+    "bigram_novelty",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(lower(text)), ' +')) < 2
+                  THEN []
+                  ELSE list_distinct(list_transform(
+                         range(1, len(string_split_regex(trim(lower(text)), ' +'))),
+                         i -> string_split_regex(trim(lower(text)), ' +')[i]
+                              || ' '
+                              || string_split_regex(trim(lower(text)), ' +')[i + 1]))
+             END AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+      WHERE len(shingles) > 0
+    ),
+    dfreq AS (
+      SELECT shingle, count(*) AS df FROM exploded GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_to_doc,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_ratio,
+           CAST(min(d.df) AS BIGINT) AS min_df,
+           CAST(max(d.df) AS BIGINT) AS max_df
+    FROM exploded e JOIN dfreq d USING (shingle)
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+    tags=("text", "quality", "novelty"),
+)
+def bigram_novelty(spark, sf_dir):
+    """Per-document novelty signal: how much of a doc's bigram set
+    exists NOWHERE else in the corpus (df = 1). High novelty marks
+    original content worth upweighting; near-zero novelty marks
+    template instantiations the dedup stack should visit — the
+    cheap corpus-level prioritizer that runs before any pair join.
+
+    Plan shape: one shingle-keyed df aggregation (map-side combined,
+    uniform hashed keys) joined back to the exploded relation, then
+    a doc-keyed rollup. No self-joins, no windows; work is linear in
+    total shingle count — runnable on the full corpus at any scale."""
+    from ingestor_etl_spark.queries.dedup_ops import _shingled
+
+    exploded = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique_to_doc"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+            F.min("df").cast("bigint").alias("min_df"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .orderBy("doc_id")
+    )

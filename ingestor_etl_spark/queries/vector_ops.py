@@ -1040,3 +1040,127 @@ def embedding_outliers(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------------- ann_recall_eval
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_SQL_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM exact_pairs
+      ) WHERE rnk <= {TOPK}
+    ),
+    approx_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM approx_pairs
+      ) WHERE rnk <= {TOPK}
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / {TOPK}.0, 6) AS recall_at_k
+    FROM exact_topk x
+    LEFT JOIN approx_topk a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+    tags=("vector", "ann", "eval"),
+)
+def ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: per-query recall@k of the LSH-bucketed
+    index against the exact cosine baseline — the number an ANN
+    deployment publishes before trusting the approximate index (the
+    vector-space sibling of lsh_dedup_eval). Hits are membership in
+    the exact top-{k} joined against the approx top-{k}; the only
+    division is the final recall ratio.
+
+    Scale plan: the exact leg broadcasts the {q}-query side against
+    the corpus (never a corpus self-join); the approx leg is the
+    bucket-confined join ann_lsh_bucketed uses; both rank inside
+    {q} query groups (bounded windows). At 100 TB the exact leg runs
+    on exactly this sampled-queries form — which is how production
+    recall audits work."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    e = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", F.expr(_SPARK_BUCKET))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        F.broadcast(q.drop("bucket"))
+        .join(c.drop("bucket"), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    approx = topk(
+        q.join(c, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    a = approx.withColumnRenamed("neighbor_id", "hit_id")
+    return (
+        exact.join(
+            a,
+            (exact.query_id == a.query_id) & (exact.neighbor_id == a.hit_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(
+            F.count("hit_id").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit_id") / F.lit(float(TOPK)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+ann_recall_eval.__doc__ = ann_recall_eval.__doc__.format(k=TOPK, q=N_QUERIES)
