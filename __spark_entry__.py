@@ -104,7 +104,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "tfidf_cosine_pairs", "funnel_conversion", "retention_cohorts",
     "shingle_df_profile", "minhash_jaccard_estimate", "code_detect",
     "ann_recall_eval", "dup_graph_degree_stats", "bigram_novelty",
-    "label_balance_resample",
+    "label_balance_resample", "semdedup_clusters",
+    "join_cardinality_estimator", "fk_integrity_audit",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

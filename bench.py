@@ -138,6 +138,9 @@ EXTENDED = [
     "dup_graph_degree_stats",
     "bigram_novelty",
     "label_balance_resample",
+    "semdedup_clusters",
+    "join_cardinality_estimator",
+    "fk_integrity_audit",
 ]
 
 

@@ -563,3 +563,159 @@ def quantile_normalize(spark, sf_dir):
         .select("doc_id", "source", "raw_score", "qnorm_score")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- join_cardinality_estimator
+CARD_TOPK = 5
+
+
+@register(
+    "join_cardinality_estimator",
+    oracle=f"""
+    WITH ca AS (
+      SELECT o_orderkey AS k, count(*) AS n_orders FROM orders GROUP BY 1
+    ),
+    cb AS (
+      SELECT l_orderkey AS k, count(*) AS n_lineitems FROM lineitem GROUP BY 1
+    ),
+    contrib AS (
+      SELECT ca.k, ca.n_orders * cb.n_lineitems AS out_rows
+      FROM ca JOIN cb USING (k)
+    ),
+    tot AS (SELECT sum(out_rows) AS total FROM contrib)
+    SELECT k AS orderkey,
+           CAST(out_rows AS BIGINT) AS out_rows,
+           round(out_rows / CAST(t.total AS DOUBLE), 6) AS share,
+           CAST(t.total AS BIGINT) AS join_total_rows,
+           row_number() OVER (ORDER BY out_rows DESC, k) AS rnk
+    FROM contrib, tot t
+    QUALIFY rnk <= {CARD_TOPK}
+    ORDER BY rnk
+    """,
+    tags=("profiling", "planning", "join"),
+)
+def join_cardinality_estimator(spark, sf_dir):
+    """Pre-join cardinality profile for orders ⋈ lineitem on
+    orderkey: EXACT output size Σₖ cntA(k)·cntB(k) from two per-key
+    count aggregations (never the join itself), plus the top-{k}
+    contributing keys and their share — the planning pass that
+    decides broadcast vs shuffle vs salting BEFORE a 100 TB join
+    runs, from aggregates that are linear in the inputs.
+
+    Plan shape: two map-side-combined counts joined on the key, one
+    1-row total broadcast back, top-{k} via TakeOrdered. The
+    aggregated key relation is orders-of-magnitude smaller than
+    either fact table."""
+    o = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    l = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_lineitems"))
+    contrib = o.join(l, "k").select(
+        "k", (F.col("n_orders") * F.col("n_lineitems")).alias("out_rows")
+    )
+    tot = contrib.agg(F.sum("out_rows").alias("total"))
+    w = Window.orderBy(F.desc("out_rows"), "orderkey")
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("orderkey"),
+            F.col("out_rows").cast("bigint").alias("out_rows"),
+            F.round(F.col("out_rows") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.col("total").cast("bigint").alias("join_total_rows"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= CARD_TOPK)
+        .orderBy("rnk")
+    )
+
+
+join_cardinality_estimator.__doc__ = join_cardinality_estimator.__doc__.format(
+    k=CARD_TOPK
+)
+
+
+# --------------------------------------------------- fk_integrity_audit
+_FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_leg_sql(name, child, ckey, parent, pkey) -> str:
+    return f"""
+      SELECT '{name}' AS relationship,
+             CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+             CAST((SELECT count(*) FROM {child} c
+                   WHERE c.{ckey} IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                     WHERE p.{pkey} = c.{ckey})) AS BIGINT)
+               AS n_orphans,
+             CAST((SELECT count(DISTINCT c.{ckey}) FROM {child} c
+                   WHERE c.{ckey} IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                     WHERE p.{pkey} = c.{ckey})) AS BIGINT)
+               AS n_orphan_keys
+    """
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="    "
+    + "\n      UNION ALL\n".join(
+        _fk_leg_sql(*rel) for rel in _FK_RELATIONS
+    )
+    + "\n    ORDER BY relationship",
+    tags=("profiling", "quality", "integrity"),
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: for each
+    declared child→parent relationship, the number of child rows
+    whose foreign key has NO parent (orphans) and the distinct
+    orphan key count — the data-quality gate an ingest pipeline runs
+    before publishing a snapshot (0 everywhere on healthy data; any
+    non-zero pinpoints the broken feed).
+
+    Plan shape per relationship: distinct child keys (map-side
+    combined) LEFT ANTI join the parent key relation — orphan
+    detection never touches non-key columns and shuffles only
+    distinct keys; per-key child counts come from the same
+    aggregation. Scales linearly; the five legs are independent and
+    union into a 5-row report."""
+    rows = None
+    for name, child, ckey, parent, pkey in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("pk")
+        ).distinct()
+        keyed = (
+            c.where(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("ck"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        orphans = keyed.join(p, keyed.ck == p.pk, "left_anti")
+        leg = (
+            orphans.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphans"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                "n_orphan_keys",
+            )
+        )
+        rows = leg if rows is None else rows.unionAll(leg)
+    return rows.orderBy("relationship")

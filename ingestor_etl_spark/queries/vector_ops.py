@@ -1164,3 +1164,122 @@ def ann_recall_eval(spark, sf_dir):
 
 
 ann_recall_eval.__doc__ = ann_recall_eval.__doc__.format(k=TOPK, q=N_QUERIES)
+
+
+# ------------------------------------------------------ semdedup_clusters
+SEMDEDUP_T = NEAR_DUP_THRESHOLD  # semantic-duplicate cosine threshold
+
+_SQL_SEMDEDUP_ASSIGN = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN {CENTROID_IDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cid) AS crnk
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM scored WHERE crnk = 1)
+"""
+
+
+@register(
+    "semdedup_clusters",
+    oracle=f"""
+    WITH {_SQL_SEMDEDUP_ASSIGN},
+    norms AS (
+      SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_dot_product(a.v, b.v) / (na.nrm * nb.nrm) AS sim
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+    ),
+    wit AS (
+      SELECT vb AS vec_id, MIN(va) AS dup_of
+      FROM pairs WHERE sim >= {SEMDEDUP_T} GROUP BY vb
+    )
+    SELECT a.vec_id, a.cid AS cluster_id,
+           (w.dup_of IS NULL) AS kept, w.dup_of
+    FROM assigned a LEFT JOIN wit w ON w.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    tags=("vector", "dedup", "semdedup"),
+)
+def semdedup_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, public literature): coarse
+    k-means-style clustering confines the quadratic cosine
+    comparison to WITHIN each cluster; a vector is dropped when a
+    lower-id clustermate sits above the similarity threshold —
+    semantic dedup at the embedding level, the step after exact and
+    MinHash dedup in a modern pretraining pipeline.
+
+    Plan shape: centroid assignment broadcasts the 8 deterministic
+    centroids (no corpus shuffle, same pass ann_ivf uses); norms are
+    one narrow projection computed ONCE (so each in-cluster pair
+    costs a single interpreted dot-fold, not three); the in-cluster
+    self-join shuffles on cid and its pair mass is Σ|cluster|² —
+    bounded by cluster granularity, which at 100 TB is the k knob
+    (SemDeDup runs with ~100k clusters precisely so this stays
+    linear-ish). The drop-witness election is a map-side-combined
+    min aggregation, hot-cluster safe."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = e.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    csim = cosine(F.col("v"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    assigned = materialize(
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", csim.alias("sim"))
+        .withColumn("crnk", F.row_number().over(w))
+        .where("crnk = 1")
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    wit = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .where(sim >= SEMDEDUP_T)
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").alias("cluster_id"))
+        .join(wit, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
