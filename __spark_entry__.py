@@ -101,7 +101,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "scd2_history",
     # round-5 changes — re-sample reworked/new operators
     "lsh_dedup_eval", "entity_resolution", "multimodal_decode_image",
-    "tfidf_cosine_pairs", "funnel_conversion", "retention_cohorts",
+    "tfidf_cosine_pairs", "funnel_conversion", "retention_matrix",
     "shingle_df_profile", "minhash_jaccard_estimate", "code_detect",
     "ann_recall_eval", "dup_graph_degree_stats", "bigram_novelty",
     "label_balance_resample", "semdedup_clusters",

@@ -130,7 +130,7 @@ EXTENDED = [
     "multimodal_decode_image",
     "tfidf_cosine_pairs",
     "funnel_conversion",
-    "retention_cohorts",
+    "retention_matrix",
     "shingle_df_profile",
     "minhash_jaccard_estimate",
     "code_detect",

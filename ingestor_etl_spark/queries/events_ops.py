@@ -1129,9 +1129,9 @@ def funnel_conversion(spark, sf_dir):
     ).orderBy("stage_no")
 
 
-# --------------------------------------------------- retention_cohorts
+# ---------------------------------------------------- retention_matrix
 @register(
-    "retention_cohorts",
+    "retention_matrix",
     oracle="""
     WITH days AS (
       SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
@@ -1159,8 +1159,11 @@ def funnel_conversion(spark, sf_dir):
     """,
     tags=("events", "retention", "cohort"),
 )
-def retention_cohorts(spark, sf_dir):
-    """Weekly retention matrix: users are cohorted by the epoch-week
+def retention_matrix(spark, sf_dir):
+    """Weekly retention matrix with offsets and ratios (the existing
+    retention_cohorts query in analytic_ops is the calendar-week
+    count form; this one adds per-cohort week OFFSETS, cohort sizes
+    and retention ratios): users are cohorted by the epoch-week
     of their FIRST event; cell (cohort, k) counts distinct cohort
     members active k weeks later. All bucketing is integer floor
     arithmetic on epoch days (no calendar week-start semantics to
