@@ -34,6 +34,16 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would silently SHADOW an oracle-verified
+        # query (registration order = import order), which is exactly
+        # how a round-5 cohort query briefly hid retention_cohorts.
+        # Same-function re-registration (module reload) stays legal.
+        prev = REGISTRY.get(name)
+        if prev is not None and prev.fn.__qualname__ != fn.__qualname__:
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__}"
+            )
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
         return fn
 
