@@ -283,11 +283,16 @@ def dup_graph_degree_stats(spark, sf_dir):
     )
     segs = d.select("doc_id", F.explode(seg_arr).alias("seg"))
     pairs = candidate_pairs(segs)
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # degree = endpoint multiplicity: explode both endpoints of each
+    # undirected pair instead of unioning the pair relation with its
+    # swap (the union re-plans the whole candidate lineage twice;
+    # the explode is one pass and identical counts)
+    deg = (
+        pairs.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
     return (
         deg.groupBy(
