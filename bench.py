@@ -141,6 +141,9 @@ EXTENDED = [
     "semdedup_clusters",
     "join_cardinality_estimator",
     "fk_integrity_audit",
+    "er_quality_eval",
+    "schema_profile",
+    "dup_group_size_profile",
 ]
 
 

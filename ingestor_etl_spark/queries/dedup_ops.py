@@ -932,3 +932,46 @@ def minhash_jaccard_estimate(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------ dup_group_size_profile
+@register(
+    "dup_group_size_profile",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY fp
+    )
+    SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS size_bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(max(n) AS BIGINT) AS max_group,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_removable
+    FROM groups GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "profiling", "planning"),
+)
+def dup_group_size_profile(spark, sf_dir):
+    """Exact-duplicate group-size histogram (power-of-two buckets):
+    how duplication mass is distributed — many small groups vs a few
+    giant ones — and how many documents dedup would remove
+    (sum − groups). The third planning profile next to
+    shingle_df_profile and dup_graph_degree_stats; two
+    map-side-combined aggregations on the uniform md5 fingerprint,
+    linear at any scale."""
+    groups = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        groups.groupBy(
+            (F.length(F.bin("n")) - 1).cast("int").alias("size_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.max("n").cast("bigint").alias("max_group"),
+            (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("size_bucket_log2")
+    )

@@ -719,3 +719,90 @@ def fk_integrity_audit(spark, sf_dir):
         )
         rows = leg if rows is None else rows.unionAll(leg)
     return rows.orderBy("relationship")
+
+
+# ------------------------------------------------------- schema_profile
+# (column, spark min/max formatter, duckdb min/max formatter): numeric
+# columns format through DECIMAL(12,2) so both engines print the same
+# string; the timestamp formats explicitly (bare casts differ).
+_PROFILE_COLS = (
+    ("l_orderkey", "cast({agg}(l_orderkey) as string)",
+     "CAST({agg}(l_orderkey) AS VARCHAR)"),
+    ("l_quantity", "cast(cast({agg}(l_quantity) as decimal(12,2)) as string)",
+     "CAST(CAST({agg}(l_quantity) AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("l_extendedprice",
+     "cast(cast({agg}(l_extendedprice) as decimal(12,2)) as string)",
+     "CAST(CAST({agg}(l_extendedprice) AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("l_returnflag", "{agg}(l_returnflag)", "{agg}(l_returnflag)"),
+    ("l_shipdate",
+     "date_format({agg}(l_shipdate), 'yyyy-MM-dd HH:mm:ss')",
+     "strftime({agg}(l_shipdate), '%Y-%m-%d %H:%M:%S')"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    legs = []
+    for c, _, fmt in _PROFILE_COLS:
+        aggs += [
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            fmt.format(agg="min") + f" AS min_{c}",
+            fmt.format(agg="max") + f" AS max_{c}",
+        ]
+        legs.append(
+            f"SELECT '{c}' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,"
+            f" CAST(nulls_{c} AS BIGINT) AS n_nulls,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" min_{c} AS min_value, max_{c} AS max_value FROM s"
+        )
+    return (
+        "    WITH s AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(legs)
+        + "\n    ORDER BY column_name"
+    )
+
+
+@register(
+    "schema_profile",
+    oracle=_profile_oracle(),
+    tags=("profiling", "schema", "quality"),
+)
+def schema_profile(spark, sf_dir):
+    """Column-level data profile of lineitem (null counts, exact
+    distinct counts, formatted min/max) — the pandas-profiling-style
+    census a pipeline publishes with every snapshot, computed in ONE
+    aggregation pass: all five columns' metrics come from a single
+    full-scan aggregate (Spark plans the multi-distinct via one
+    expand — one exchange total, never one scan per column), then
+    unpivot to the per-column report executor-side via inline
+    explode. Numeric min/max format through DECIMAL(12,2) and the
+    timestamp through an explicit pattern so both engines print
+    identical strings."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, fmt, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.expr(fmt.format(agg="min")).alias(f"min_{c}"),
+            F.expr(fmt.format(agg="max")).alias(f"max_{c}"),
+        ]
+    s = load_table(spark, sf_dir, "lineitem").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col(f"nulls_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+            )
+            for c, _, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )

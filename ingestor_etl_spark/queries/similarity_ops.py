@@ -356,9 +356,7 @@ def er_scored_pairs(
     )
 
 
-@register(
-    "entity_resolution",
-    oracle=f"""
+_SQL_ER_RESULT = f"""
     WITH dirty AS ({_SQL_DIRTY}),
     blocked_dirty AS (
       SELECT dirty_id, dirty_name,
@@ -395,7 +393,12 @@ def er_scored_pairs(
            CAST(dist AS BIGINT) AS match_dist,
            (p_partkey = dirty_id) AS is_correct
     FROM scored WHERE rk = 1 ORDER BY dirty_id
-    """,
+    """
+
+
+@register(
+    "entity_resolution",
+    oracle=_SQL_ER_RESULT,
     tags=("entity-resolution", "fuzzy-join", "blocking"),
 )
 def entity_resolution(spark, sf_dir):
@@ -610,3 +613,67 @@ def tfidf_cosine_pairs(spark, sf_dir):
 
 
 tfidf_cosine_pairs.__doc__ = tfidf_cosine_pairs.__doc__.format(cap=TFIDF_DF_CAP)
+
+
+# -------------------------------------------------------- er_quality_eval
+@register(
+    "er_quality_eval",
+    oracle=f"""
+    WITH er AS ({_SQL_ER_RESULT}),
+    feed AS (SELECT count(*) AS n_feed FROM part)
+    SELECT CAST(f.n_feed AS BIGINT) AS n_feed,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           round(count(*) / CAST(f.n_feed AS DOUBLE), 6) AS coverage,
+           CAST(sum(CASE WHEN er.matched_name = t.p_name THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_name,
+           round(sum(CASE WHEN er.matched_name = t.p_name THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS name_accuracy
+    FROM er
+    JOIN part t ON t.p_partkey = er.dirty_id
+    CROSS JOIN feed f
+    GROUP BY f.n_feed
+    """,
+    tags=("entity-resolution", "eval"),
+)
+def er_quality_eval(spark, sf_dir):
+    """Entity-resolution quality report — the third leg of the
+    evaluation triplet (lsh_dedup_eval for MinHash, ann_recall_eval
+    for ANN, this for record linkage): feed coverage (what fraction
+    of dirty records got ANY match — the blocking-recall number the
+    round-4 advisor asked to surface instead of hiding) and name
+    accuracy (matched catalog name equals the record's TRUE original
+    name). Both are exact counts over the resolver's own output
+    joined back to the catalog truth; the only divisions are the two
+    final ratios.
+
+    Scale: adds one broadcast-truth join and a 1-row aggregate on
+    top of entity_resolution's bounded plan."""
+    er = entity_resolution(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    truth = part.select(
+        F.col("p_partkey").alias("dirty_id"), F.col("p_name").alias("true_name")
+    )
+    feed = part.agg(F.count(F.lit(1)).alias("n_feed"))
+    exact = F.sum(
+        F.when(F.col("matched_name") == F.col("true_name"), 1).otherwise(0)
+    )
+    return (
+        er.join(truth, "dirty_id")
+        .crossJoin(F.broadcast(feed))
+        .groupBy("n_feed")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            exact.alias("n_exact_name"),
+        )
+        .select(
+            F.col("n_feed").cast("bigint").alias("n_feed"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(
+                F.col("n_matched") / F.col("n_feed").cast("double"), 6
+            ).alias("coverage"),
+            F.col("n_exact_name").cast("bigint").alias("n_exact_name"),
+            F.round(
+                F.col("n_exact_name") / F.col("n_matched").cast("double"), 6
+            ).alias("name_accuracy"),
+        )
+    )
