@@ -58,21 +58,37 @@ def cosine(a, b):
 def ann_cosine_topk(spark, sf_dir):
     """Exact cosine top-k: broadcast the query vectors against the
     corpus (no shuffle of the big side), rank per query. This is the
-    correctness baseline for ann_lsh_bucketed."""
+    correctness baseline for ann_lsh_bucketed.
+
+    Per-vector norms are projected ONCE before the pair join (each
+    pair then costs a single interpreted dot-fold instead of three);
+    sqrt(dot(v,v)) is the same double whether computed per pair or
+    per vector, so results are bit-identical to the oracle's inline
+    form."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     pairs = (
         F.broadcast(q)
-        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
-              F.col("neighbor_id") != F.col("query_id"))
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -257,21 +273,35 @@ def ann_lsh_bucketed(spark, sf_dir):
     only within the query's bucket. The bucket assignment is one
     narrow pass and the candidate join shuffles on the bucket key —
     at 100 TB this replaces the cross join with per-bucket joins
-    (recall traded for the usual multi-probe/repeat-tables knobs)."""
+    (recall traded for the usual multi-probe/repeat-tables knobs).
+    Norms are projected once pre-join (same values, one dot-fold per
+    pair instead of three — see ann_cosine_topk)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", F.expr(_SPARK_BUCKET))
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    ).withColumn("bucket", F.expr(_SPARK_BUCKET)).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
     pairs = (
         q.join(c, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
