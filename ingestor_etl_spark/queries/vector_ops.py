@@ -207,9 +207,20 @@ def embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b")
         .dropDuplicates()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    en = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    ea = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # norms projected once per vector — one dot-fold per candidate
+    # instead of three; identical doubles (see ann_cosine_topk)
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
