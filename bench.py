@@ -144,6 +144,7 @@ EXTENDED = [
     "er_quality_eval",
     "schema_profile",
     "dup_group_size_profile",
+    "fixedwidth_ingest",
 ]
 
 

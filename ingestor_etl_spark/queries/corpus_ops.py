@@ -920,3 +920,85 @@ def gopher_rules(spark, sf_dir):
             & (alpha_frac >= 0.8)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------- fixed-width source
+# Mainframe/telecom-feed style fixed-width layout:
+#   id[0:6] lang[6:8] source[8:16] value[16:20]  (20 chars/record)
+_FW_LINES = (
+    "000042enweb     0015",
+    "000007esbooks   0123",
+    "badid!frweb     0001",  # non-numeric id → corrupt
+    "000009de",              # short record → corrupt
+    "000011encrawl   9999",
+    "000013enweb     0007x",  # long record → corrupt
+)
+_FW_LEN = 20
+
+
+def fixedwidth_fixture_dir() -> str:
+    """Deterministic fixed-width feed: three clean records, a
+    non-numeric id, a truncated record, an overlong record."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_fw_v1")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part0.dat")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(_FW_LINES) + "\n")
+        os.replace(tmp, path)
+    return d
+
+
+@register(
+    "fixedwidth_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+      (42, 'en', 'web', 15, FALSE, CAST(NULL AS VARCHAR)),
+      (7, 'es', 'books', 123, FALSE, CAST(NULL AS VARCHAR)),
+      (11, 'en', 'crawl', 9999, FALSE, CAST(NULL AS VARCHAR)),
+      (CAST(NULL AS BIGINT), 'fr', 'web', 1, TRUE, 'badid!frweb'),
+      (9, 'de', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), TRUE,
+       '000009de'),
+      (13, 'en', 'web', 7, TRUE, '000013enweb')
+    ) AS t(doc_id, lang, source, value, is_corrupt, raw_excerpt)
+    ORDER BY is_corrupt, doc_id NULLS FIRST
+    """,
+    tags=("corpus", "source", "fixed-width"),
+)
+def fixedwidth_ingest(spark, sf_dir):
+    """S-class source breadth: FIXED-WIDTH record ingestion (the
+    mainframe/telecom-feed format) with §2.8 error-row semantics —
+    `spark.read.text` plus pure substring/trim projections (no
+    parser library, fully codegen'd), records flagged corrupt when
+    the line length differs from the layout or the id field is
+    non-numeric, with the parseable prefix KEPT (same
+    keep-and-flag contract as csv_ingest's arity pin). Empty
+    (all-blank) fields read as NULL.
+
+    Scale: splittable text input, one narrow projection — the
+    cheapest possible source; the layout constant is the entire
+    schema contract."""
+    lines = spark.read.text(fixedwidth_fixture_dir())
+    v = F.col("value")
+    # try_cast: malformed ids must flag the row, not fail the job
+    # (Spark 4 ANSI casts throw on 'badid!')
+    doc_id = F.expr("try_cast(trim(substring(value, 1, 6)) as bigint)")
+    lang = F.nullif(F.trim(F.substring(v, 7, 2)), F.lit(""))
+    source = F.nullif(F.trim(F.substring(v, 9, 8)), F.lit(""))
+    val = F.expr("try_cast(trim(substring(value, 17, 4)) as int)")
+    corrupt = (F.length(v) != _FW_LEN) | doc_id.isNull()
+    return (
+        lines.select(
+            doc_id.alias("doc_id"),
+            lang.alias("lang"),
+            source.alias("source"),
+            val.alias("value"),
+            corrupt.alias("is_corrupt"),
+            F.when(corrupt, F.substring(v, 1, 11)).alias("raw_excerpt"),
+        )
+        .orderBy(F.col("is_corrupt"), F.col("doc_id").asc_nulls_first())
+    )
