@@ -59,6 +59,9 @@ BNL_ALLOWED = {
     # five relationship legs, each a 1-row child-count broadcast
     # cross-joined into its report row — literal-side by construction
     "fk_integrity_audit",
+    # 1-row feed-size broadcast cross-joined into the quality report
+    # row — literal-side by construction, same shape as dedup_report
+    "er_quality_eval",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
