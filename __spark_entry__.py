@@ -107,7 +107,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "label_balance_resample", "semdedup_clusters",
     "join_cardinality_estimator", "fk_integrity_audit",
     "er_quality_eval", "schema_profile", "dup_group_size_profile",
-    "fixedwidth_ingest",
+    "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -145,6 +145,8 @@ EXTENDED = [
     "schema_profile",
     "dup_group_size_profile",
     "fixedwidth_ingest",
+    "collocation_lift",
+    "vocab_coverage_curve",
 ]
 
 

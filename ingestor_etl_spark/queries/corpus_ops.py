@@ -1002,3 +1002,197 @@ def fixedwidth_ingest(spark, sf_dir):
         )
         .orderBy(F.col("is_corrupt"), F.col("doc_id").asc_nulls_first())
     )
+
+
+# ----------------------------------------------------- collocation_lift
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 25
+
+
+@register(
+    "collocation_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) p
+    ),
+    pair_counts AS (
+      SELECT w1, w2, count(*) AS n_ab FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1 AS w, count(*) AS n FROM bigrams GROUP BY w1
+    ),
+    tot AS (SELECT sum(n_ab) AS big_total FROM pair_counts)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n AS BIGINT) AS n_w1,
+           CAST(ub.n AS BIGINT) AS n_w2,
+           round(n_ab * CAST(t.big_total AS DOUBLE) / (ua.n * ub.n), 6)
+             AS lift,
+           row_number() OVER (
+             ORDER BY n_ab * CAST(t.big_total AS DOUBLE) / (ua.n * ub.n) DESC,
+                      w1, w2) AS rnk
+    FROM pair_counts
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2
+    CROSS JOIN tot t
+    WHERE n_ab >= {COLLOC_MIN_COUNT}
+    QUALIFY rnk <= {COLLOC_TOPK}
+    ORDER BY rnk
+    """,
+    tags=("corpus", "collocation", "phrases"),
+)
+def collocation_lift(spark, sf_dir):
+    """Collocation mining (word2vec-style phrase detection): bigram
+    LIFT = n_ab·N / (n_a·n_b) — the monotone transform of PMI that
+    needs NO logarithm, so the score is one exact integer-ratio
+    double division per pair (engine-identical), and the top-{k}
+    ranking is the same with or without the ln. The phrase-vocab
+    induction pass a tokenizer pipeline runs before merging
+    multi-word units.
+
+    Plan shape: bigram and unigram counts are map-side-combined
+    aggregations; the unigram relation (bounded by vocabulary, tiny)
+    joins back twice; the 1-row total broadcasts; top-{k} is a
+    TakeOrdered over the filtered pair relation (min-count gate
+    n_ab ≥ {m} bounds the ranked set). No windows over raw tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r" +")
+    bigrams = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    uni = bigrams.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pair_counts.agg(F.sum("n_ab").alias("big_total"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2"))
+    lift = (
+        F.col("n_ab") * F.col("big_total").cast("double")
+        / (F.col("n_w1") * F.col("n_w2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift_raw"), "w1", "w2")
+    return (
+        pair_counts.where(F.col("n_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lift_raw", lift)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= COLLOC_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.col("n_w2").cast("bigint").alias("n_w2"),
+            F.round("lift_raw", 6).alias("lift"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+collocation_lift.__doc__ = collocation_lift.__doc__.format(
+    k=COLLOC_TOPK, m=COLLOC_MIN_COUNT
+)
+
+
+# -------------------------------------------------- vocab_coverage_curve
+_CURVE_KS = (10, 50, 100, 500)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM counts
+    ),
+    tot AS (SELECT sum(c) AS total, count(*) AS n_types FROM counts)
+    SELECT k AS vocab_size,
+           CAST((SELECT sum(c) FROM ranked WHERE rnk <= k) AS BIGINT)
+             AS tokens_covered,
+           round((SELECT sum(c) FROM ranked WHERE rnk <= k)
+                 / CAST(t.total AS DOUBLE), 6) AS coverage,
+           CAST(t.total AS BIGINT) AS total_tokens,
+           CAST(t.n_types AS BIGINT) AS n_types
+    FROM (VALUES {", ".join(f"({k})" for k in _CURVE_KS)}) AS ks(k)
+    CROSS JOIN tot t
+    ORDER BY vocab_size
+    """,
+    tags=("tokenizer", "vocab", "planning"),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary-size coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, at k ∈
+    {ks} — the curve that picks a tokenizer vocab size before
+    training (vocab_coverage reports per-doc OOV against ONE k; this
+    is the corpus-level sweep).
+
+    Plan shape: one map-side-combined type count; ranking and the
+    cumulative sums run over the AGGREGATED type relation (bounded
+    by vocabulary, not corpus size); the k grid is a literal row
+    set. Exact integers + one final division per row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r" +")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    ks = spark.createDataFrame([(k,) for k in _CURVE_KS], ["vocab_size"])
+    covered = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("rnk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("c").alias("tokens_covered"))
+    )
+    return (
+        F.broadcast(ks)
+        .join(covered, "vocab_size", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            F.coalesce(F.col("tokens_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_covered"),
+            F.round(
+                F.coalesce(F.col("tokens_covered"), F.lit(0))
+                / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+vocab_coverage_curve.__doc__ = vocab_coverage_curve.__doc__.format(
+    ks=_CURVE_KS
+)

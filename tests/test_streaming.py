@@ -557,3 +557,56 @@ def test_neardup_checkpoint_recovery_suppresses_across_restart(spark, tmp_path):
     got2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
     # doc 2 suppressed by recovered signature state; 0/1 not re-emitted
     assert sorted(got2.doc_id) == [0, 1, 3]
+
+
+def test_stream_funnel_matches_batch_and_recovers(spark, tmp_path):
+    """§2.9 streaming funnel: run the real events table through
+    stream_funnel in TWO halves with a restart between them (same
+    checkpoint), then demand the per-user max stage equals the batch
+    funnel_conversion stage census — state across the restart
+    included."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries import load_all
+    from ingestor_etl_spark.streaming.pipeline import stream_funnel
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    # split by time into two halves — preserves per-user ts order
+    mid = e.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0].p
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            stream_funnel(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    e.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run_once()  # restart against the same checkpoint
+
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # each (user, stage) emitted at most once across both runs
+    assert not got.duplicated(["user_id", "stage_no"]).any()
+    reached = got.groupby("user_id").stage_no.max().to_dict()
+
+    batch = {
+        r.stage_no: r.n_users
+        for r in load_all()["funnel_conversion"].fn(spark, sf).collect()
+    }
+    for k in (1, 2, 3):
+        assert sum(1 for v in reached.values() if v >= k) == batch[k], k
