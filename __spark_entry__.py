@@ -108,6 +108,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "join_cardinality_estimator", "fk_integrity_audit",
     "er_quality_eval", "schema_profile", "dup_group_size_profile",
     "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
+    "dup_graph_triangles", "ann_dim_truncation_eval",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -147,6 +147,8 @@ EXTENDED = [
     "fixedwidth_ingest",
     "collocation_lift",
     "vocab_coverage_curve",
+    "dup_graph_triangles",
+    "ann_dim_truncation_eval",
 ]
 
 

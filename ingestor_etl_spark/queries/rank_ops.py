@@ -306,3 +306,104 @@ def dup_graph_degree_stats(spark, sf_dir):
         )
         .orderBy("deg_bucket_log2")
     )
+
+
+# ------------------------------------------------- dup_graph_triangles
+@register(
+    "dup_graph_triangles",
+    oracle=(
+        "    WITH "
+        + ",\n    ".join(_graph_ctes()[:4])  # segs, hot, live, pairs
+        + """,
+    tri AS (
+      SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p2.src = p1.dst
+      JOIN pairs p3 ON p3.src = p1.src AND p3.dst = p2.dst
+    ),
+    node_tris AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs
+      ) GROUP BY node
+    )
+    SELECT d.node AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN round(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN node_tris t ON t.node = d.node
+    ORDER BY doc_id
+    """
+    ),
+    tags=("graph", "triangles", "clustering"),
+)
+def dup_graph_triangles(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the
+    duplicate graph — the graph-structure census that separates
+    template FAMILIES (dense, high-coefficient neighborhoods worth
+    collapsing to one canonical doc) from chain-like near-dup
+    drift (low coefficient, needs pairwise review). Triangles are
+    enumerated in the canonical a<b<c orientation (one row per
+    triangle) via two joins over the ordered pair relation; each
+    node in a triangle gets credit once per triangle.
+
+    Scale: the pair relation already passed the stop-segment degree
+    cut, so per-node degree is bounded and the p1⋈p2 fan-out is
+    Σ deg(b)² over cut-bounded degrees — the standard
+    node-iterator bound; all joins are equi-joins on node ids.
+    Degrees reuse the endpoint-explode shape of
+    dup_graph_degree_stats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r" +")
+    n_segs = ((F.size(toks) + F.lit(SEG_LEN - 1)) / SEG_LEN).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * SEG_LEN + 1, SEG_LEN)),
+    )
+    segs = d.select("doc_id", F.explode(seg_arr).alias("seg"))
+    from ingestor_etl_spark.plans.layout import materialize
+
+    pairs = materialize(candidate_pairs(segs))
+    p1 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    p2 = pairs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    p3 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    node_tris = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    coef = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(node_tris, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            coef.alias("clustering_coef"),
+        )
+        .orderBy("doc_id")
+    )

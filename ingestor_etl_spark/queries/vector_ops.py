@@ -1324,3 +1324,130 @@ def semdedup_clusters(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# -------------------------------------------------- ann_dim_truncation_eval
+TRUNC_DIM = 16
+
+
+@register(
+    "ann_dim_truncation_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (embedding::DOUBLE[])[1:{TRUNC_DIM}] AS tv
+      FROM embeddings
+    ),
+    full_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    full_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM full_pairs
+      ) WHERE rnk <= {TOPK}
+    ),
+    trunc_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.tv, c.tv)
+                   / (sqrt(list_dot_product(q.tv, q.tv))
+                      * sqrt(list_dot_product(c.tv, c.tv))), 4) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    trunc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM trunc_pairs
+      ) WHERE rnk <= {TOPK}
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / {TOPK}.0, 6) AS recall_at_k
+    FROM full_topk x
+    LEFT JOIN trunc_topk a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+    tags=("vector", "ann", "eval", "truncation"),
+)
+def ann_dim_truncation_eval(spark, sf_dir):
+    """Dimension-truncation quality audit (the Matryoshka/MRL
+    question): recall@{k} of ranking by the first {d} dimensions'
+    cosine against the full {dim}-dim ranking — the measurement that
+    decides whether a cheap truncated index can serve as the coarse
+    stage of a two-step retriever. Same confusion shape as
+    ann_recall_eval; both legs broadcast the {q}-query side (never a
+    corpus self-join) with norms computed once per vector."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    e = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("tv", F.slice("v", 1, TRUNC_DIM))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .withColumn("tnrm", F.sqrt(_dot(F.col("tv"), F.col("tv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+
+    def topk(vec_col, nrm_col):
+        q = e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(nrm_col).alias("qn"),
+        )
+        c = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(nrm_col).alias("cn"),
+        )
+        pairs = (
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    4,
+                ).alias("cos_sim"),
+            )
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk("v", "nrm")
+    trunc = topk("tv", "tnrm").withColumnRenamed("neighbor_id", "hit_id")
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (full.neighbor_id == trunc.hit_id),
+            "left",
+        )
+        .groupBy(full.query_id.alias("query_id"))
+        .agg(
+            F.count("hit_id").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit_id") / F.lit(float(TOPK)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+ann_dim_truncation_eval.__doc__ = ann_dim_truncation_eval.__doc__.format(
+    k=TOPK, d=TRUNC_DIM, dim=DIM, q=N_QUERIES
+)
