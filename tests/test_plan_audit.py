@@ -62,6 +62,15 @@ BNL_ALLOWED = {
     # 1-row feed-size broadcast cross-joined into the quality report
     # row — literal-side by construction, same shape as dedup_report
     "er_quality_eval",
+    # 1-row bigram-total broadcast into the lift projection — same
+    # shape as key_skew_profile
+    "collocation_lift",
+    # 4-row vocab-size grid + 1-row totals, both broadcast into the
+    # coverage sweep — literal-side by construction
+    "vocab_coverage_curve",
+    # 20-row query-vector broadcast with the non-equi self-exclusion
+    # predicate on both legs — same shape as ann_recall_eval
+    "ann_dim_truncation_eval",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
