@@ -1055,10 +1055,13 @@ def collocation_lift(spark, sf_dir):
     multi-word units.
 
     Plan shape: bigram and unigram counts are map-side-combined
-    aggregations; the unigram relation (bounded by vocabulary, tiny)
-    joins back twice; the 1-row total broadcasts; top-{k} is a
-    TakeOrdered over the filtered pair relation (min-count gate
-    n_ab ≥ {m} bounds the ranked set). No windows over raw tokens."""
+    aggregations; the unigram relation is VOCABULARY-sized (billions
+    of types on a raw 100 TB crawl), so it joins back via plain
+    shuffles on the uniform token key — never broadcast; the 1-row
+    total broadcasts; the global top-{k} is TakeOrdered (per-
+    partition top-k + driver merge) over the min-count-gated pair
+    relation, then the {k} survivors re-rank in a trivial window.
+    No windows over raw tokens or over the full pair relation."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r" +")
     bigrams = d.select(
@@ -1085,15 +1088,18 @@ def collocation_lift(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # TakeOrdered bounds the global ranking (per-partition top-k +
+    # driver merge); the window below only re-ranks the K survivors
     w = Window.orderBy(F.desc("lift_raw"), "w1", "w2")
     return (
         pair_counts.where(F.col("n_ab") >= COLLOC_MIN_COUNT)
-        .join(F.broadcast(ua), "w1")
-        .join(F.broadcast(ub), "w2")
+        .join(ua, "w1")
+        .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
         .withColumn("lift_raw", lift)
+        .orderBy(F.desc("lift_raw"), "w1", "w2")
+        .limit(COLLOC_TOPK)
         .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= COLLOC_TOPK)
         .select(
             "w1",
             "w2",
@@ -1148,10 +1154,13 @@ def vocab_coverage_curve(spark, sf_dir):
     training (vocab_coverage reports per-doc OOV against ONE k; this
     is the corpus-level sweep).
 
-    Plan shape: one map-side-combined type count; ranking and the
-    cumulative sums run over the AGGREGATED type relation (bounded
-    by vocabulary, not corpus size); the k grid is a literal row
-    set. Exact integers + one final division per row."""
+    Plan shape: one map-side-combined type count; the only ranked
+    relation is the top-max(k) types obtained via TakeOrdered
+    (per-partition top-N + driver merge — a raw crawl's type count
+    can be billions, so no global window ever sees the full type
+    relation); the {n}-row survivor set re-ranks in a trivial
+    window and the k grid is a literal row set. Exact integers + one
+    final division per row."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r" +")).alias("w")
@@ -1159,8 +1168,10 @@ def vocab_coverage_curve(spark, sf_dir):
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 
-    ranked = counts.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    ranked = (
+        counts.orderBy(F.desc("c"), "w")
+        .limit(max(_CURVE_KS))
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
     )
     tot = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
@@ -1194,5 +1205,5 @@ def vocab_coverage_curve(spark, sf_dir):
 
 
 vocab_coverage_curve.__doc__ = vocab_coverage_curve.__doc__.format(
-    ks=_CURVE_KS
+    ks=_CURVE_KS, n=max(_CURVE_KS)
 )
