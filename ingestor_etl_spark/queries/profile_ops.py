@@ -616,6 +616,10 @@ def join_cardinality_estimator(spark, sf_dir):
         "k", (F.col("n_orders") * F.col("n_lineitems")).alias("out_rows")
     )
     tot = contrib.agg(F.sum("out_rows").alias("total"))
+    # TakeOrdered bounds the global top-k over the key-sized contrib
+    # relation (per-partition top-k + driver merge — a 100 TB join
+    # has billions of keys, so no global window sees them all); the
+    # window only re-ranks the K survivors.
     w = Window.orderBy(F.desc("out_rows"), "orderkey")
     return (
         contrib.crossJoin(F.broadcast(tot))
@@ -627,8 +631,9 @@ def join_cardinality_estimator(spark, sf_dir):
             ),
             F.col("total").cast("bigint").alias("join_total_rows"),
         )
+        .orderBy(F.desc("out_rows"), "orderkey")
+        .limit(CARD_TOPK)
         .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= CARD_TOPK)
         .orderBy("rnk")
     )
 
