@@ -526,13 +526,18 @@ _FUNNEL_STATE = StructType(
 )
 
 
-def stream_funnel(events: DataFrame) -> DataFrame:
+def stream_funnel(events: DataFrame, timeout_ms: int = 86_400_000) -> DataFrame:
     """Streaming ordered-funnel tracking (the §2.9 stateful form of
     queries/events_ops.funnel_conversion): per-user keyed state
     holds the entry time of each reached stage; a stage advances
     only on an event STRICTLY AFTER the previous stage's entry, and
     each advancement emits one (user, stage, ts) row. State is three
-    longs per user — constant.
+    longs per user, and BOUNDED BY ACTIVE USERS: a user idle past
+    ``timeout_ms`` (default 24 h — the funnel attribution window) is
+    evicted silently, so total state is 3 longs × users-active-
+    within-window, never all users ever seen. A user returning after
+    eviction restarts at stage 1 (idempotent consumers key on
+    (user, stage), as the recovery test does).
 
     Ordering contract: stage entries are computed incrementally, so
     per-user event-time order across micro-batches is assumed
@@ -544,6 +549,9 @@ def stream_funnel(events: DataFrame) -> DataFrame:
 
     def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         t1 = t2 = t3 = None
         if state.exists:
             t1, t2, t3 = state.get
@@ -565,6 +573,7 @@ def stream_funnel(events: DataFrame) -> DataFrame:
                     t3 = int(ts)
                     rows.append((user_id, 3, _FUNNEL_STAGES[2], t3))
         state.update((t1, t2, t3))
+        state.setTimeoutDuration(timeout_ms)
         if rows:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _FUNNEL_OUT.fields]
@@ -574,5 +583,9 @@ def stream_funnel(events: DataFrame) -> DataFrame:
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     return src.groupBy("user_id").applyInPandasWithState(
-        track, _FUNNEL_OUT, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
+        track,
+        _FUNNEL_OUT,
+        _FUNNEL_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

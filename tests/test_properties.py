@@ -275,3 +275,45 @@ def test_bloom_no_false_negatives(keys, probes):
 
     for k in keys:
         assert member(k)
+
+
+def test_png_codec_round_trip_property():
+    """Hypothesis: encode→decode is the identity for every supported
+    color type, size, pixel content, and per-scanline filter choice
+    (the filters are APPLIED by the encoder, so the decoder must
+    genuinely undo Sub/Up/Average/Paeth)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ingestor_etl_spark.queries.multimodal_ops import (
+        decode_image,
+        encode_png,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ch=st.sampled_from([1, 2, 3, 4]),
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(ch, w, h, data):
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        assert decode_image(encode_png(pix, w, h, ch, filters)) == (
+            w,
+            h,
+            ch,
+            pix,
+        )
+
+    check()
