@@ -109,6 +109,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "er_quality_eval", "schema_profile", "dup_group_size_profile",
     "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
     "dup_graph_triangles", "ann_dim_truncation_eval",
+    "events_hourly_heatmap", "order_status_aging",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -149,6 +149,8 @@ EXTENDED = [
     "vocab_coverage_curve",
     "dup_graph_triangles",
     "ann_dim_truncation_eval",
+    "events_hourly_heatmap",
+    "order_status_aging",
 ]
 
 

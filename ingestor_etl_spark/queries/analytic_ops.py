@@ -755,3 +755,74 @@ def window_zoo(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ----------------------------------------------------- order_status_aging
+@register(
+    "order_status_aging",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(epoch_us(o_orderdate) // 86400000000) AS max_day FROM orders
+    ),
+    aged AS (
+      SELECT o_orderstatus,
+             least((a.max_day - epoch_us(o_orderdate) // 86400000000) // 30, 6)
+               AS age_bucket_months,
+             o_totalprice
+      FROM orders CROSS JOIN anchor a
+    )
+    SELECT o_orderstatus,
+           CAST(age_bucket_months AS INTEGER) AS age_bucket_months,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM aged
+    GROUP BY o_orderstatus, age_bucket_months
+    ORDER BY o_orderstatus, age_bucket_months
+    """,
+    tags=("warehouse", "aging", "reporting"),
+)
+def order_status_aging(spark, sf_dir):
+    """Order-backlog aging report: per (status, 30-day age bucket,
+    capped at 6+) order counts and decimal-exact value — the aging
+    matrix an operations dashboard reads daily. The anchor date is
+    the data's own max order day (deterministic, no wall clock), age
+    arithmetic is integer epoch days, and values sum through
+    DECIMAL so both engines agree bitwise. One 1-row anchor
+    broadcast + one map-side-combined aggregation over a
+    |status|×7 key space."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.expr("max(unix_micros(cast(o_orderdate as timestamp)) div 86400000000)").alias("max_day")
+    )
+    aged = o.crossJoin(F.broadcast(anchor)).select(
+        "o_orderstatus",
+        F.least(
+            (
+                F.col("max_day")
+                - F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            )
+            / F.lit(30),
+            F.lit(6),
+        )
+        .cast("long")
+        .alias("age_bucket_months_raw"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+    )
+    return (
+        aged.groupBy(
+            "o_orderstatus",
+            F.col("age_bucket_months_raw").alias("age_bucket_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").cast("decimal(18,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("age_bucket_months").cast("int").alias("age_bucket_months"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "total_value",
+        )
+        .orderBy("o_orderstatus", "age_bucket_months")
+    )

@@ -1207,3 +1207,64 @@ def retention_matrix(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------- events_hourly_heatmap
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS iso_dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour_of_day,
+             event_type
+      FROM events
+    ),
+    tot AS (SELECT count(*) AS total FROM cells)
+    SELECT CAST(iso_dow AS INTEGER) AS iso_dow,
+           CAST(hour_of_day AS INTEGER) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+           round(count(*) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM cells CROSS JOIN tot t
+    GROUP BY iso_dow, hour_of_day, t.total
+    ORDER BY iso_dow, hour_of_day
+    """,
+    tags=("events", "calendar", "heatmap"),
+)
+def events_hourly_heatmap(spark, sf_dir):
+    """Activity heatmap: event volume per (ISO weekday × hour) cell
+    — the load-shape census capacity planning and anomaly baselining
+    start from. Weekday comes from pure epoch-day arithmetic
+    ((day + 3) % 7 + 1; epoch day 0 was a Thursday), NOT from each
+    engine's dayofweek()/locale semantics — so the bucketing is
+    engine-exact by construction, like retention_matrix. One
+    map-side-combined aggregation over a ≤168-cell key space; the
+    1-row total broadcasts."""
+    cells = load_table(spark, sf_dir, "events").select(
+        (
+            ((F.expr("unix_micros(ts) div 86400000000") + 3) % 7) + 1
+        ).alias("iso_dow"),
+        F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias(
+            "hour_of_day"
+        ),
+        "event_type",
+    )
+    tot = cells.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("iso_dow", "hour_of_day", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            F.col("iso_dow").cast("int").alias("iso_dow"),
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("int").alias("n_types"),
+            F.round(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("iso_dow", "hour_of_day")
+    )
