@@ -71,6 +71,10 @@ BNL_ALLOWED = {
     # 20-row query-vector broadcast with the non-equi self-exclusion
     # predicate on both legs — same shape as ann_recall_eval
     "ann_dim_truncation_eval",
+    # 1-row totals/anchor broadcast into the report projection —
+    # literal-side by construction, same shape as key_skew_profile
+    "events_hourly_heatmap",
+    "order_status_aging",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
