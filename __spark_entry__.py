@@ -110,6 +110,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
     "dup_graph_triangles", "ann_dim_truncation_eval",
     "events_hourly_heatmap", "order_status_aging",
+    "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
     # previously sampled (all green on their latest driver row)
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",

@@ -151,6 +151,9 @@ EXTENDED = [
     "ann_dim_truncation_eval",
     "events_hourly_heatmap",
     "order_status_aging",
+    "supplier_lead_time",
+    "clv_by_cohort",
+    "source_lang_purity",
 ]
 
 

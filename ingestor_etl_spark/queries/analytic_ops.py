@@ -826,3 +826,142 @@ def order_status_aging(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "age_bucket_months")
     )
+
+
+# ----------------------------------------------------- supplier_lead_time
+@register(
+    "supplier_lead_time",
+    oracle="""
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             epoch_us(l.l_shipdate) // 86400000000
+               - epoch_us(o.o_orderdate) // 86400000000 AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(min(lead_days) AS BIGINT) AS min_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days,
+           CAST(sum(lead_days) AS BIGINT) AS total_days,
+           sum(lead_days) / CAST(count(*) AS DOUBLE) AS avg_days
+    FROM lt JOIN supplier s ON s.s_suppkey = lt.l_suppkey
+    GROUP BY s.s_name ORDER BY s.s_name
+    """,
+    tags=("analytics", "supply-chain", "lead-time"),
+)
+def supplier_lead_time(spark, sf_dir):
+    """Per-supplier order→ship lead-time distribution (min/max/avg
+    days) — the supply-chain SLA report. Lead time is an integer
+    epoch-day difference (the UTC-session cast reads the same wall
+    clock DuckDB's epoch_us sees), sums are BIGINT, and the average
+    is a single int/int double division — no rounding step to
+    diverge. Plan: one fact-fact join on the orderkey, one
+    aggregation on the supplier key, the small supplier dimension
+    joined after aggregation (dim rows × 1, broadcastable at any
+    scale)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias(
+            "ship_day"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "order_day"
+        ),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lt = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", (F.col("ship_day") - F.col("order_day")).alias("lead_days")
+    )
+    agg = lt.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.min("lead_days").alias("min_days"),
+        F.max("lead_days").alias("max_days"),
+        F.sum("lead_days").alias("total_days"),
+    )
+    return (
+        agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey)
+        .select(
+            "s_name",
+            F.col("n_shipments").cast("bigint").alias("n_shipments"),
+            F.col("min_days").cast("bigint").alias("min_days"),
+            F.col("max_days").cast("bigint").alias("max_days"),
+            F.col("total_days").cast("bigint").alias("total_days"),
+            (F.col("total_days") / F.col("n_shipments").cast("double")).alias(
+                "avg_days"
+            ),
+        )
+        .orderBy("s_name")
+    )
+
+
+# ------------------------------------------------------- clv_by_cohort
+@register(
+    "clv_by_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(epoch_us(o_orderdate) // 86400000000 // 30) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS lifetime_value,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(s.n_orders) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(s.lifetime_value) AS DECIMAL(20,2)) AS DOUBLE)
+             AS total_value,
+           round(CAST(CAST(sum(s.lifetime_value) AS DECIMAL(20,2)) AS DOUBLE)
+                 / count(*), 6) AS avg_clv
+    FROM firsts f JOIN spend s USING (o_custkey)
+    GROUP BY f.cohort_month ORDER BY f.cohort_month
+    """,
+    tags=("analytics", "ltv", "cohort"),
+)
+def clv_by_cohort(spark, sf_dir):
+    """Customer lifetime value by acquisition cohort: customers
+    bucketed by the 30-epoch-day month of their FIRST order, with
+    cohort size, order counts, and decimal-exact total/average
+    lifetime value — the LTV table growth analytics is built on.
+    Both per-customer passes (first-touch min and decimal spend sum)
+    share the o_custkey exchange; the cohort rollup aggregates the
+    customer-sized relation. Integer month bucketing (epoch days //
+    30), no calendar semantics to diverge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 div 30"
+        ).alias("omonth"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("omonth").alias("cohort_month"),
+        F.sum("v").cast("decimal(18,2)").alias("lifetime_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("lifetime_value").cast("decimal(20,2)").alias("tv"),
+        )
+        .select(
+            "cohort_month",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            "n_orders",
+            F.col("tv").cast("double").alias("total_value"),
+            F.round(
+                F.col("tv").cast("double") / F.col("n_customers"), 6
+            ).alias("avg_clv"),
+        )
+        .orderBy("cohort_month")
+    )

@@ -652,3 +652,50 @@ def bigram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------- source_lang_purity
+@register(
+    "source_lang_purity",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    per_source AS (
+      SELECT source, sum(n) AS src_total, max(n) AS max_n FROM cells GROUP BY source
+    )
+    SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n_docs,
+           round(c.n / CAST(p.src_total AS DOUBLE), 6) AS lang_share,
+           (c.n = p.max_n) AS is_dominant
+    FROM cells c JOIN per_source p USING (source)
+    ORDER BY c.source, c.lang
+    """,
+    tags=("text", "quality", "language"),
+)
+def source_lang_purity(spark, sf_dir):
+    """Per-source language composition: how monolingual each feed
+    is (the source × declared-lang matrix with shares and the
+    dominant flag) — the routing sanity check a multilingual
+    pipeline runs before per-language mixture decisions
+    (lang_id_confusion audits the CLASSIFIER; this audits the
+    FEEDS). Two aggregations over a |sources|×|langs|-bounded key
+    space, map-side combined; the per-source totals join back on
+    the small aggregated relation."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    per_source = cells.groupBy("source").agg(
+        F.sum("n").alias("src_total"), F.max("n").alias("max_n")
+    )
+    return (
+        cells.join(per_source, "source")
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(F.col("n") / F.col("src_total").cast("double"), 6).alias(
+                "lang_share"
+            ),
+            (F.col("n") == F.col("max_n")).alias("is_dominant"),
+        )
+        .orderBy("source", "lang")
+    )
