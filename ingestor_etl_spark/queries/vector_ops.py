@@ -152,6 +152,41 @@ _NEAR_DUP_KEYS_SQL = "\n      UNION ALL\n".join(
 )
 
 
+def _vec_clusters(e):
+    """Collapse a (vec_id, v) relation by EXACT embedding identity
+    before any LSH bucket join (the round-5 verdict's vector-side
+    guard): identical embeddings — dup images/docs re-embedded — land
+    in the same bucket in EVERY one of the N_TABLES tables, so an
+    uncollapsed bucket self-join emits O(m²) rows per table for an
+    m-vector duplicate cluster. After the collapse each distinct
+    vector is ONE row per bucket and the join is quadratic only in
+    distinct-vector occupancy.
+
+    The fingerprint is md5 over the exact decimal renderings of the
+    components (cast double→string is deterministic), so only
+    bit-identical vectors collapse — results are unchanged, no
+    quantization approximation. Returns (members, reps):
+    - members: (vec_fp, vec_id) — one row per vector;
+    - reps: (vec_fp, rep_id, csize, v) — one row per DISTINCT
+      embedding; all downstream per-vector folds (norms, bucket
+      signatures, pair scoring) run on reps only."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    fp = F.md5(
+        F.concat_ws(",", F.transform(F.col("v"), lambda x: x.cast("string")))
+    )
+    docs = materialize(e.withColumn("vec_fp", fp))
+    members = docs.select("vec_fp", "vec_id")
+    reps = materialize(
+        docs.groupBy("vec_fp").agg(
+            F.min("vec_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("csize"),
+            F.first("v").alias("v"),
+        )
+    )
+    return members, reps
+
+
 @register(
     "embedding_near_dup",
     oracle=f"""
@@ -182,52 +217,131 @@ def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above a threshold,
     generated from multi-table LSH bucket candidates — the 100 TB
     shape. {n_tables} independent {n_planes}-bit hyperplane tables
-    each contribute a bucket equi-join; candidate (a, b) pairs are
-    deduped across tables, then verified with the exact cosine.
-    No all-pairs join anywhere: the joins shuffle on (tbl, bucket)
-    and vec_id only. The exact all-pairs form survives only as the
-    sf0.01 recall cross-check in tests/test_vectors.py."""
+    each contribute a bucket equi-join over one row per DISTINCT
+    embedding (identical-vector clusters are collapsed first — see
+    _vec_clusters); rep-level candidate pairs are deduped across
+    tables, exact-cosine scored ONCE per distinct-vector pair, then
+    expanded through cluster membership. Intra-cluster pairs (the
+    identical vectors themselves) are emitted by a fingerprint
+    equi-join with the per-cluster self-similarity — no bucket join
+    ever sees duplicate mass. No all-pairs join anywhere. The exact
+    all-pairs form survives only as the sf0.01 recall cross-check in
+    tests/test_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    keys = e.select(
-        "vec_id",
+    return _near_dup_from(e)
+
+
+def _near_dup_from(e, expand: bool = True):
+    """embedding_near_dup body on any (vec_id, v) relation.
+
+    expand=True (the registered contract): every (vec_a < vec_b) pair
+    above threshold — output unchanged vs the uncollapsed join (so
+    the DuckDB oracle needs no mirror), but inherently quadratic in
+    duplicate-cluster size because that is the pair contract.
+    expand=False (the raw-input 100 TB mode): intra-cluster mass is
+    reported as star edges (rep, member) and inter-cluster pairs stay
+    at rep level — same connected components, output LINEAR in
+    cluster size. bench.py --skew measures a 100k-vector identical
+    cluster through this path."""
+    members, reps = _vec_clusters(e)
+    keys = reps.select(
+        "vec_fp",
+        "rep_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), F.expr(_spark_bucket(t)).alias("bucket"))
                 for t in range(N_TABLES)
             ])
         ).alias("k"),
-    ).select("vec_id", "k.tbl", "k.bucket")
-    a = keys.select(F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_a"))
-    b = keys.select(F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_b"))
-    cand = (
+    ).select("vec_fp", "rep_id", "k.tbl", "k.bucket")
+    a = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra"))
+    b = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb"))
+    rep_cand = (
         a.join(b, ["tbl", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .where(F.col("ra") < F.col("rb"))
+        .select("fp_a", "fp_b")
         .dropDuplicates()
     )
-    en = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    ea = en.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    # norms projected once per DISTINCT vector — one dot-fold per
+    # rep-level candidate instead of three, and each cluster pair is
+    # scored exactly once; every member pair inherits the identical
+    # double (vectors inside a cluster are bit-identical).
+    rn = reps.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    ea = rn.select(
+        F.col("vec_fp").alias("fp_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    eb = en.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    eb = rn.select(
+        F.col("vec_fp").alias("fp_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    # norms projected once per vector — one dot-fold per candidate
-    # instead of three; identical doubles (see ann_cosine_topk)
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+    inter_scored = (
+        rep_cand.join(ea, "fp_a")
+        .join(eb, "fp_b")
         .where(sim >= NEAR_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+        .select("fp_a", "fp_b", F.round(sim, 4).alias("cos_sim"))
     )
+    # Per-cluster self-similarity: the same expression the pairwise
+    # formula yields when both sides are the same vector (≈1.0 up to
+    # the sqrt-roundtrip ulp; NaN for a zero vector, matching the
+    # uncollapsed join's 0/0 on identical zero vectors).
+    self_sim = _dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm"))
+    self_scored = (
+        rn.where(F.col("csize") > 1)
+        .where(self_sim >= NEAR_DUP_THRESHOLD)
+        .select("vec_fp", F.round(self_sim, 4).alias("cos_sim"))
+    )
+    if expand:
+        ma, mb = members.alias("ma"), members.alias("mb")
+        intra = (
+            self_scored.join(ma, "vec_fp")
+            .join(mb, "vec_fp")
+            .where(F.col("ma.vec_id") < F.col("mb.vec_id"))
+            .select(
+                F.col("ma.vec_id").alias("vec_a"),
+                F.col("mb.vec_id").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+        xa = members.select(F.col("vec_fp").alias("fp_a"), F.col("vec_id").alias("ida"))
+        xb = members.select(F.col("vec_fp").alias("fp_b"), F.col("vec_id").alias("idb"))
+        inter = (
+            inter_scored.join(xa, "fp_a")
+            .join(xb, "fp_b")
+            .select(
+                F.least("ida", "idb").alias("vec_a"),
+                F.greatest("ida", "idb").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+    else:
+        intra = (
+            self_scored.join(members, "vec_fp")
+            .join(reps.select("vec_fp", "rep_id"), "vec_fp")
+            .where(F.col("vec_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+        inter = (
+            inter_scored.join(
+                reps.select(F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra")),
+                "fp_a",
+            )
+            .join(
+                reps.select(F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb")),
+                "fp_b",
+            )
+            .select(
+                F.least("ra", "rb").alias("vec_a"),
+                F.greatest("ra", "rb").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+    return intra.unionByName(inter).orderBy("vec_a", "vec_b")
 
 
 embedding_near_dup.__doc__ = embedding_near_dup.__doc__.format(
@@ -784,36 +898,54 @@ def knn_graph(spark, sf_dir):
     100 TB recall/cost tune via N_TABLES and N_PLANES exactly as the
     near-dup path documents; nodes sharing no bucket with anyone
     simply emit no edges (isolated in the graph)."""
-    from ingestor_etl_spark.plans.layout import materialize
-
-    # Normalize ONCE per vector and materialize: the pair-scoring
-    # fold then needs a single 64-term dot product instead of three
-    # (dot + two norms) — HOF folds are interpreted, so per-pair op
-    # count is the cost driver on a large candidate set (measured
-    # ~3× on the scoring stage). Keys are materialized for the same
-    # reason: both sides of the bucket join would recompute the
-    # 10-table × 6-plane signature folds.
     # Repartition before the fold-heavy projections: the testdata
-    # parquet is one row group (one task), and normalization + the
-    # 10-table × 6-plane signature folds are interpreted per-element
-    # work — serialized on a single core they dominate the query
-    # (same layout fix as dedup_ops._shingled).
+    # parquet is one row group (one task), and the fingerprint +
+    # signature folds are interpreted per-element work — serialized
+    # on a single core they dominate the query (same layout fix as
+    # dedup_ops._shingled).
     e = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
     )
+    return _knn_graph_from(e)
+
+
+def _knn_graph_from(e):
+    """knn_graph body on any (vec_id, v) relation, identical-vector-
+    collapse guarded (see _vec_clusters). All per-vector folds
+    (normalization, the N_TABLES × KNN_PLANES signatures) and all
+    pair scoring run over one row per DISTINCT embedding; member
+    expansion then applies an EXACT top-(K+1) prune: inside a
+    duplicate cluster every member scores identically against a
+    given src, and ties break by ascending dst, so only the K+1
+    smallest member ids of any cluster can ever reach a top-K list —
+    candidates beyond them are dominated by K same-score smaller-id
+    members. Output is bit-identical to the uncollapsed join while
+    expansion stays LINEAR (m×K, not m²) in duplicate-cluster size."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    members, reps = _vec_clusters(e)
+    # Normalize ONCE per distinct vector and materialize: the
+    # pair-scoring fold then needs a single 64-term dot product
+    # instead of three — HOF folds are interpreted, so per-pair op
+    # count is the cost driver on a large candidate set. Keys are
+    # materialized for the same reason: both sides of the bucket
+    # join would recompute the signature folds. Buckets are computed
+    # on the RAW vector (sign of dot(v, plane)), exactly as before.
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     env = materialize(
-        e.select(
-            "vec_id",
+        reps.select(
+            "vec_fp",
+            "rep_id",
             F.transform("v", lambda x: x / norm).alias("nv"),
             "v",
         )
     )
     keys = materialize(
         env.select(
-            "vec_id",
+            "vec_fp",
+            "rep_id",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -823,27 +955,76 @@ def knn_graph(spark, sf_dir):
                     for t in range(N_TABLES)
                 ])
             ).alias("k"),
-        ).select("vec_id", "k.tbl", "k.bucket")
+        ).select("vec_fp", "rep_id", "k.tbl", "k.bucket")
     )
-    a = keys.select("tbl", "bucket", F.col("vec_id").alias("src"))
-    b = keys.select("tbl", "bucket", F.col("vec_id").alias("dst"))
-    cand = (
+    a = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra"))
+    b = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb"))
+    rep_cand = (
         a.join(b, ["tbl", "bucket"])
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        .where(F.col("ra") < F.col("rb"))
+        .select("fp_a", "fp_b")
         .dropDuplicates()
     )
-    es = env.select(F.col("vec_id").alias("src"), F.col("nv").alias("nva"))
-    ed = env.select(F.col("vec_id").alias("dst"), F.col("nv").alias("nvb"))
-    scored = (
-        cand.join(es, "src")
-        .join(ed, "dst")
+    sa = env.select(F.col("vec_fp").alias("fp_a"), F.col("nv").alias("nva"))
+    sb = env.select(F.col("vec_fp").alias("fp_b"), F.col("nv").alias("nvb"))
+    pair_scored = (
+        rep_cand.join(sa, "fp_a")
+        .join(sb, "fp_b")
         .select(
-            "src",
-            "dst",
+            "fp_a",
+            "fp_b",
             F.round(_dot(F.col("nva"), F.col("nvb")), 4).alias("cos_sim"),
         )
     )
+    # The K+1 smallest member ids per cluster — the only members that
+    # can appear as a dst in any top-K list (see docstring). Window
+    # over the cluster fingerprint: linear, one pass.
+    wtop = Window.partitionBy("vec_fp").orderBy("vec_id")
+    topk_members = (
+        members.withColumn("mrnk", F.row_number().over(wtop))
+        .where(F.col("mrnk") <= KNN_K + 1)
+        .drop("mrnk")
+    )
+    # Intra-cluster candidates: every member of a multi-vector
+    # cluster scores self-similarity (≈1.0; the same double the
+    # uncollapsed join computed via dot(nv, nv)) against the K+1
+    # smallest other members.
+    self_scored = env.select(
+        "vec_fp", F.round(_dot(F.col("nv"), F.col("nv")), 4).alias("cos_sim")
+    )
+    intra = (
+        members.alias("ms")
+        .join(
+            topk_members.select("vec_fp", F.col("vec_id").alias("dst")), "vec_fp"
+        )
+        .where(F.col("ms.vec_id") != F.col("dst"))
+        .join(self_scored, "vec_fp")
+        .select(F.col("ms.vec_id").alias("src"), "dst", "cos_sim")
+    )
+    # Inter-cluster candidates: expand each undirected rep pair in
+    # both directions — every member of the src cluster against the
+    # K+1 smallest members of the dst cluster.
+    directed = pair_scored.select(
+        F.col("fp_a").alias("src_fp"), F.col("fp_b").alias("dst_fp"), "cos_sim"
+    ).unionByName(
+        pair_scored.select(
+            F.col("fp_b").alias("src_fp"), F.col("fp_a").alias("dst_fp"), "cos_sim"
+        )
+    )
+    inter = (
+        directed.join(
+            members.select(F.col("vec_fp").alias("src_fp"), F.col("vec_id").alias("src")),
+            "src_fp",
+        )
+        .join(
+            topk_members.select(
+                F.col("vec_fp").alias("dst_fp"), F.col("vec_id").alias("dst")
+            ),
+            "dst_fp",
+        )
+        .select("src", "dst", "cos_sim")
+    )
+    scored = intra.unionByName(inter)
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
