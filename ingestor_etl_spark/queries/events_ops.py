@@ -1064,9 +1064,11 @@ _FUNNEL = ("view", "click", "purchase")
       SELECT 3, '{_FUNNEL[2]}', (SELECT count(*) FROM s3)
     )
     SELECT stage_no, stage, CAST(n_users AS BIGINT) AS n_users,
-           round(CAST(n_users AS DOUBLE)
-                 / lag(n_users, 1, n_users) OVER (ORDER BY stage_no), 6)
-             AS conv_from_prev
+           CASE WHEN stage_no = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN lag(n_users, 1) OVER (ORDER BY stage_no) > 0
+                THEN round(CAST(n_users AS DOUBLE)
+                           / lag(n_users, 1) OVER (ORDER BY stage_no), 6)
+                ELSE NULL END AS conv_from_prev
     FROM counts ORDER BY stage_no
     """,
     tags=("events", "funnel", "behavioral"),
@@ -1115,17 +1117,19 @@ def funnel_conversion(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.orderBy("stage_no")
+    prev = F.lag("n_users", 1).over(w).cast("double")
+    # Stage 1 is 1.0 by definition; a genuine 0/0 (empty PRIOR stage)
+    # surfaces as NULL instead of being coalesced to 1.0 — an empty
+    # funnel head must not read as perfect conversion, and NULL is
+    # what the oracle's CASE yields too (round-5 ADVICE fix).
     return counts.select(
         "stage_no",
         "stage",
         F.col("n_users").cast("bigint").alias("n_users"),
-        F.round(
-            F.col("n_users").cast("double")
-            / F.lag("n_users", 1, None).over(w).cast("double"),
-            6,
-        ).alias("conv_from_prev"),
-    ).withColumn(
-        "conv_from_prev", F.coalesce(F.col("conv_from_prev"), F.lit(1.0))
+        F.when(F.col("stage_no") == 1, F.lit(1.0))
+        .when(prev > 0, F.round(F.col("n_users").cast("double") / prev, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("conv_from_prev"),
     ).orderBy("stage_no")
 
 

@@ -104,13 +104,16 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     import struct
     import zlib
 
-    pos, width = 8, None
+    pos = 8
+    width = height = channels = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
+        pos += 12 + length  # length + type + data + crc (crc not verified)
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("malformed PNG IHDR chunk")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -123,7 +126,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             idat.extend(data)
         elif ctype == b"IEND":
             break
-    if width is None:
+    # A payload carrying IDAT before (or without) a valid IHDR must
+    # fail with a clean ValueError here, never an UnboundLocalError
+    # at the zlib/stride stage below (round-5 ADVICE fix).
+    if width is None or height is None or channels is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
@@ -460,7 +466,15 @@ _DECODE_SCHEMA = StructType(
            md5(substr(text, 1, length(text) - length(text) % {_DEC_ROW}))
              AS pixel_md5
     FROM documents
-    WHERE length(text) >= {_DEC_ROW}
+    -- ASCII-only gate (octet_length == char length): the Spark side
+    -- packs UTF-8 BYTES into the pixel buffer while VARCHAR
+    -- length/substr/md5 are CHARACTER-semantics — the two coincide
+    -- exactly iff the text is pure ASCII, so non-ASCII docs are
+    -- excluded from the registered parity query on BOTH sides
+    -- (round-5 ADVICE fix; the decode plumbing itself is
+    -- byte-oblivious and handles any payload).
+    WHERE octet_length(encode(text)) = length(text)
+      AND length(text) >= {_DEC_ROW}
     ORDER BY doc_id
     """,
     tags=("multimodal", "codec", "pandas-udf"),
@@ -470,7 +484,8 @@ def multimodal_decode_image(spark, sf_dir):
     an actual image container executor-side (even doc_id → binary
     PPM, odd → 8-bit PNG with Sub/Up/Average/Paeth filters cycling
     per scanline), then decoded back with decode_image — a genuine
-    parse of headers, chunk CRCs, zlib streams, and filter
+    parse of headers, chunk layout (CRCs carried but not verified),
+    zlib streams, and filter
     reconstruction, not a stub. The md5 of the DECODED pixel buffer
     must equal the md5 of the source bytes (which is what the DuckDB
     oracle computes), so any codec bug breaks parity.
@@ -479,8 +494,15 @@ def multimodal_decode_image(spark, sf_dir):
     blobs never leave the executor, batches bounded by Arrow
     maxRecordsPerBatch; this is the plumbing shape a Pillow/ffmpeg
     decode sweep uses at 100 TB, with the codec swapped."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    # ASCII-only gate mirroring the oracle's WHERE: DuckDB has no
+    # BLOB substr/md5, so byte-exact parity is only expressible for
+    # docs where UTF-8 byte length == character length (pure ASCII).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+        )
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
