@@ -687,43 +687,74 @@ def fk_integrity_audit(spark, sf_dir):
     before publishing a snapshot (0 everywhere on healthy data; any
     non-zero pinpoints the broken feed).
 
-    Plan shape per relationship: distinct child keys (map-side
-    combined) LEFT ANTI join the parent key relation — orphan
-    detection never touches non-key columns and shuffles only
-    distinct keys; per-key child counts come from the same
-    aggregation. Scales linearly; the five legs are independent and
-    union into a 5-row report."""
-    rows = None
+    Plan shape (round-5 verdict item 6 — the per-leg form re-scanned
+    and re-shuffled every relationship, ~20 exchanges): ALL legs now
+    share ONE tagged child-key relation — each child table is
+    scanned once per declared key, union-all'd (free) into
+    (relationship, key) rows, and aggregated in a single
+    map-side-combined exchange. The parent keys form the same tagged
+    shape (one small exchange), and the LEFT ANTI orphan join runs
+    on (relationship, key) — both sides are already hash-partitioned
+    on exactly that key by their aggregations, so the join adds NO
+    exchange. n_child_rows falls out of the same child-key relation
+    (sum of per-key counts, null keys included as a group), so no
+    separate count(*) scans. Orphan detection never touches non-key
+    columns; everything shuffles distinct keys only."""
+    child_keys = None
+    parents = None
     for name, child, ckey, parent, pkey in _FK_RELATIONS:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pkey).alias("pk")
-        ).distinct()
-        keyed = (
-            c.where(F.col(ckey).isNotNull())
-            .groupBy(F.col(ckey).alias("ck"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        orphans = keyed.join(p, keyed.ck == p.pk, "left_anti")
-        leg = (
-            orphans.agg(
-                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphans"),
-                F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
-                )
-            )
+        ck = (
+            load_table(spark, sf_dir, child)
             .select(
                 F.lit(name).alias("relationship"),
-                "n_child_rows",
-                "n_orphans",
-                "n_orphan_keys",
+                F.col(ckey).cast("bigint").alias("ck"),
             )
         )
-        rows = leg if rows is None else rows.unionAll(leg)
-    return rows.orderBy("relationship")
+        pk = load_table(spark, sf_dir, parent).select(
+            F.lit(name).alias("relationship"),
+            F.col(pkey).cast("bigint").alias("pk"),
+        )
+        child_keys = ck if child_keys is None else child_keys.unionAll(ck)
+        parents = pk if parents is None else parents.unionAll(pk)
+    # Materialize the aggregated child-key relation: it feeds both
+    # the orphan leg and the totals leg, and without it Catalyst
+    # pushes the anti join through the union — re-specializing
+    # per-relationship joins and recomputing the whole union
+    # aggregate once per consumer (measured: 13 exchanges, double
+    # scans). With it, every child table is scanned once per
+    # declared key and the union aggregate runs exactly once.
+    from ingestor_etl_spark.plans.layout import materialize
+
+    keyed = materialize(
+        child_keys.groupBy("relationship", "ck").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    pdist = parents.groupBy("relationship", F.col("pk").alias("ck")).agg(
+        F.lit(1).alias("one")
+    ).select("relationship", "ck")
+    orphans = (
+        keyed.join(pdist, ["relationship", "ck"], "left_anti")
+        .where(F.col("ck").isNotNull())
+        .groupBy("relationship")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orphans"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+        )
+    )
+    totals = keyed.groupBy("relationship").agg(
+        F.sum("n").cast("bigint").alias("n_child_rows")
+    )
+    return (
+        totals.join(orphans, "relationship", "left")
+        .select(
+            "relationship",
+            "n_child_rows",
+            F.coalesce("n_orphans", F.lit(0)).cast("bigint").alias("n_orphans"),
+            F.coalesce("n_orphan_keys", F.lit(0)).cast("bigint").alias("n_orphan_keys"),
+        )
+        .orderBy("relationship")
+    )
 
 
 # ------------------------------------------------------- schema_profile

@@ -442,7 +442,12 @@ def pcap_http_ocs_linked(spark, sf_dir):
     redesign) and bidirectional enrichment."""
     msgs = http_messages(expand_l4(read_pcap(spark, _http_ocs_capture())))
     linked = link_http(extract_ocs(msgs), enrich_cols=["msisdn", "calling", "called"])
-    status = F.max("http_response_code").over(Window.partitionBy("pair_id"))
+    # Same partition key as link_http's pair window (pair_id is only
+    # unique within a conversation anyway) — the status projection
+    # reuses that exchange instead of re-shuffling on bare pair_id.
+    status = F.max("http_response_code").over(
+        Window.partitionBy("file", "a_ip", "a_port", "b_ip", "b_port", "pair_id")
+    )
     return linked.select(
         "http_is_request",
         F.col("http_request_method").alias("method"),

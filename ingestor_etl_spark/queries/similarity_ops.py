@@ -303,31 +303,50 @@ def er_scored_pairs(
       (levenshtein(a, b, k) — O(n·k), early exit, −1 when > k).
     Factored out so the hot-block blowup guard is testable on a
     synthetic suffix-heavy catalog (tests/test_similarity_ops.py)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
     spark = dirty.sparkSession
     d = _with_block_keys(dirty, "dirty_name")
-    c = _with_block_keys(clean, "p_name").withColumn(
-        "band", F.expr("length(p_name) div 4")
+    # The keyed clean side feeds both the hot-block census and the
+    # main block join — materialize it so the census probe doesn't
+    # recompute the catalog scan + key projection.
+    c = materialize(
+        _with_block_keys(clean, "p_name").withColumn(
+            "band", F.expr("length(p_name) div 4")
+        )
     )
-    hot = (
+    hot = materialize(
         c.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > block_cap)
         .select("blk", F.lit(True).alias("is_hot"))
     )
-    d = (
-        d.join(F.broadcast(hot), "blk", "left")
-        .withColumn(
-            "key2", F.when(F.col("is_hot"), F.col("blk2")).otherwise(F.lit(""))
+    # Pay-when-skewed (round-5 verdict item 5): the census itself is
+    # one map-side-combined aggregation over the CLEAN side (the
+    # small catalog — cheap at any scale), and the fallback's two
+    # broadcast joins enter the plan ONLY when the census finds at
+    # least one over-cap block. On an unskewed catalog the join key
+    # is (blk, '', band) with zero fallback machinery; the probe is
+    # a driver-side limit(1) over the materialized census, which the
+    # broadcast reuses when hot blocks do exist.
+    if len(hot.limit(1).take(1)) > 0:
+        d = (
+            d.join(F.broadcast(hot), "blk", "left")
+            .withColumn(
+                "key2", F.when(F.col("is_hot"), F.col("blk2")).otherwise(F.lit(""))
+            )
+            .drop("is_hot", "blk2")
         )
-        .drop("is_hot", "blk2")
-    )
-    c = (
-        c.join(F.broadcast(hot), "blk", "left")
-        .withColumn(
-            "key2", F.when(F.col("is_hot"), F.col("blk2")).otherwise(F.lit(""))
+        c = (
+            c.join(F.broadcast(hot), "blk", "left")
+            .withColumn(
+                "key2", F.when(F.col("is_hot"), F.col("blk2")).otherwise(F.lit(""))
+            )
+            .drop("is_hot", "blk2")
         )
-        .drop("is_hot", "blk2")
-    )
+    else:
+        d = d.withColumn("key2", F.lit("")).drop("blk2")
+        c = c.withColumn("key2", F.lit("")).drop("blk2")
     d_banded = d.withColumn(
         "delta", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     ).select(
