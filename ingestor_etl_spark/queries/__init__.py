@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         relational_sub,
         relational_wide,
         similarity_ops,
+        streaming_parity,
         text_ops,
         training_ops,
         vector_ops,
