@@ -397,6 +397,128 @@ def bench_protocol_throughput(spark) -> dict:
     }
 
 
+# ------------------------------------------------------ sf1 scale check
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1data", "sf1")
+_SF1_REPS = 10  # sf1 = 10 × sf0.1
+
+
+def _gen_sf1(spark) -> None:
+    """Deterministic 10× scale-up of the sf0.1 tables the five
+    slowest queries touch (documents, embeddings, lineitem). The
+    model is "a 10× larger crawl with the same per-shard structure":
+    replica 0 is sf0.1 verbatim; replicas 1-9 are content-decorrelated
+    so duplicate families, shingle universes, and vector directions
+    stay replica-local — matching how independently-crawled shards
+    behave, and keeping OUTPUT cardinality linear so the bench
+    measures engine scaling, not contract-inherent pair blowup.
+
+    - documents: every token suffixed with ~K (disjoint shingle
+      universe per replica; per-replica dup structure identical);
+    - embeddings: components rotated by 7·K positions with a
+      deterministic per-(k, replica) sign pattern — norm-preserving,
+      directions decorrelated across replicas;
+    - lineitem: keys offset per replica, measures unchanged.
+    Written once to .sf1data/sf1 (gitignored; regenerate any time)."""
+    os.makedirs(SF1_DIR, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    rep = "CAST(r.id AS INT)"
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    reps = spark.range(_SF1_REPS).alias("r")
+    d = docs.crossJoin(reps).selectExpr(
+        f"doc_id + {rep} * 5000 AS doc_id",
+        f"CASE WHEN r.id = 0 THEN text ELSE "
+        f"regexp_replace(text, '(\\\\S+)', concat('$1~', {rep})) END AS text",
+        "lang",
+        "source",
+        "length(CASE WHEN r.id = 0 THEN text ELSE "
+        f"regexp_replace(text, '(\\\\S+)', concat('$1~', {rep})) END) AS n_chars",
+    )
+    d.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    e = emb.crossJoin(reps).selectExpr(
+        f"vec_id + {rep} * 2000 AS vec_id",
+        "transform(sequence(0, 63), k -> CAST("
+        f"  element_at(embedding, ((k + {rep} * 7) % 64) + 1)"
+        f"  * (CASE WHEN (k * 2654435761 + {rep} * 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        "  AS float)) AS embedding",
+        "label",
+    )
+    e.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    cols = [c for c in li.columns if c != "l_orderkey"]
+    li.crossJoin(reps).selectExpr(
+        f"l_orderkey + {rep} * 10000000 AS l_orderkey", *cols
+    ).repartition(16).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+
+
+def _sf1_main() -> None:
+    """`bench.py --sf1`: the round-5 verdict's 10× scale checkpoint —
+    run the five slowest sf0.1 queries at sf1 (generated on first
+    use) and report per-query times at both scales plus the scaling
+    exponent log10(t_sf1/t_sf0.1) (1.0 = perfectly linear). knn_graph
+    runs with n_planes = KNN_PLANES + 3 at sf1, applying the
+    documented occupancy rule (plane count tracks log2(corpus));
+    everything else runs the registered query verbatim."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.vector_ops import _knn_graph_from, KNN_PLANES
+
+    registry = load_all()
+    spark = get_spark("ingestor-etl-spark-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        _gen_sf1(spark)
+
+    names = [
+        "minhash_jaccard_estimate",
+        "schema_profile",
+        "prefix_filter_join",
+        "dup_graph_degree_stats",
+        "knn_graph",
+    ]
+
+    def run_at(sf_dir: str, sf1_planes: bool) -> dict[str, float]:
+        out = {}
+        for name in names:
+            if name == "knn_graph" and sf1_planes:
+                e = (
+                    load_table(spark, sf_dir, "embeddings")
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .selectExpr(
+                        "vec_id",
+                        "transform(embedding, x -> cast(x as double)) AS v",
+                    )
+                )
+                df = _knn_graph_from(e, n_planes=KNN_PLANES + 3)
+            else:
+                df = registry[name].fn(spark, sf_dir)
+            out[name] = _time_query(df, 2)
+            release_caches()
+        return out
+
+    import math
+
+    t01 = run_at("/root/testdata/sf0.1", False)
+    t1 = run_at(SF1_DIR, True)
+    result = {
+        "metric": "sf1_scale_check",
+        "unit": "sec",
+        "value": round(sum(t1.values()), 3),
+        "sf0_1": t01,
+        "sf1": t1,
+        "ratio": {n: round(t1[n] / t01[n], 2) for n in names},
+        "scaling_exponent": {
+            n: round(math.log10(t1[n] / t01[n]), 3) for n in names
+        },
+        "knn_note": f"sf1 uses n_planes={KNN_PLANES + 3} (occupancy rule)",
+    }
+    print(json.dumps(result))
+
+
 # ----------------------------------------------------------- skew stress
 def _skew_main() -> None:
     """`bench.py --skew`: stress the blowup guards on generated
@@ -633,5 +755,7 @@ def _skew_main() -> None:
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         _skew_main()
+    elif "--sf1" in sys.argv:
+        _sf1_main()
     else:
         main()

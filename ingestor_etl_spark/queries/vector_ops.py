@@ -911,10 +911,15 @@ def knn_graph(spark, sf_dir):
     return _knn_graph_from(e)
 
 
-def _knn_graph_from(e):
+def _knn_graph_from(e, n_planes: int = KNN_PLANES):
     """knn_graph body on any (vec_id, v) relation, identical-vector-
-    collapse guarded (see _vec_clusters). All per-vector folds
-    (normalization, the N_TABLES × KNN_PLANES signatures) and all
+    collapse guarded (see _vec_clusters). ``n_planes`` is the
+    documented scale knob: production sizes buckets to a target
+    occupancy, so plane count tracks log2(corpus) — bench.py --sf1
+    passes KNN_PLANES + 3 at 10× data to hold per-bucket occupancy
+    (and therefore per-vector candidate count) roughly constant.
+    All per-vector folds
+    (normalization, the N_TABLES × n_planes signatures) and all
     pair scoring run over one row per DISTINCT embedding; member
     expansion then applies an EXACT top-(K+1) prune: inside a
     duplicate cluster every member scores identically against a
@@ -950,7 +955,7 @@ def _knn_graph_from(e):
                 F.array(*[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        F.expr(_spark_bucket(t, KNN_PLANES)).alias("bucket"),
+                        F.expr(_spark_bucket(t, n_planes)).alias("bucket"),
                     )
                     for t in range(N_TABLES)
                 ])
