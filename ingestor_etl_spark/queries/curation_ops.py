@@ -478,3 +478,120 @@ def partitioned_write_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- mixture_token_allocation
+# Training-mix budget allocation (round 6): given a global token
+# budget, split it across sources by measured quality, capped by what
+# each source actually has. One quality-gate pass + integer
+# waterfilling over the per-source relation (dozens of rows).
+MIX_BUDGET_TOKENS = 100_000
+
+
+@register(
+    "mixture_token_allocation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split_regex(trim(text), ' +')) AS n_toks,
+             CASE WHEN len(string_split_regex(trim(text), ' +')) >= 10
+                   AND length(text) <= 12 * len(string_split_regex(trim(text), ' +'))
+                  THEN 1 ELSE 0 END AS pass
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(sum(n_toks) AS BIGINT) AS avail_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pass) AS BIGINT) AS n_pass
+      FROM scored GROUP BY source
+    ),
+    tgt AS (
+      SELECT *,
+             {MIX_BUDGET_TOKENS} * n_pass // (SELECT sum(n_pass) FROM per_src)
+               AS target_tokens
+      FROM per_src
+    ),
+    capped AS (
+      SELECT *, least(target_tokens, avail_tokens) AS alloc_tokens,
+             CASE WHEN target_tokens < avail_tokens THEN n_pass ELSE 0 END
+               AS uncapped_pass
+      FROM tgt
+    )
+    SELECT source, avail_tokens, n_docs, n_pass,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(least(alloc_tokens
+                 + CASE WHEN uncapped_pass > 0 THEN
+                     ({MIX_BUDGET_TOKENS} - (SELECT sum(alloc_tokens) FROM capped))
+                       * uncapped_pass // (SELECT sum(uncapped_pass) FROM capped)
+                   ELSE 0 END,
+                 avail_tokens) AS BIGINT) AS final_tokens
+    FROM capped ORDER BY source
+    """,
+    tags=("curation", "mixture", "budget"),
+)
+def mixture_token_allocation(spark, sf_dir):
+    """Quality-weighted token-budget allocation across sources — the
+    planning step before a training-mix materialization: each source
+    gets budget share proportional to its count of quality-passing
+    docs (pass = ≥10 tokens AND mean token length ≤ 12 chars — the
+    cheap gate; swap in quality_classifier scores at will), capped at
+    the tokens the source actually has, with one waterfill round
+    redistributing the capped surplus to uncapped sources.
+
+    All allocation arithmetic is INTEGER (floor division on bigint
+    counts), so Spark and DuckDB agree bit-for-bit — no float shares
+    to round. Plan: one map-side-combined aggregation shrinks the
+    corpus to |sources| rows; every later step (budget shares,
+    caps, redistribution) is window/scalar algebra over that tiny
+    relation. The corpus is scanned exactly once at any scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.col("text")), r" +"))
+    passed = (
+        F.when((n_toks >= 10) & (F.length("text") <= 12 * n_toks), 1).otherwise(0)
+    )
+    per_src = d.select(
+        "source", n_toks.alias("n_toks"), passed.alias("pass")
+    ).groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("avail_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+    )
+    w = Window.partitionBy()
+    tgt = per_src.withColumn(
+        "target_tokens",
+        F.expr(f"{MIX_BUDGET_TOKENS} * n_pass div sum(n_pass) OVER ()"),
+    )
+    capped = tgt.withColumn(
+        "alloc_tokens", F.least("target_tokens", "avail_tokens")
+    ).withColumn(
+        "uncapped_pass",
+        F.when(F.col("target_tokens") < F.col("avail_tokens"), F.col("n_pass")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    leftover = F.lit(MIX_BUDGET_TOKENS) - F.sum("alloc_tokens").over(w)
+    redistributed = F.when(
+        F.col("uncapped_pass") > 0,
+        F.expr(
+            f"({MIX_BUDGET_TOKENS} - sum(alloc_tokens) OVER ()) * uncapped_pass "
+            "div sum(uncapped_pass) OVER ()"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        capped.select(
+            "source",
+            "avail_tokens",
+            "n_docs",
+            "n_pass",
+            F.col("target_tokens").cast("bigint").alias("target_tokens"),
+            F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+            F.least(
+                (F.col("alloc_tokens") + redistributed), F.col("avail_tokens")
+            ).cast("bigint").alias("final_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -18,6 +18,13 @@ Scale design (100 TB corpus):
   distributed hash keys, no skew;
 - candidate pairs come only from same-bucket docs, so the
   quadratic join is confined to buckets (the whole point of LSH);
+- identical-signature clusters (exact duplicates — the one way a
+  "bucket" can be unboundedly hot) are COLLAPSED to one
+  representative before any bucket self-join (_sig_clusters), so
+  duplicate-heavy raw crawls cannot make a bucket quadratic; pair
+  outputs re-expand through membership (oracle-identical), or stay
+  as star edges with expand=False when even the pair contract's
+  quadratic output is unwanted;
 - the exact-Jaccard verifier joins only on shared shingles; its
   cost is quadratic in shingle document-frequency, so at corpus
   scale it runs on LSH candidates (as the verifier stage) or on a
@@ -1080,4 +1087,231 @@ def dup_group_size_profile(spark, sf_dir):
             (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
         )
         .orderBy("size_bucket_log2")
+    )
+
+
+# ------------------------------------------------ exact_substring_dedup
+# Character-gram seed matching (the "exact substring dedup" pass of
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499 — public literature): documents sharing a
+# verbatim K-character window are near-certain partial copies even
+# when token-level Jaccard is low (one long quoted paragraph inside
+# an otherwise-unrelated page). Seeds are ALL K=32-char windows
+# (stride 1), so any shared verbatim run of >= K chars is guaranteed
+# to produce an identical window on both sides — a strided sampling
+# would need matching phase (offset mod stride) in both documents and
+# silently misses most shared runs; the suffix-array formulation of
+# the full Lee-et-al pass is the production answer when even stride-1
+# window volume is too much.
+SUBSTR_K = 32
+SUBSTR_STRIDE = 1
+STOP_GRAM_MAX_DOCS = 64
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, length(text) - {SUBSTR_K - 1} + 1, {SUBSTR_STRIDE}),
+                 p -> substr(text, p, {SUBSTR_K}))) AS gram
+        FROM canon WHERE length(text) >= {SUBSTR_K}
+      )
+    ),
+    hot AS (
+      SELECT gram FROM (
+        SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+      ) WHERE n_docs > {STOP_GRAM_MAX_DOCS}
+    ),
+    live AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM live a JOIN live b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "substring", "seed-match"),
+)
+def exact_substring_dedup(spark, sf_dir):
+    """Verbatim-substring near-dup pairs via K-char seed windows
+    (see module constant block; Lee et al. 2021). Pipeline order and
+    blowup bounds, both load-bearing at 100 TB:
+
+    - runs on the EXACT-DEDUPED canonical relation (min doc_id per
+      identical text) — identical documents share every window, so
+      canonicalization first is what bounds the seed join the same
+      way _sig_clusters bounds the MinHash bucket joins;
+    - boilerplate windows (shared by > {cap} distinct docs — license
+      headers, navigation chrome) are cut by the same degree-cap
+      pattern as stop_shingle_cut, bounding per-gram fan-out at
+      {cap}²;
+    - seeds are distinct per doc, the join shuffles (gram → pairs)
+      only, and output counts DISTINCT shared windows per pair.
+
+    The full Lee-et-al pass extends each seed match to the maximal
+    shared run with a suffix-array per partition; the seed stage here
+    is the distributed-join part of that design and is the decision
+    signal (any seed hit ⇒ >= {k} verbatim chars shared; n_shared_grams
+    ≈ shared-run length − {k} + 1 for a single clean run)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    canon = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .where(F.length("text") >= SUBSTR_K)
+    )
+    grams = (
+        canon.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SUBSTR_K - 1}, "
+                    f"{SUBSTR_STRIDE}), p -> substr(text, p, {SUBSTR_K}))"
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > STOP_GRAM_MAX_DOCS)
+        .select("gram")
+    )
+    live = materialize(grams.join(F.broadcast(hot), "gram", "left_anti"))
+    a, b = live.alias("a"), live.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+exact_substring_dedup.__doc__ = exact_substring_dedup.__doc__.format(
+    cap=STOP_GRAM_MAX_DOCS, k=SUBSTR_K
+)
+
+
+# ----------------------------------------------------- lsh_band_whatif
+# Alternative layouts of the 6 minhashes: (bands × rows-per-band).
+# Caught(pair, config) is EXACT — we have the full per-salt equality
+# pattern for every candidate pair, so no S-curve approximation is
+# needed at evaluation time.
+_WHATIF_CONFIGS = (
+    ("1x6", 1, 6),  # one band of 6: only full-signature matches
+    ("2x3", 2, 3),  # two bands of 3
+    ("3x2", 3, 2),  # the production config (N_BANDS bands of 2)
+    ("6x1", 6, 1),  # six bands of 1: any single equal minhash
+)
+
+
+def _whatif_caught_expr(n_bands: int, rows: int, eq_fmt: str) -> str:
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            "(" + " AND ".join(eq_fmt.format(i=b * rows + r) for r in range(rows)) + ")"
+        )
+    return "(" + " OR ".join(bands) + ")"
+
+
+@register(
+    "lsh_band_whatif",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+{_SQL_BAND_CAND},
+    eqs AS (
+      SELECT {", ".join(f"CASE WHEN sa.{s} = sb.{s} THEN 1 ELSE 0 END AS eq{i}" for i, s in enumerate(SALTS))}
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    ),
+    counts AS (
+      SELECT count(*) AS n_total,
+             {", ".join(f"sum(CASE WHEN {_whatif_caught_expr(b, r, 'eq{i} = 1')} THEN 1 ELSE 0 END) AS n_{name}" for name, b, r in _WHATIF_CONFIGS)}
+      FROM eqs
+    )
+    {" UNION ALL ".join(f"SELECT '{name}' AS config, {b} AS n_bands, {r} AS rows_per_band, CAST(n_{name} AS BIGINT) AS n_candidates, round(CAST(n_{name} AS DOUBLE) / n_3x2, 4) AS vs_production FROM counts" for name, b, r in _WHATIF_CONFIGS)}
+    ORDER BY config
+    """,
+    tags=("dedup", "lsh", "tuning", "planning"),
+)
+def lsh_band_whatif(spark, sf_dir):
+    """LSH banding-configuration what-if on REAL signature data: for
+    every candidate pair the production banding reaches, we hold the
+    exact per-salt equality pattern, so whether an alternative
+    (bands × rows) layout of the same 6 minhashes would keep the
+    pair is a deterministic boolean, not an S-curve estimate. The
+    report (4 rows) shows candidate volume under each layout
+    relative to the production 3×2 — the planning query behind the
+    precision/recall knob every LSH deployment must set (more rows
+    per band ⇒ fewer, higher-precision candidates; more bands ⇒
+    higher recall, more verifier work).
+
+    Plan shape: the candidate population reuses the shared collapsed
+    band-pairs generator, the equality profile is two signature
+    joins (7 longs per row), and the config evaluation is ONE global
+    aggregation followed by a 4-row stack — no per-config passes."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    sigs = materialize(
+        _shingled(spark, sf_dir).selectExpr(
+            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+        )
+    )
+    cand = _band_pairs_from_sigs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(s).alias(f"a_{s}") for s in SALTS]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(s).alias(f"b_{s}") for s in SALTS]
+    )
+    eqs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            *[
+                F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0).alias(f"eq{i}")
+                for i, s in enumerate(SALTS)
+            ]
+        )
+    )
+    caught = {
+        name: F.expr(
+            f"sum(CASE WHEN {_whatif_caught_expr(b, r, 'eq{i} = 1')} THEN 1 ELSE 0 END)"
+        ).alias(f"n_{name}")
+        for name, b, r in _WHATIF_CONFIGS
+    }
+    counts = eqs.agg(*caught.values())
+    stack_args = ", ".join(
+        f"'{name}', {b}, {r}, n_{name}" for name, b, r in _WHATIF_CONFIGS
+    )
+    return (
+        counts.selectExpr(
+            "n_3x2",
+            f"stack({len(_WHATIF_CONFIGS)}, {stack_args}) AS "
+            "(config, n_bands, rows_per_band, n_raw)",
+        )
+        .select(
+            "config",
+            "n_bands",
+            "rows_per_band",
+            F.col("n_raw").cast("bigint").alias("n_candidates"),
+            F.round(F.col("n_raw").cast("double") / F.col("n_3x2"), 4).alias(
+                "vs_production"
+            ),
+        )
+        .orderBy("config")
     )
