@@ -97,7 +97,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
     # --- round-6 additions go HERE (front, before re-samples) ---
     "stream_neardup_parity", "stream_interval_join_parity",
-    "stream_session_window_parity", "exact_substring_dedup",
+    "stream_session_window_parity", "stream_windowed_counts_parity",
+    "exact_substring_dedup",
     "lsh_band_whatif", "mixture_token_allocation",
     # round-6 reworked operators — re-sample to pin the new plans
     "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",

@@ -154,6 +154,16 @@ EXTENDED = [
     "supplier_lead_time",
     "clv_by_cohort",
     "source_lang_purity",
+    # round-6 additions + reworked-in-r6 operators now tracked
+    "exact_substring_dedup",
+    "lsh_band_whatif",
+    "mixture_token_allocation",
+    "stream_neardup_parity",
+    "stream_interval_join_parity",
+    "stream_session_window_parity",
+    "stream_windowed_counts_parity",
+    "embedding_near_dup",
+    "pcap_http_ocs_linked",
 ]
 
 

@@ -14,10 +14,12 @@ no-ops in batch execution) and pins the result to a DuckDB oracle:
 - stream_interval_join_parity — the stream_interval_join helper
   itself, run on batch frames;
 - stream_session_window_parity — the stream_sessionize helper
-  (built-in session_window), oracled by a gaps-and-islands SQL.
+  (built-in session_window), oracled by a gaps-and-islands SQL;
+- stream_windowed_counts_parity — the stream_windowed_counts helper
+  (tumbling window), oracled by integer window-origin arithmetic.
 
-tests/test_streaming.py pins the actual readStream/availableNow runs
-of these operators to the same outputs, closing the loop:
+tests/test_streaming_parity.py pins the actual readStream/availableNow
+runs of these operators to the same outputs, closing the loop:
 stream run == batch snapshot == DuckDB oracle.
 """
 
@@ -63,8 +65,11 @@ def stream_neardup_parity(spark, sf_dir):
     signature expression the streaming operator uses, plus the
     family size the suppression would drop. Deterministic, so the
     DuckDB oracle pins the signature math AND the keep decision;
-    tests/test_streaming.py asserts the actual availableNow stream
-    run keeps exactly kept_doc_id per family."""
+    tests/test_streaming_parity.py asserts the actual availableNow
+    stream run suppresses each family to exactly one member with the
+    same signature (within-trigger arrival order is engine-internal,
+    so the stream test pins family structure; THIS query pins the
+    doc_id-ordered keep decision)."""
     sig = F.concat_ws(
         ":", *[F.expr(_spark_minhash(s)).cast("string") for s in SALTS]
     )
@@ -187,3 +192,44 @@ def stream_session_window_parity(spark, sf_dir):
         F.unix_micros("first_ts").alias("first_ts_us"),
         F.unix_micros("last_ts").alias("last_ts_us"),
     ).orderBy("user_id", "session_start_us")
+
+
+# -------------------------------------------- windowed-counts parity
+_WC_WINDOW_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "stream_windowed_counts_parity",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % {_WC_WINDOW_US} AS win_start_us,
+           epoch_us(ts) - epoch_us(ts) % {_WC_WINDOW_US} + {_WC_WINDOW_US}
+             AS win_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, win_start_us
+    """,
+    tags=("streaming", "windowed-agg", "parity"),
+)
+def stream_windowed_counts_parity(spark, sf_dir):
+    """Snapshot parity for streaming/pipeline.stream_windowed_counts
+    — calls the streaming helper (built-in tumbling ``window`` +
+    watermark, a no-op in batch execution) on the batch events table,
+    keyed by event_type with the default 5-minute window. The oracle
+    floors event time to the window origin with integer microsecond
+    arithmetic, pinning Spark's window-assignment boundary semantics
+    (start inclusive, end exclusive, epoch-aligned origin) to DuckDB."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.streaming.pipeline import stream_windowed_counts
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    out = stream_windowed_counts(
+        e, window="5 minutes", watermark="1 hour", key_cols=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("event_type", "win_start_us")

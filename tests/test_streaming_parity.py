@@ -183,3 +183,50 @@ def test_stream_sessionize_run_matches_parity(spark, tmp_path, registry):
     got = got.sort_values(key).reset_index(drop=True)[parity.columns.tolist()]
     exp = parity.sort_values(key).reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_stream_windowed_counts_run_matches_parity(spark, tmp_path, registry):
+    """availableNow tumbling-window run (append mode) equals the
+    registered snapshot once a far-future sentinel event advances the
+    watermark past every real window."""
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.streaming.pipeline import stream_windowed_counts
+
+    parity = registry["stream_windowed_counts_parity"].fn(spark, SF).toPandas()
+
+    e = load_table(spark, SF, "events").select("event_type", "ts")
+    max_us = e.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", max_us + 86_400_000_000)], "event_type string, us long"
+    ).select("event_type", F.timestamp_micros("us").alias("ts"))
+    src = str(tmp_path / "wc_events")
+    e.unionByName(sentinel).write.parquet(src)
+    stream = spark.readStream.schema("event_type string, ts timestamp").parquet(src)
+    out_dir, ckpt = str(tmp_path / "wc_out"), str(tmp_path / "wc_ck")
+    q = (
+        stream_windowed_counts(
+            stream, window="5 minutes", watermark="1 hour", key_cols=["event_type"]
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = (
+        spark.read.parquet(out_dir)
+        .where("event_type <> '__sentinel__'")
+        .select(
+            "event_type",
+            F.unix_micros("win_start").alias("win_start_us"),
+            F.unix_micros("win_end").alias("win_end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .toPandas()
+    )
+    key = ["event_type", "win_start_us"]
+    got = got.sort_values(key).reset_index(drop=True)[parity.columns.tolist()]
+    exp = parity.sort_values(key).reset_index(drop=True)
+    assert got.equals(exp)
