@@ -99,7 +99,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "stream_neardup_parity", "stream_interval_join_parity",
     "stream_session_window_parity", "stream_windowed_counts_parity",
     "exact_substring_dedup",
-    "lsh_band_whatif", "mixture_token_allocation",
+    "lsh_band_whatif", "mixture_token_allocation", "hard_negative_mining",
     # round-6 reworked operators — re-sample to pin the new plans
     "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",
     "knn_graph", "embedding_near_dup", "entity_resolution",

@@ -162,6 +162,7 @@ EXTENDED = [
     "stream_interval_join_parity",
     "stream_session_window_parity",
     "stream_windowed_counts_parity",
+    "hard_negative_mining",
     "embedding_near_dup",
     "pcap_http_ocs_linked",
 ]

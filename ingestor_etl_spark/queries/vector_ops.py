@@ -1637,3 +1637,94 @@ def ann_dim_truncation_eval(spark, sf_dir):
 ann_dim_truncation_eval.__doc__ = ann_dim_truncation_eval.__doc__.format(
     k=TOPK, d=TRUNC_DIM, dim=DIM, q=N_QUERIES
 )
+
+
+# -------------------------------------------------- hard_negative_mining
+HARD_NEG_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v, {_SQL_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.label <> q.label
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, negative_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {HARD_NEG_K}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "contrastive", "training"),
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the {k} most-similar vectors with a DIFFERENT label — the
+    near-miss negatives that make embedding models learn boundaries
+    (random negatives are too easy; the standard retrieval-training
+    data op). Candidates come from the query's LSH bucket (table-0
+    hyperplane signature, same bucket key as ann_lsh_bucketed), so no
+    all-pairs join: at 100 TB the mining pass shuffles on the bucket
+    key, the label inequality prunes inside the bucket, and the per-
+    query rank window's fan-in is bounded by bucket occupancy. Norms
+    are projected once per vector; ranking ties break by negative_id
+    for determinism."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", F.expr(_SPARK_BUCKET))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("negative_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            F.round(sim, 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            "cos_sim", "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+hard_negative_mining.__doc__ = hard_negative_mining.__doc__.format(k=HARD_NEG_K)
