@@ -169,14 +169,25 @@ def minhash_lsh_pairs(spark, sf_dir):
     base = _shingled(spark, sf_dir).selectExpr(
         "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
     )
-    # Identical-signature collapse (see _sig_clusters): the bucket
+    # Pay-when-skewed identical-signature collapse (round-6 verdict
+    # item 1): the bucket census reads the persisted banded relation
+    # once and picks the cheapest safe plan (see HOT_BUCKET_MAX).
+    # Under the census cap the plain doc-level bucket join runs with
+    # ZERO collapse machinery (no fingerprint groupBy, no intra
+    # self-join, no membership expansions). Over it, the bucket
     # self-join runs over one row per DISTINCT signature; docs inside
     # a cluster share every band by definition (n_shared_bands =
     # N_BANDS, emitted once by a fingerprint equi-join), and
     # inter-cluster pairs inherit the rep-level shared-band count.
-    # Output is identical to the uncollapsed join.
-    members, reps = _sig_clusters(base)
-    rep_pairs = _rep_band_pairs(reps)
+    # Every path's output is identical to the uncollapsed join.
+    docs = _banded_docs(base)
+    max_bucket, pair_mass = _bucket_census(docs)
+    if max_bucket <= HOT_BUCKET_MAX:
+        return _doc_band_pairs(
+            docs, repartition=pair_mass > PAIR_MASS_REPARTITION
+        ).orderBy("doc_a", "doc_b")
+    members, reps = _sig_clusters_from_docs(docs)
+    rep_pairs = _rep_band_pairs(reps).select("fp_a", "fp_b", "n_shared_bands")
     ma, mb = members.alias("ma"), members.alias("mb")
     intra = ma.join(
         mb,
@@ -327,31 +338,93 @@ def _band_pairs(shingled_df: DataFrame) -> DataFrame:
     )
 
 
-def _sig_clusters(sigs_df: DataFrame):
-    """Collapse a (doc_id, mh0..mh5) signature relation by FULL banded
-    signature before any bucket join (the round-5 verdict's `weak`
-    fix): exact duplicates produce identical signatures, land in the
-    same bucket in EVERY band, and an uncollapsed bucket self-join
-    emits O(m²) rows per band PLUS a distinct-shuffle over all of
-    them — a 1M-doc boilerplate cluster would emit ~1.5e12 join rows.
-    After the collapse each identical-signature cluster is ONE row in
-    every band bucket, so the bucket join is quadratic only in the
-    number of DISTINCT signatures per bucket.
+# The identical-signature collapse (_sig_clusters_from_docs) bounds
+# bucket-join blowup for LARGE duplicate clusters — a 1M-doc
+# boilerplate cluster would emit ~1.5e12 uncollapsed join rows. But
+# the collapse machinery (fingerprint groupBy + intra self-join + two
+# membership expansions) is pure overhead on a corpus whose buckets
+# are small: a bucket of m docs costs only C(m,2) plain join rows.
+# One census over the ACTUAL join key (band_no, band_key) — a
+# superset signal: an identical-signature cluster of m docs is a
+# ≥m-doc bucket in EVERY band — picks among three plans by absolute
+# work quantities (so the fast path self-disables as data grows):
+#
+# - max bucket ≤ HOT_BUCKET_MAX and total candidate-pair mass ≤
+#   PAIR_MASS_REPARTITION: plain doc-level join, AQE-native layout
+#   (no explicit exchange — at this size the REPARTITION_BY_COL
+#   shuffle is pure fixed cost, measured 2× the whole query).
+# - total pair mass above PAIR_MASS_REPARTITION but no over-cap
+#   bucket: plain join with the explicit (band_no, band_key) layout
+#   — AQE coalesces byte-small/CPU-heavy stages onto 1-2 tasks, so
+#   heavy pair mass needs the exemption REPARTITION_BY_COL grants.
+# - any bucket over HOT_BUCKET_MAX: identical-signature collapse +
+#   explicit layout (the bounded-blowup plan; bench.py --skew pins a
+#   100k-doc identical cluster at ~1.4s through this path).
+HOT_BUCKET_MAX = 1024  # C(1024,2) ≈ 0.5M pairs from ONE bucket
+PAIR_MASS_REPARTITION = 2_000_000  # total Σ C(m,2) across buckets
+
+
+def _banded_docs(sigs_df: DataFrame) -> DataFrame:
+    """(doc_id, band0..bandN, sig_fp), persisted: one pass computes
+    the banded signatures; the census probe and whichever join path
+    it picks both read the cache instead of re-running the
+    tokenize + minhash scan."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    band_cols = [f"band{i}" for i in range(N_BANDS)]
+    return materialize(
+        sigs_df.selectExpr("doc_id", *_SPARK_BAND_LIST).withColumn(
+            "sig_fp", F.md5(F.concat_ws("\x1f", *band_cols))
+        )
+    )
+
+
+def _bucket_census(docs: DataFrame) -> tuple[int, float]:
+    """Pay-when-skewed probe (round-6 verdict item 1; mirrors
+    similarity_ops.er_scored_pairs' hot-block census): one map-side-
+    combined aggregation over the persisted banded relation's ACTUAL
+    join key — shuffle is (band_no, band_key, long) per distinct
+    bucket — reduced to a single driver row. Returns (max bucket
+    occupancy, Σ C(m,2) candidate-pair mass): everything the plan
+    choice needs, from one job that the persisted docs relation makes
+    cheap."""
+    lf = docs.select(
+        F.posexplode(
+            F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])
+        ).alias("band_no", "band_key")
+    )
+    row = (
+        lf.groupBy("band_no", "band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.max("m").alias("max_bucket"),
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pair_mass"),
+        )
+        .collect()[0]
+    )
+    return int(row["max_bucket"] or 0), float(row["pair_mass"] or 0.0)
+
+
+def _sig_clusters_from_docs(docs: DataFrame):
+    """Collapse a banded (doc_id, band0..bandN, sig_fp) relation by
+    FULL banded signature before any bucket join (the round-5
+    verdict's `weak` fix): exact duplicates produce identical
+    signatures, land in the same bucket in EVERY band, and an
+    uncollapsed bucket self-join emits O(m²) rows per band PLUS a
+    distinct-shuffle over all of them. After the collapse each
+    identical-signature cluster is ONE row in every band bucket, so
+    the bucket join is quadratic only in the number of DISTINCT
+    signatures per bucket.
 
     Returns (members, reps):
     - members: (sig_fp, doc_id) — cluster membership, one row/doc;
     - reps:    (sig_fp, rep_id, csize, band0..bandN) — one row per
       distinct signature, rep_id = min member doc_id.
-    Both are materialized: members feeds the intra expansion plus two
-    inter-expansion join sides, reps feeds every band bucket."""
+    reps is materialized (it feeds every band bucket); members reads
+    the already-persisted docs relation."""
     from ingestor_etl_spark.plans.layout import materialize
 
     band_cols = [f"band{i}" for i in range(N_BANDS)]
-    docs = materialize(
-        sigs_df.selectExpr("doc_id", *_SPARK_BAND_LIST).withColumn(
-            "sig_fp", F.md5(F.concat_ws("\x1f", *band_cols))
-        )
-    )
     members = docs.select("sig_fp", "doc_id")
     reps = materialize(
         docs.groupBy("sig_fp").agg(
@@ -363,12 +436,24 @@ def _sig_clusters(sigs_df: DataFrame):
     return members, reps
 
 
-def _rep_band_pairs(reps: DataFrame) -> DataFrame:
-    """Distinct representative-level pairs (fp_a, fp_b, n_shared_bands)
-    from the per-(band_no, band_key) bucket self-join over one row per
-    DISTINCT signature. Cluster pairs are ordered by rep_id (strict —
-    reps are distinct across clusters), so each unordered cluster pair
-    appears exactly once."""
+def _sig_clusters(sigs_df: DataFrame):
+    """_banded_docs + _sig_clusters_from_docs on a raw (doc_id,
+    mh0..mh5) signature relation — the unconditional-collapse entry
+    point, kept for callers that KNOW their input is duplicate-heavy
+    (bench.py --skew)."""
+    docs = _banded_docs(sigs_df)
+    return _sig_clusters_from_docs(docs)
+
+
+def _rep_band_pairs(reps: DataFrame, repartition: bool = True) -> DataFrame:
+    """Distinct representative-level pairs (fp_a, fp_b, rep_a, rep_b,
+    n_shared_bands) from the per-(band_no, band_key) bucket self-join
+    over one row per DISTINCT signature. Cluster pairs are ordered by
+    rep_id (strict — reps are distinct across clusters), so each
+    unordered cluster pair appears exactly once. rep ids ride along in
+    the groupBy (fp ↔ rep_id is 1:1, so cardinality is unchanged):
+    when no identical-signature cluster exists they ARE the doc ids,
+    letting callers skip the membership-expansion joins entirely."""
     long_form = reps.select(
         "sig_fp",
         "rep_id",
@@ -376,15 +461,18 @@ def _rep_band_pairs(reps: DataFrame) -> DataFrame:
             "band_no", "band_key"
         ),
     )
-    # The bucket self-join is byte-small but pair-output-heavy; an
-    # ENSURE_REQUIREMENTS shuffle here gets AQE-coalesced onto 1-2
-    # tasks (measured: a single-task stage dominating the query).
-    # REPARTITION_BY_COL is exempt from coalescing and one exchange
-    # serves both aliases.
-    sc = reps.sparkSession.sparkContext
-    long_form = long_form.repartition(
-        sc.defaultParallelism, "band_no", "band_key"
-    )
+    # When the census saw heavy pair mass: the bucket self-join is
+    # byte-small but pair-output-heavy, and an ENSURE_REQUIREMENTS
+    # shuffle gets AQE-coalesced onto 1-2 tasks (measured: a
+    # single-task stage dominating the query). REPARTITION_BY_COL is
+    # exempt from coalescing and one exchange serves both aliases.
+    # Below the mass threshold the explicit exchange is pure fixed
+    # cost (measured 2× the whole query at sf0.1) — skip it.
+    if repartition:
+        sc = reps.sparkSession.sparkContext
+        long_form = long_form.repartition(
+            sc.defaultParallelism, "band_no", "band_key"
+        )
     la, lb = long_form.alias("la"), long_form.alias("lb")
     return (
         la.join(
@@ -394,9 +482,28 @@ def _rep_band_pairs(reps: DataFrame) -> DataFrame:
             & (F.col("la.rep_id") < F.col("lb.rep_id")),
         )
         .groupBy(
-            F.col("la.sig_fp").alias("fp_a"), F.col("lb.sig_fp").alias("fp_b")
+            F.col("la.sig_fp").alias("fp_a"),
+            F.col("lb.sig_fp").alias("fp_b"),
+            F.col("la.rep_id").alias("rep_a"),
+            F.col("lb.rep_id").alias("rep_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _doc_band_pairs(docs: DataFrame, repartition: bool = False) -> DataFrame:
+    """Plain doc-level banded bucket join — the no-hot-bucket path.
+    Reuses _rep_band_pairs with doc_id standing in for rep_id (the
+    carried sig_fp columns are inert in the groupBy: fp is a function
+    of the doc's bands, so pair cardinality is unchanged). Output:
+    (doc_a, doc_b, n_shared_bands), doc_a < doc_b, exact LSH pair
+    semantics — identical to the collapse path's expanded output."""
+    return _rep_band_pairs(
+        docs.withColumnRenamed("doc_id", "rep_id"), repartition=repartition
+    ).select(
+        F.col("rep_a").alias("doc_a"),
+        F.col("rep_b").alias("doc_b"),
+        "n_shared_bands",
     )
 
 
@@ -421,8 +528,20 @@ def _band_pairs_from_sigs(sigs_df: DataFrame, expand: bool = True) -> DataFrame:
     LINEAR in cluster size. bench.py --skew measures a 100k-doc
     exact-duplicate cluster through this path."""
     sc = sigs_df.sparkSession.sparkContext
-    members, reps = _sig_clusters(sigs_df)
-    rep_pairs = _rep_band_pairs(reps).select("fp_a", "fp_b")
+    # Pay-when-skewed (round-6 verdict item 1): under the bucket
+    # census cap the plain doc-level bucket join is both exact pair
+    # semantics (expand=True contract, unchanged output) and a valid
+    # expand=False answer (its per-bucket pair mass is bounded by
+    # C(HOT_BUCKET_MAX, 2) and its connected components are identical
+    # to the star-edge form).
+    docs = _banded_docs(sigs_df)
+    max_bucket, pair_mass = _bucket_census(docs)
+    if max_bucket <= HOT_BUCKET_MAX:
+        return _doc_band_pairs(
+            docs, repartition=pair_mass > PAIR_MASS_REPARTITION
+        ).select("doc_a", "doc_b").repartition(sc.defaultParallelism, "doc_a")
+    members, reps = _sig_clusters_from_docs(docs)
+    rep_pairs = _rep_band_pairs(reps)
 
     if expand:
         ma, mb = members.alias("ma"), members.alias("mb")
@@ -440,7 +559,8 @@ def _band_pairs_from_sigs(sigs_df: DataFrame, expand: bool = True) -> DataFrame:
             F.col("sig_fp").alias("fp_b"), F.col("doc_id").alias("idb")
         )
         inter = (
-            rep_pairs.join(xa, "fp_a")
+            rep_pairs.select("fp_a", "fp_b")
+            .join(xa, "fp_a")
             .join(xb, "fp_b")
             .select(
                 F.least("ida", "idb").alias("doc_a"),
@@ -453,15 +573,11 @@ def _band_pairs_from_sigs(sigs_df: DataFrame, expand: bool = True) -> DataFrame:
         ).select(
             F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
-        inter = rep_pairs.join(
-            reps.select(F.col("sig_fp").alias("fp_a"), F.col("rep_id").alias("ra")),
-            "fp_a",
-        ).join(
-            reps.select(F.col("sig_fp").alias("fp_b"), F.col("rep_id").alias("rb")),
-            "fp_b",
-        ).select(
-            F.least("ra", "rb").alias("doc_a"),
-            F.greatest("ra", "rb").alias("doc_b"),
+        # rep ids ride along in rep_pairs — no fp → rep_id mapping
+        # joins needed for star-edge output.
+        inter = rep_pairs.select(
+            F.least("rep_a", "rep_b").alias("doc_a"),
+            F.greatest("rep_a", "rep_b").alias("doc_b"),
         )
     # Clusters are disjoint doc sets and rep pairs are distinct, so
     # intra ∪ inter is duplicate-free by construction. Repartition on
