@@ -546,8 +546,6 @@ def mixture_token_allocation(spark, sf_dir):
     corpus to |sources| rows; every later step (budget shares,
     caps, redistribution) is window/scalar algebra over that tiny
     relation. The corpus is scanned exactly once at any scale."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     n_toks = F.size(F.split(F.trim(F.col("text")), r" +"))
     passed = (
@@ -560,7 +558,6 @@ def mixture_token_allocation(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("pass").cast("bigint").alias("n_pass"),
     )
-    w = Window.partitionBy()
     tgt = per_src.withColumn(
         "target_tokens",
         F.expr(f"{MIX_BUDGET_TOKENS} * n_pass div sum(n_pass) OVER ()"),
@@ -573,7 +570,6 @@ def mixture_token_allocation(spark, sf_dir):
             F.lit(0).cast("bigint")
         ),
     )
-    leftover = F.lit(MIX_BUDGET_TOKENS) - F.sum("alloc_tokens").over(w)
     redistributed = F.when(
         F.col("uncapped_pass") > 0,
         F.expr(

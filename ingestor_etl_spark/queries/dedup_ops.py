@@ -1354,11 +1354,34 @@ def _whatif_caught_expr(n_bands: int, rows: int, eq_fmt: str) -> str:
     return "(" + " OR ".join(bands) + ")"
 
 
+# Candidate population for the what-if = the LOOSEST evaluated config
+# (6×1: any single equal minhash). Every other layout's catch set is a
+# subset of this one (a band of r equal minhashes implies each of its
+# r minhashes is equal), so all four configs are evaluated EXACTLY —
+# including layouts looser than production, which a production-banded
+# population would silently lower-bound (round-6 advice item 1).
+_SQL_LOOSE_CAND = f"""
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    salt_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS salt_no, {s} AS mh FROM sigs" for i, s in enumerate(SALTS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM salt_form a JOIN salt_form b
+          ON a.salt_no = b.salt_no AND a.mh = b.mh
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
 @register(
     "lsh_band_whatif",
     oracle=f"""
     WITH shingled AS ({_SQL_SHINGLED}),
-{_SQL_BAND_CAND},
+{_SQL_LOOSE_CAND},
     eqs AS (
       SELECT {", ".join(f"CASE WHEN sa.{s} = sb.{s} THEN 1 ELSE 0 END AS eq{i}" for i, s in enumerate(SALTS))}
       FROM cand c
@@ -1376,21 +1399,25 @@ def _whatif_caught_expr(n_bands: int, rows: int, eq_fmt: str) -> str:
     tags=("dedup", "lsh", "tuning", "planning"),
 )
 def lsh_band_whatif(spark, sf_dir):
-    """LSH banding-configuration what-if on REAL signature data: for
-    every candidate pair the production banding reaches, we hold the
-    exact per-salt equality pattern, so whether an alternative
-    (bands × rows) layout of the same 6 minhashes would keep the
-    pair is a deterministic boolean, not an S-curve estimate. The
-    report (4 rows) shows candidate volume under each layout
-    relative to the production 3×2 — the planning query behind the
-    precision/recall knob every LSH deployment must set (more rows
-    per band ⇒ fewer, higher-precision candidates; more bands ⇒
-    higher recall, more verifier work).
+    """LSH banding-configuration what-if on REAL signature data: the
+    candidate population is the LOOSEST evaluated layout (6×1 — any
+    single equal minhash; see _SQL_LOOSE_CAND), every other layout's
+    catch set is a subset of it, and for each candidate we hold the
+    exact per-salt equality pattern — so all four (bands × rows)
+    layouts are deterministic booleans, not S-curve estimates, and
+    looser-than-production volumes are REAL (vs_production > 1 for
+    6×1). The report (4 rows) shows candidate volume under each
+    layout relative to the production 3×2 — the planning query
+    behind the precision/recall knob every LSH deployment must set
+    (more rows per band ⇒ fewer, higher-precision candidates; more
+    bands ⇒ higher recall, more verifier work).
 
-    Plan shape: the candidate population reuses the shared collapsed
-    band-pairs generator, the equality profile is two signature
-    joins (7 longs per row), and the config evaluation is ONE global
-    aggregation followed by a 4-row stack — no per-config passes."""
+    Plan shape: single-salt bucket self-join (the 6×1 population is
+    inherently heavier than production — this is a PLANNING query,
+    pointed at a sample of the corpus in production, not the full
+    crawl), equality profile via two signature joins (7 longs per
+    row), config evaluation as ONE global aggregation + a 4-row
+    stack — no per-config passes."""
     from ingestor_etl_spark.plans.layout import materialize
 
     sigs = materialize(
@@ -1398,7 +1425,29 @@ def lsh_band_whatif(spark, sf_dir):
             "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
         )
     )
-    cand = _band_pairs_from_sigs(sigs)
+    lf = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(s) for s in SALTS])).alias("salt_no", "mh"),
+    )
+    # single-salt buckets carry real pair mass (measured ≈2M at
+    # sf0.1) — explicit layout for the same AQE-coalescing reason as
+    # _rep_band_pairs' repartition branch
+    lf = lf.repartition(
+        spark.sparkContext.defaultParallelism, "salt_no", "mh"
+    )
+    la, lb = lf.alias("la"), lf.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.salt_no") == F.col("lb.salt_no"))
+            & (F.col("la.mh") == F.col("lb.mh"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(s).alias(f"a_{s}") for s in SALTS]
     )

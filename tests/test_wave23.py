@@ -57,8 +57,13 @@ def test_lsh_band_whatif_monotone(spark, registry):
         <= by["6x1"].n_candidates
     )
     assert by["3x2"].vs_production == 1.0
-    # every candidate in the population shares >= 1 production band
-    assert by["3x2"].n_candidates == by["6x1"].n_candidates or True
+    # the population is the loosest config (any single equal minhash),
+    # so 6x1 catches ALL of it and is strictly looser than production
+    # on this templated corpus
+    assert by["6x1"].n_candidates > by["3x2"].n_candidates
+    # a 3x2 band of 2 equal minhashes implies both singles equal, so
+    # the production catch set within the loose population must equal
+    # the production candidate generator's output exactly
     cand = registry["minhash_lsh_pairs"].fn(spark, SF).toPandas()
     assert by["3x2"].n_candidates == len(cand)
 
