@@ -76,17 +76,34 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver samples a prefix-window (~50 names) of this dict when it
-# checks correctness. Rounds 1-5 rotated the window so 166/187 queries
-# have had a green driver row; the 21 still never-driver-sampled names
-# (all wave-15-22 additions, all green in the local registry-wide DuckDB
-# sweep, tests/test_oracle_parity.py) go FIRST so CORRECTNESS_r06
-# finishes the rotation. NEW queries added this round sit immediately
-# after them (front of the window) so the never-sampled gap cannot
-# recur; re-samples of reworked operators follow, then everything else.
+# checks correctness. The rotation closed in r6: every registered
+# query has had a green driver row at least once. From r7 on the
+# window head is (1) operators reworked in a PRIOR round whose new
+# plan has no driver row yet, (2) queries NEW this round, (3)
+# operators reworked THIS round, then everything else — so no query
+# can sit unsampled and every plan change gets pinned within a round.
 _DRIVER_SAMPLE_PRIORITY = [
-    # never driver-sampled through r5 — exactly the set with no green
-    # driver row yet (registry minus union of CORRECTNESS_r01-r05 keys).
-    # These 21 lead so CORRECTNESS_r06 finishes the rotation.
+    # --- round-7 window head ---
+    # reworked in r6 (window-algebra HTTP linking, protocols/
+    # http_sig.py:511) but never driver re-sampled — round-6 verdict
+    # item 3 puts it first so CORRECTNESS_r07 pins the new plan
+    "pcap_http_ocs_linked",
+    # new in r7 (streaming parity for the last pytest-only operators)
+    "stream_cms_cells_parity", "stream_zscore_parity",
+    # reworked in r7 — census-gated LSH plan selection + hashed
+    # exact-substring gram keys + loose what-if population: re-sample
+    # every consumer of the gated band-pairs generator
+    "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",
+    "lsh_band_whatif", "lsh_dedup_eval", "exact_substring_dedup",
+    "dedup_cc_clusters", "curation_pipeline", "mixture_token_allocation",
+    # --- round-6 additions (all green in CORRECTNESS_r06) ---
+    "stream_neardup_parity", "stream_interval_join_parity",
+    "stream_session_window_parity", "stream_windowed_counts_parity",
+    "hard_negative_mining",
+    # round-6 reworked operators (green r6 driver rows)
+    "knn_graph", "embedding_near_dup", "entity_resolution",
+    "multimodal_decode_image", "funnel_conversion",
+    # the r6 rotation-closers (first sampled r6, all green)
     "code_detect", "ann_recall_eval", "dup_graph_degree_stats",
     "bigram_novelty", "label_balance_resample", "semdedup_clusters",
     "join_cardinality_estimator", "fk_integrity_audit",
@@ -95,15 +112,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "dup_graph_triangles", "ann_dim_truncation_eval",
     "events_hourly_heatmap", "order_status_aging",
     "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
-    # --- round-6 additions go HERE (front, before re-samples) ---
-    "stream_neardup_parity", "stream_interval_join_parity",
-    "stream_session_window_parity", "stream_windowed_counts_parity",
-    "exact_substring_dedup",
-    "lsh_band_whatif", "mixture_token_allocation", "hard_negative_mining",
-    # round-6 reworked operators — re-sample to pin the new plans
-    "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",
-    "knn_graph", "embedding_near_dup", "entity_resolution",
-    "lsh_dedup_eval", "multimodal_decode_image", "funnel_conversion",
     # previously sampled (all green on their latest driver row)
     "partitioned_write_roundtrip", "salted_hot_agg", "dedup_report",
     "key_skew_profile", "eval_holdout_split", "score_calibration",
@@ -135,7 +143,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "sketch_shard_merge", "zorder_layout", "window_zoo",
     "datetime_functions", "array_functions", "string_functions",
     "json_functions", "math_functions", "conditional_functions",
-    "curation_pipeline",
     "snapshot_diff", "quality_classifier", "canonical_docs",
     "rrf_hybrid_search", "ann_pq_topk",
     "vocab_coverage", "mixture_drift", "embedding_stats",

@@ -165,6 +165,9 @@ EXTENDED = [
     "hard_negative_mining",
     "embedding_near_dup",
     "pcap_http_ocs_linked",
+    # round-7 additions
+    "stream_cms_cells_parity",
+    "stream_zscore_parity",
 ]
 
 

@@ -16,7 +16,13 @@ no-ops in batch execution) and pins the result to a DuckDB oracle:
 - stream_session_window_parity — the stream_sessionize helper
   (built-in session_window), oracled by a gaps-and-islands SQL;
 - stream_windowed_counts_parity — the stream_windowed_counts helper
-  (tumbling window), oracled by integer window-origin arithmetic.
+  (tumbling window), oracled by integer window-origin arithmetic;
+- stream_cms_cells_parity     — the stream_cms_cells helper (bounded
+  depth×width sketch state) on a batch frame, cell-exact vs DuckDB;
+- stream_zscore_parity        — the ACTUAL applyInPandasWithState
+  operator executed via an availableNow micro-batch run inside the
+  query (the one streaming-only API with no batch call path),
+  oracled by the trailing-window integer-rule SQL.
 
 tests/test_streaming_parity.py pins the actual readStream/availableNow
 runs of these operators to the same outputs, closing the loop:
@@ -233,3 +239,134 @@ def stream_windowed_counts_parity(spark, sf_dir):
         F.unix_micros("win_end").alias("win_end_us"),
         F.col("n_events").cast("bigint").alias("n_events"),
     ).orderBy("event_type", "win_start_us")
+
+
+# ------------------------------------------------- CMS-cells parity
+# Mirrors analytic_ops.CMS_* (same defaults the streaming helper uses).
+_CMS_DEPTH, _CMS_WIDTH = 3, 64
+
+
+@register(
+    "stream_cms_cells_parity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+      FROM documents
+    )
+    SELECT j,
+           CAST('0x' || substr(md5(j || ':' || w), 1, 8) AS BIGINT)
+             % {_CMS_WIDTH} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, (SELECT unnest([0, 1, 2]) AS j)
+    GROUP BY 1, 2
+    ORDER BY j, bucket
+    """,
+    tags=("streaming", "sketch", "count-min", "parity"),
+)
+def stream_cms_cells_parity(spark, sf_dir):
+    """Snapshot parity for streaming/pipeline.stream_cms_cells — the
+    REGISTERED query calls the streaming helper itself on the batch
+    documents table (its sketch aggregation is identical code in both
+    modes; complete-mode state IS the depth×width cell table). The
+    oracle recomputes every cell with the same md5 row hash, so the
+    driver pins the sketch cell-for-cell: a streaming snapshot after
+    any prefix equals the batch sketch over that prefix — the
+    mergeable-bounded-state property that makes CMS the streaming
+    heavy-hitter structure (≤ {d}×{w} rows of state at any volume).
+    tests/test_streaming.py asserts the actual availableNow stream
+    run yields these cells."""
+    from ingestor_etl_spark.streaming.pipeline import stream_cms_cells
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    out = stream_cms_cells(d, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return out.select(
+        "j", "bucket", F.col("cnt").cast("bigint").alias("cnt")
+    ).orderBy("j", "bucket")
+
+
+stream_cms_cells_parity.__doc__ = stream_cms_cells_parity.__doc__.format(
+    d=_CMS_DEPTH, w=_CMS_WIDTH
+)
+
+
+# ---------------------------------------------------- z-score parity
+_Z_WINDOW, _Z_MIN_N, _Z_SIGMA = 20, 10, 2
+
+
+@register(
+    "stream_zscore_parity",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, cents,
+             count(*) OVER win AS n,
+             sum(cents) OVER win AS s,
+             sum(cents * cents) OVER win AS q
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN {_Z_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, cents,
+           CAST(n AS BIGINT) AS n_window,
+           round((cents * n - s) / sqrt(CAST(n * q - s * s AS DOUBLE)), 4) AS z
+    FROM w
+    WHERE n >= {_Z_MIN_N}
+      AND n * q - s * s > 0
+      AND (cents * n - s) * (cents * n - s)
+          > {_Z_SIGMA * _Z_SIGMA} * (n * q - s * s)
+    ORDER BY user_id, event_id
+    """,
+    tags=("streaming", "anomaly", "stateful", "parity"),
+)
+def stream_zscore_parity(spark, sf_dir):
+    """EXECUTED-stream parity for streaming/pipeline.
+    stream_zscore_outliers — applyInPandasWithState has no batch call
+    path (it is the one streaming-only API in the operator set), so
+    this query runs the ACTUAL stateful operator: the normalized
+    events table is staged as one parquet file, consumed via
+    readStream + trigger(availableNow) into a memory sink (one file →
+    one micro-batch → per-key arrival order = (ts, event_id) order
+    inside the operator's own sort), and the sink table is returned.
+    The oracle is the trailing-{n}-row integer decision rule
+    ((c·n − S)² > {sigma}²·(n·Q − S²) over BIGINT sums) — the same
+    SQL that pins the batch twin rolling_zscore_outliers — so the
+    driver verifies the streaming state machine END-TO-END against
+    DuckDB, not a batch re-derivation of it.
+
+    Scale posture: the staging write is test-rig plumbing (a real
+    deployment reads an existing stream); the operator itself holds
+    ≤ {n} longs per key of state and is the 100 TB-stream shape."""
+    import tempfile
+    import uuid
+
+    from ingestor_etl_spark.streaming.pipeline import stream_zscore_outliers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    work = tempfile.mkdtemp(prefix="zscore_parity_")
+    src = f"{work}/events"
+    # one file -> one availableNow micro-batch -> in-order delivery,
+    # the documented precondition for stream == batch flag equality
+    e.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = stream_zscore_outliers(
+        stream, window=_Z_WINDOW, min_n=_Z_MIN_N, sigma=_Z_SIGMA
+    )
+    name = f"zscore_parity_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_id")
