@@ -88,8 +88,10 @@ _DRIVER_SAMPLE_PRIORITY = [
     # http_sig.py:511) but never driver re-sampled — round-6 verdict
     # item 3 puts it first so CORRECTNESS_r07 pins the new plan
     "pcap_http_ocs_linked",
-    # new in r7 (streaming parity for the last pytest-only operators)
+    # new in r7 (streaming parity for the last pytest-only operators,
+    # the exact-substring extend stage, the provenance overlap matrix)
     "stream_cms_cells_parity", "stream_zscore_parity",
+    "exact_substring_extend", "cross_source_dup_overlap",
     # reworked in r7 — census-gated LSH plan selection + hashed
     # exact-substring gram keys + loose what-if population: re-sample
     # every consumer of the gated band-pairs generator

@@ -212,9 +212,10 @@ def minhash_lsh_pairs(spark, sf_dir):
     return intra.unionByName(inter).orderBy("doc_a", "doc_b")
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+# Exact bigram-Jaccard near-dup pairs (threshold 0.5) as a reusable
+# CTE body — ngram_jaccard_pairs registers it directly and
+# cross_source_dup_overlap aggregates over it.
+_SQL_JACCARD_PAIRS = f"""
     WITH shingled AS ({_SQL_SHINGLED}),
     exploded AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM shingled
@@ -234,6 +235,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    {_SQL_JACCARD_PAIRS}
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "jaccard"),
@@ -1490,4 +1498,194 @@ def lsh_band_whatif(spark, sf_dir):
             ),
         )
         .orderBy("config")
+    )
+
+
+# ---------------------------------------------- exact_substring_extend
+@register(
+    "exact_substring_extend",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    pos AS (
+      SELECT doc_id, p,
+             {_sql_h60(f"substr(text, CAST(p AS INT), {SUBSTR_K})")} AS gram_h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {SUBSTR_K - 1} + 1)) AS p
+        FROM canon WHERE length(text) >= {SUBSTR_K}
+      )
+    ),
+    hot AS (
+      SELECT gram_h FROM (
+        SELECT gram_h, count(DISTINCT doc_id) AS n_docs
+        FROM pos GROUP BY gram_h
+      ) WHERE n_docs > {STOP_GRAM_MAX_DOCS}
+    ),
+    live AS (
+      SELECT * FROM pos WHERE gram_h NOT IN (SELECT gram_h FROM hot)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, a.p - b.p AS diag
+      FROM live a JOIN live b
+        ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) + {SUBSTR_K - 1} AS run_chars
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run_chars) AS BIGINT) AS max_run_chars,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "substring", "extend"),
+)
+def exact_substring_extend(spark, sf_dir):
+    """The EXTEND stage of exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499): for every document pair sharing at least one
+    verbatim {k}-char window, report the length of the LONGEST shared
+    verbatim run and how many maximal runs exist — the copy-length
+    signal the seed stage (exact_substring_dedup) only approximates
+    with a gram count. Pure relational algebra, no suffix arrays:
+
+    - positions are kept (no per-doc distinct): a shared run of L
+      chars yields matches at (pa+i, pb+i), i = 0..L−{k} — every
+      match of a pair lies on a DIAGONAL (pa − pb constant);
+    - per (pair, diagonal), consecutive pa values are grouped with
+      one row_number window (gaps-and-islands); an island of c
+      matches is a maximal shared run of c + {k} − 1 chars;
+    - the same stop-gram degree cut as the seed stage (> {cap}
+      distinct docs ⇒ boilerplate) bounds cross-doc fan-out, and the
+      join ships the 60-bit md5 window slice, never raw text.
+
+    Scale: the match relation is the seed stage's join WITH
+    positions — same bucketed shuffle weight ({k}-char windows as
+    8-byte hashed keys), and the window functions partition by
+    (pair, diagonal), whose groups are bounded by document length.
+    Every seed pair appears here with max_run_chars ≥ {k} (asserted
+    in tests/test_wave24.py)."""
+    canon = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .where(F.length("text") >= SUBSTR_K)
+    )
+    pos = canon.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {SUBSTR_K - 1})")
+        ).alias("p"),
+        F.col("text"),
+    ).selectExpr(
+        "doc_id",
+        "p",
+        f"{_spark_h60(f'substr(text, p, {SUBSTR_K})')} AS gram_h",
+    )
+    hot = (
+        pos.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > STOP_GRAM_MAX_DOCS)
+        .select("gram_h")
+    )
+    from ingestor_etl_spark.plans.layout import materialize
+
+    live = materialize(pos.join(F.broadcast(hot), "gram_h", "left_anti"))
+    a, b = live.alias("a"), live.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram_h") == F.col("b.gram_h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(SUBSTR_K - 1)).alias("run_chars")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_chars").cast("bigint").alias("max_run_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+exact_substring_extend.__doc__ = exact_substring_extend.__doc__.format(
+    k=SUBSTR_K, cap=STOP_GRAM_MAX_DOCS
+)
+
+
+# --------------------------------------------- cross_source_dup_overlap
+@register(
+    "cross_source_dup_overlap",
+    oracle=f"""
+    WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(count(DISTINCT CASE WHEN sa.source <= sb.source
+                                    THEN doc_a ELSE doc_b END)
+                AS BIGINT) AS n_docs_a,
+           round(avg(jaccard), 4) AS avg_jaccard
+    FROM pairs
+    JOIN src sa ON sa.doc_id = doc_a
+    JOIN src sb ON sb.doc_id = doc_b
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "curation", "provenance"),
+)
+def cross_source_dup_overlap(spark, sf_dir):
+    """Source×source near-duplicate overlap matrix — the curation
+    signal behind mixture decisions: which sources copy from each
+    other (mirrors, scrapes, syndication) and how much of a source's
+    duplicate mass is internal vs cross-source. One row per unordered
+    source pair (diagonal = within-source duplication) with the
+    verified-duplicate pair count, the distinct docs contributed by
+    the lexicographically-first source, and the mean Jaccard.
+
+    Composition: the verified pair relation is ngram_jaccard_pairs
+    (exact bigram Jaccard ≥ 0.5 — at 100 TB that stage runs as the
+    LSH-candidate verifier, same output); sources arrive by two
+    hash joins on doc_id against a two-column projection of the
+    corpus, and the matrix aggregation output is bounded by
+    |sources|² regardless of corpus size."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("first_src_doc"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+            F.countDistinct("first_src_doc").cast("bigint").alias("n_docs_a"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )

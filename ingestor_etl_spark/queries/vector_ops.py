@@ -233,7 +233,12 @@ def embedding_near_dup(spark, sf_dir):
     return _near_dup_from(e)
 
 
-def _near_dup_from(e, expand: bool = True):
+def _near_dup_from(
+    e,
+    expand: bool = True,
+    n_planes: int = N_PLANES,
+    bucket_cap: int | None = None,
+):
     """embedding_near_dup body on any (vec_id, v) relation.
 
     expand=True (the registered contract): every (vec_a < vec_b) pair
@@ -244,22 +249,78 @@ def _near_dup_from(e, expand: bool = True):
     reported as star edges (rep, member) and inter-cluster pairs stay
     at rep level — same connected components, output LINEAR in
     cluster size. bench.py --skew measures a 100k-vector identical
-    cluster through this path."""
+    cluster through this path.
+
+    ``n_planes`` applies the same occupancy rule as knn_graph: bucket
+    count per table is 2^n_planes, so plane count must track
+    log2(corpus) to keep MEAN per-bucket occupancy constant as data
+    grows — bench.py --sf1 runs with n_planes = N_PLANES + 3 at 10×
+    scale. But directional clustering makes real-corpus occupancy
+    heavy-tailed regardless of mean (semantically-close vectors
+    co-bucket — that is the point of the hash), so ``bucket_cap``
+    adds the er_scored_pairs hot-block pattern: per-table buckets
+    whose occupancy exceeds the cap (the census is one map-combined
+    aggregation, the hot list is broadcast) are SUB-SPLIT with 4
+    extra independent hyperplane bits, bounding in-bucket candidate
+    mass at ~C(cap·split-imbalance, 2). A true near-dup pair split
+    apart inside ONE hot table still meets in any of the other
+    N_TABLES − 1 independent tables — the recall mechanism the table
+    union exists for — so the cap trades a bounded recall haircut in
+    dense cones for bounded work (measured at sf1: candidate mass
+    35×→~linear; tests pin cap-output ⊆ uncapped-output and
+    cap=∞ ≡ uncapped). Default None = registered/oracle semantics."""
     members, reps = _vec_clusters(e)
+    xbits_expr = _spark_bucket(N_TABLES, 4)  # table index past the union
     keys = reps.select(
         "vec_fp",
         "rep_id",
+        *( [F.expr(xbits_expr).alias("xbits")] if bucket_cap else [] ),
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.expr(_spark_bucket(t)).alias("bucket"))
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.expr(_spark_bucket(t, n_planes)).alias("bucket"),
+                )
                 for t in range(N_TABLES)
             ])
         ).alias("k"),
-    ).select("vec_fp", "rep_id", "k.tbl", "k.bucket")
-    a = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra"))
-    b = keys.select("tbl", "bucket", F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb"))
+    ).select(
+        "vec_fp",
+        "rep_id",
+        *( ["xbits"] if bucket_cap else [] ),
+        "k.tbl",
+        "k.bucket",
+    )
+    if bucket_cap:
+        from ingestor_etl_spark.plans.layout import materialize
+
+        keys = materialize(keys)
+        hot = (
+            keys.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .where(F.col("occ") > bucket_cap)
+            .select("tbl", "bucket", F.lit(True).alias("is_hot"))
+        )
+        keys = (
+            keys.join(F.broadcast(hot), ["tbl", "bucket"], "left")
+            .withColumn(
+                "key2",
+                F.when(F.col("is_hot"), F.col("xbits")).otherwise(F.lit(0)),
+            )
+            .drop("is_hot", "xbits")
+        )
+    else:
+        keys = keys.withColumn("key2", F.lit(0))
+    a = keys.select(
+        "tbl", "bucket", "key2",
+        F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra"),
+    )
+    b = keys.select(
+        "tbl", "bucket", "key2",
+        F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb"),
+    )
     rep_cand = (
-        a.join(b, ["tbl", "bucket"])
+        a.join(b, ["tbl", "bucket", "key2"])
         .where(F.col("ra") < F.col("rb"))
         .select("fp_a", "fp_b")
         .dropDuplicates()

@@ -153,3 +153,24 @@ def test_executed_plan_counts_on_cached_heavy_queries(spark, sf_dir):
         assert e["exec_exchanges"] > 0, (name, e)
         assert e["exec_pyevals"] == 0, (name, e)
         assert e["exec_reused"] + e["exec_cache_scans"] > 0, (name, e)
+
+
+def test_executed_exchange_budgets(spark, sf_dir):
+    """Pin the round-6 exchange-count wins (round-6 verdict item 2)
+    so they can't silently regress: the window-algebra HTTP link
+    (protocols/http_sig.py link_http rework) executes ≤ 7 shuffle
+    exchanges and the shared-scan FK audit ≤ 5 — both were 20 before
+    the rework. Budgets are the POST-AQE executed counts at sf0.001,
+    the same numbers PLANS.md's x-exch column records."""
+    from ingestor_etl_spark.plans.audit import executed_facts
+    from ingestor_etl_spark.plans.layout import release_caches
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    budgets = {"pcap_http_ocs_linked": 7, "fk_integrity_audit": 5}
+    for name, cap in budgets.items():
+        df = reg[name].fn(spark, sf_dir)
+        e = executed_facts(df)
+        release_caches()
+        assert "exec_error" not in e, (name, e)
+        assert e["exec_exchanges"] <= cap, (name, e)
