@@ -170,6 +170,7 @@ EXTENDED = [
     "stream_zscore_parity",
     "exact_substring_extend",
     "cross_source_dup_overlap",
+    "multimodal_decode_audio",
 ]
 
 

@@ -112,3 +112,52 @@ def test_multimodal_decode_image_end_to_end(spark):
         seen.add(r.doc_id)
     # every doc with ≥ one full pixel row is present
     assert seen == {d for d, b in texts.items() if len(b) >= 12}
+
+
+# ----------------------------------------------------------- WAV codec
+def test_wav_roundtrip_exact():
+    from ingestor_etl_spark.queries.multimodal_ops import decode_wav, encode_wav
+
+    frames = bytes(range(256)) * 3
+    rate, ch, bits, got = decode_wav(encode_wav(frames, 22_050, 2))
+    assert (rate, ch, bits) == (22_050, 2, 16)
+    assert got == frames
+
+
+def test_wav_odd_junk_chunk_padding():
+    """An odd-length chunk before data must be skipped WITH its RIFF
+    pad byte — off-by-one here would shear every later chunk id."""
+    from ingestor_etl_spark.queries.multimodal_ops import decode_wav, encode_wav
+
+    frames = b"\x01\x02\x03\x04"
+    for junk in (b"x", b"xy", b"xyz", b"", None):
+        wav = encode_wav(frames, junk_chunk=junk)
+        assert decode_wav(wav)[3] == frames, junk
+
+
+def test_wav_unsupported_profiles_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from ingestor_etl_spark.queries.multimodal_ops import decode_wav, encode_wav
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"OggS" + b"\x00" * 40)  # non-RIFF container
+    # patch the fmt chunk to a compressed audio_format (3 = float)
+    wav = bytearray(encode_wav(b"\x00\x00", junk_chunk=None))
+    assert wav[12:16] == b"fmt "
+    wav[20:22] = struct.pack("<H", 3)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav))
+
+
+def test_wav_missing_data_chunk_raises():
+    import pytest as _pytest
+
+    from ingestor_etl_spark.queries.multimodal_ops import decode_wav, encode_wav
+
+    wav = encode_wav(b"\x00\x00", junk_chunk=None)
+    truncated = wav[: wav.index(b"data")]
+    with _pytest.raises(ValueError):
+        decode_wav(truncated)
