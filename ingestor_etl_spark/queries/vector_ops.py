@@ -319,10 +319,15 @@ def _near_dup_from(
         "tbl", "bucket", "key2",
         F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb"),
     )
+    # rep ids ride along (fp ↔ rep_id is 1:1, so the dedup cardinality
+    # is unchanged): when no identical-vector cluster exists they ARE
+    # the vec ids, letting the no-cluster path skip every
+    # membership-expansion join (round-7: the text-LSH census gate's
+    # vector twin).
     rep_cand = (
         a.join(b, ["tbl", "bucket", "key2"])
         .where(F.col("ra") < F.col("rb"))
-        .select("fp_a", "fp_b")
+        .select("fp_a", "fp_b", "ra", "rb")
         .dropDuplicates()
     )
     # norms projected once per DISTINCT vector — one dot-fold per
@@ -341,8 +346,20 @@ def _near_dup_from(
         rep_cand.join(ea, "fp_a")
         .join(eb, "fp_b")
         .where(sim >= NEAR_DUP_THRESHOLD)
-        .select("fp_a", "fp_b", F.round(sim, 4).alias("cos_sim"))
+        .select("fp_a", "fp_b", "ra", "rb", F.round(sim, 4).alias("cos_sim"))
     )
+    # Pay-when-skewed (text-LSH gate symmetry): no identical-vector
+    # cluster ⇒ reps is one row per vector (rep_id = vec_id), intra
+    # is empty by construction, and the rep-level scored pairs are
+    # already the answer — the intra fingerprint join and both
+    # membership expansions stay out of the plan. The probe is one
+    # limit(1) over the materialized reps relation.
+    if len(reps.where(F.col("csize") > 1).limit(1).take(1)) == 0:
+        return inter_scored.select(
+            F.col("ra").alias("vec_a"),
+            F.col("rb").alias("vec_b"),
+            "cos_sim",
+        ).orderBy("vec_a", "vec_b")
     # Per-cluster self-similarity: the same expression the pairwise
     # formula yields when both sides are the same vector (≈1.0 up to
     # the sqrt-roundtrip ulp; NaN for a zero vector, matching the
@@ -387,20 +404,12 @@ def _near_dup_from(
                 "cos_sim",
             )
         )
-        inter = (
-            inter_scored.join(
-                reps.select(F.col("vec_fp").alias("fp_a"), F.col("rep_id").alias("ra")),
-                "fp_a",
-            )
-            .join(
-                reps.select(F.col("vec_fp").alias("fp_b"), F.col("rep_id").alias("rb")),
-                "fp_b",
-            )
-            .select(
-                F.least("ra", "rb").alias("vec_a"),
-                F.greatest("ra", "rb").alias("vec_b"),
-                "cos_sim",
-            )
+        # rep ids ride along in inter_scored — no fp → rep_id mapping
+        # joins needed for star-edge output.
+        inter = inter_scored.select(
+            F.least("ra", "rb").alias("vec_a"),
+            F.greatest("ra", "rb").alias("vec_b"),
+            "cos_sim",
         )
     return intra.unionByName(inter).orderBy("vec_a", "vec_b")
 
