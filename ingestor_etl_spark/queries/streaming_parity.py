@@ -369,4 +369,9 @@ def stream_zscore_parity(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the materialized rows — the parquet
+    # staging + checkpoint are dead weight once the stream terminates
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(name).orderBy("user_id", "event_id")
