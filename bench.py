@@ -171,6 +171,7 @@ EXTENDED = [
     "exact_substring_extend",
     "cross_source_dup_overlap",
     "multimodal_decode_audio",
+    "pcap_tshark_fields",
 ]
 
 

@@ -294,3 +294,17 @@ def smpp_submit_body(src: str, dst: str, text: bytes = b"hi") -> bytes:
         + b"\x00"  # sm_default_msg_id
         + bytes([len(text)]) + text
     )
+
+
+def sccp_gt_addr(ssn: int, digits: str, tt: int = 0) -> bytes:
+    """Q.713 party address with SSN + a GTI-4 global title (TT,
+    numbering plan/encoding, nature-of-address, nibble-swapped BCD
+    digits, odd length padded with 0xF) — the address shape whose
+    digits tshark exposes as sccp.calling.digits / sccp.called.digits."""
+    ai = 0x02 | (4 << 2)  # SSN present, GTI=4, route on GT
+    if len(digits) % 2:
+        digits += "f"
+    bcd = bytes(
+        int(digits[i + 1] + digits[i], 16) for i in range(0, len(digits), 2)
+    )
+    return bytes([ai, ssn, tt, 0x12, 0x04]) + bcd

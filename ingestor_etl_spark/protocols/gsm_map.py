@@ -202,10 +202,45 @@ def parse_mtp3(packet: bytes) -> tuple[int, int, bytes] | None:
 
 
 # ------------------------------------------------------------------ SCCP
+# Q.713 global-title indicator → length of the GT header that
+# precedes the BCD digits (GTI 1 carries nature-of-address only,
+# 2 translation type only, 3 TT + numbering plan, 4 TT + NP + NAI).
+_GT_HDR_LEN = {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def _parse_sccp_address(addr: bytes) -> tuple[int | None, str | None]:
+    """One Q.713 called/calling party address → (ssn, gt_digits).
+    Address = AI byte, then optional point code (AI bit 0, 2 bytes),
+    optional SSN (AI bit 1, 1 byte), optional global title (AI bits
+    2-5) whose BCD digits are nibble-swapped with 'f' filler —
+    the fields tshark exposes as sccp.{calling,called}.ssn/.digits
+    (the reference consumes them via -Tfields, sigshark.py:386-389).
+    """
+    if not addr:
+        return None, None
+    ai, pos = addr[0], 1
+    if ai & 0x01:  # point code present
+        pos += 2
+    ssn = None
+    if ai & 0x02 and pos < len(addr):
+        ssn = addr[pos]
+        pos += 1
+    gti = (ai >> 2) & 0x0F
+    digits = None
+    if gti in _GT_HDR_LEN:
+        pos += _GT_HDR_LEN[gti]
+        if pos < len(addr):
+            s = hexlify(addr[pos:]).decode()
+            swapped = "".join(s[i : i + 2][::-1] for i in range(0, len(s), 2))
+            digits = swapped.rstrip("f") or None
+    return ssn, digits
+
+
 def parse_sccp(sccp: bytes) -> dict | None:
     """P10: UDT(9)/XUDT(17)/XUDTS(18) via the pointer fields; returns
     tcap bytes + segmentation metadata (optional-part tag 16:
-    first-bit, remaining count, 3-byte local reference) feeding R3."""
+    first-bit, remaining count, 3-byte local reference) feeding R3,
+    plus the called/calling party SSN + GT digits (S6 field surface)."""
     if len(sccp) < 5:
         return None
     mtype = sccp[0]
@@ -226,7 +261,17 @@ def parse_sccp(sccp: bytes) -> dict | None:
         return None
     dlen = sccp[data_pos]
     tcap = sccp[data_pos + 1 : data_pos + 1 + dlen]
-    out = {"tcap": tcap, "seg_first": None, "seg_remaining": None, "seg_ref": None}
+    out = {"tcap": tcap, "seg_first": None, "seg_remaining": None, "seg_ref": None,
+           "cd_ssn": None, "cd_digits": None, "cg_ssn": None, "cg_digits": None}
+    # party addresses: pointer i is relative to its own byte position
+    for i, (ssn_key, dig_key) in ((0, ("cd_ssn", "cd_digits")),
+                                  (1, ("cg_ssn", "cg_digits"))):
+        apos = pbase + i + ptr[i]
+        if 0 < apos < len(sccp):
+            alen = sccp[apos]
+            if apos + 1 + alen <= len(sccp):
+                ssn, digits = _parse_sccp_address(sccp[apos + 1 : apos + 1 + alen])
+                out[ssn_key], out[dig_key] = ssn, digits
     if opt_ptr:
         pos = pbase + 3 + opt_ptr
         while pos + 2 <= len(sccp):
@@ -381,6 +426,10 @@ _SCCP_SCHEMA = StructType(
         StructField("seg_first", IntegerType()),
         StructField("seg_remaining", IntegerType()),
         StructField("seg_ref", LongType()),
+        StructField("cd_ssn", IntegerType()),
+        StructField("cd_digits", StringType()),
+        StructField("cg_ssn", IntegerType()),
+        StructField("cg_digits", StringType()),
     ]
 )
 
@@ -429,7 +478,9 @@ def _sccp_rows(segments: DataFrame, frames: DataFrame | None) -> DataFrame:
                         continue
                     rows.append(
                         (file, frame_no, ts_us, sip, dip, opc, dpc, info["tcap"],
-                         info["seg_first"], info["seg_remaining"], info["seg_ref"])
+                         info["seg_first"], info["seg_remaining"], info["seg_ref"],
+                         info["cd_ssn"], info["cd_digits"],
+                         info["cg_ssn"], info["cg_digits"])
                     )
                 except Exception:
                     continue
@@ -457,7 +508,9 @@ def _sccp_rows(segments: DataFrame, frames: DataFrame | None) -> DataFrame:
                             continue
                         rows.append(
                             (file, frame_no, ts_us, None, None, opc, dpc, info["tcap"],
-                             info["seg_first"], info["seg_remaining"], info["seg_ref"])
+                             info["seg_first"], info["seg_remaining"], info["seg_ref"],
+                             info["cd_ssn"], info["cd_digits"],
+                             info["cg_ssn"], info["cg_digits"])
                         )
                     except Exception:
                         continue

@@ -673,3 +673,283 @@ def pcap_flow_stats(spark, sf_dir):
         )
         .orderBy("src_ip", "ip_proto", "src_port")
     )
+
+
+# ------------------------------------------------ tshark -Tfields surface
+def _tshark_fields_capture() -> str:
+    """Mixed SS7 + Diameter capture for the field-extraction surface:
+    UDT with global-title addresses, a begin/end TCAP dialogue, an
+    XUDT fragment pair, request/answer Diameter, and one frame
+    carrying TWO Diameter messages (so the '-' occurrence aggregator
+    is genuinely exercised)."""
+    beg = g.tcap_msg(
+        "begin", otid=0x11,
+        components=[g.tcap_invoke(2, g.ber(0x30, g.ber(0x04, g.tbcd("334020123456789f"))))],
+    )
+    end = g.tcap_msg("end", dtid=0x11, components=[g.tcap_return_result(2)])
+    seg = g.tcap_msg(
+        "begin", otid=0x55,
+        components=[g.tcap_invoke(45, g.ber(0x30, g.ber(0x80, b"\x91" + g.tbcd("521555019900"))))],
+    )
+    half = len(seg) // 2
+    cg = g.sccp_gt_addr(8, "1234567")
+    cd = g.sccp_gt_addr(6, "987654")
+    ccr = g.diameter_msg(272, True, 0x1001, 0x2001, [g.diameter_avp(263, b"tf;1")])
+    cca = g.diameter_msg(272, False, 0x1001, 0x2001, [g.diameter_avp(263, b"tf;1")])
+    m1 = g.diameter_msg(272, True, 0x1002, 0x2002, [g.diameter_avp(263, b"tf;2")])
+    m2 = g.diameter_msg(272, True, 0x1003, 0x2003, [g.diameter_avp(263, b"tf;3")])
+    ssn9, ssn8 = b"\x42\x09", b"\x42\x08"  # clean SSN-only addresses
+    frames = [
+        (2300, 0, g.eth(g.ipv4(g.sctp([(0, 0, 3, g.m3ua(g.sccp_udt(beg, called=cd, calling=cg)))], 2905, 2905), 132))),
+        (2300, 1, g.eth(g.ipv4(g.sctp([(0, 1, 3, g.m3ua(g.sccp_udt(end, called=ssn8, calling=ssn9)))], 2905, 2905), 132, src="10.0.0.2", dst="10.0.0.1"))),
+        (2300, 2, g.eth(g.ipv4(g.sctp([(0, 2, 3, g.m3ua(g.sccp_xudt(seg[:half], True, 1, 0x70002, called=ssn8, calling=ssn9)))], 2905, 2905), 132))),
+        (2300, 3, g.eth(g.ipv4(g.sctp([(0, 3, 3, g.m3ua(g.sccp_xudt(seg[half:], False, 0, 0x70002, called=ssn8, calling=ssn9)))], 2905, 2905), 132))),
+        (2300, 4, g.eth(g.ipv4(g.sctp([(1, 0, 46, ccr)], 40001, 3868), 132))),
+        (2300, 5, g.eth(g.ipv4(g.sctp([(1, 1, 46, cca)], 3868, 40001), 132, src="10.0.0.2", dst="10.0.0.1"))),
+        (2300, 6, g.eth(g.ipv4(g.sctp([(1, 2, 46, m1), (1, 3, 46, m2)], 40001, 3868), 132))),
+    ]
+    return _write_once("tshark_fields_a.pcap", g.pcap(frames))
+
+
+_TSHARK_FIELDS_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2300000000 AS BIGINT), '10.0.0.1', '10.0.0.2',
+       '8', '1234567', '6', '987654', NULL, '17', NULL,
+       '1', CAST(NULL AS VARCHAR), NULL, CAST(NULL AS VARCHAR),
+       NULL, NULL, NULL, '1'),
+      (CAST(2 AS BIGINT), CAST(2300000001 AS BIGINT), '10.0.0.2', '10.0.0.1',
+       '9', NULL, '8', NULL, NULL, NULL, '17',
+       NULL, NULL, '1', NULL, NULL, NULL, NULL, '1'),
+      (CAST(3 AS BIGINT), CAST(2300000002 AS BIGINT), '10.0.0.1', '10.0.0.2',
+       '9', NULL, '8', NULL, '1', NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, '1'),
+      (CAST(4 AS BIGINT), CAST(2300000003 AS BIGINT), '10.0.0.1', '10.0.0.2',
+       '9', NULL, '8', NULL, '1', NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, '1'),
+      -- rows 3-4: XUDT fragments — sccp.msg.fragment set, TCAP not
+      -- dissected (mirrors the reference's SEGS skip)
+      (CAST(5 AS BIGINT), CAST(2300000004 AS BIGINT), '10.0.0.1', '10.0.0.2',
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, '1', '4097', '8193', '1'),
+      (CAST(6 AS BIGINT), CAST(2300000005 AS BIGINT), '10.0.0.2', '10.0.0.1',
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, '0', '4097', '8193', '1'),
+      (CAST(7 AS BIGINT), CAST(2300000006 AS BIGINT), '10.0.0.1', '10.0.0.2',
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, '1-1', '4098-4099', '8194-8195', '1')
+    ) AS t(frame_number, time_epoch_us, ip_src, ip_dst,
+           sccp_calling_ssn, sccp_calling_digits,
+           sccp_called_ssn, sccp_called_digits, sccp_msg_fragment,
+           tcap_otid, tcap_dtid, tcap_begin, tcap_continue, tcap_end,
+           tcap_abort, diameter_flags_request, diameter_hopbyhopid,
+           diameter_endtoendid, sctp)
+    ORDER BY frame_number
+"""
+
+
+@register(
+    "pcap_tshark_fields",
+    oracle=_TSHARK_FIELDS_ORACLE,
+    tags=("protocol", "pcap", "tshark", "fields"),
+)
+def pcap_tshark_fields(spark, sf_dir):
+    """The tshark ``-Tfields -Eoccurrence=a -Eaggregator=-`` field
+    extraction surface (S6: the reference shells out to tshark for a
+    fixed 19-field per-frame projection — sigshark.py:380-429 — and
+    the ingest loop consumes its CSV): one row per frame, one string
+    column per field, multiple occurrences within a frame joined with
+    '-' in chunk order. Produced from the engine's OWN decoders —
+    SCCP party addresses (SSN + global-title digits, Q.713 walk),
+    TCAP message-type presence markers + otid/dtid, Diameter header
+    flags/ids — with no external tshark process.
+
+    Plan: expand_l4 → per-frame SCCP rows (addresses ride along the
+    existing segment walker) + a chunk-level Diameter header parse,
+    each aggregated to frame granularity with sort_array(collect_list
+    (struct(ssn, value))) → array_join('-') (the tshark aggregator,
+    deterministic via SCTP stream sequence), then two left joins onto
+    the frame spine. All joins are on frame_no — at capture scale
+    this is the same one-shuffle-per-source shape as the decode
+    pipelines."""
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    from ingestor_etl_spark.protocols.gsm_map import (
+        _MESS_TYPES,
+        _sccp_rows,
+        _tid,
+        ber_find,
+    )
+
+    path = _tshark_fields_capture()
+    frames = read_pcap(spark, path)
+    l4 = expand_l4(frames)
+    from ingestor_etl_spark.plans.layout import materialize
+
+    l4 = materialize(l4)
+
+    # frame spine: one row per frame
+    spine = (
+        l4.groupBy("frame_no")
+        .agg(
+            F.min("ts_us").alias("time_epoch_us"),
+            F.first("src_ip").alias("ip_src"),
+            F.first("dst_ip").alias("ip_dst"),
+            F.max(F.when(F.col("ip_proto") == 132, "1")).alias("sctp"),
+        )
+    )
+
+    # SCCP side: addresses + segmentation + TCAP tag walk, per frame
+    sccp = _sccp_rows(l4, None)
+
+    _TCAP_SCHEMA = _T(
+        [
+            _F("frame_no", _L()),
+            _F("sccp_calling_ssn", _S()),
+            _F("sccp_calling_digits", _S()),
+            _F("sccp_called_ssn", _S()),
+            _F("sccp_called_digits", _S()),
+            _F("sccp_msg_fragment", _S()),
+            _F("tcap_otid", _S()),
+            _F("tcap_dtid", _S()),
+            _F("tcap_begin", _S()),
+            _F("tcap_continue", _S()),
+            _F("tcap_end", _S()),
+            _F("tcap_abort", _S()),
+        ]
+    )
+
+    def tcap_fields(batches):
+        import pandas as _pd
+
+        def opt_int_str(v):
+            # Arrow → pandas turns nullable ints into float NaN
+            return str(int(v)) if _pd.notna(v) else None
+
+        def opt_str(v):
+            return v if isinstance(v, str) else None
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                tb = bytes(r.tcap_bytes) if r.tcap_bytes is not None else b""
+                mess = _MESS_TYPES.get(tb[0]) if tb else None
+                # fragments carry no whole TCAP message — tshark
+                # leaves their tcap fields empty (the reference skips
+                # them via the SEGS column, sigshark.py:443-447)
+                frag = "1" if _pd.notna(r.seg_ref) else None
+                otid = dtid = None
+                marks = {"begin": None, "continue": None, "end": None, "abort": None}
+                if frag is None and mess is not None:
+                    ot = ber_find(tb, 0x48)
+                    dt = ber_find(tb, 0x49)
+                    otid = str(_tid(ot)) if ot is not None else None
+                    dtid = str(_tid(dt)) if dt is not None else None
+                    if mess in marks:
+                        marks[mess] = "1"
+                rows.append(
+                    (
+                        int(r.frame_no),
+                        opt_int_str(r.cg_ssn),
+                        opt_str(r.cg_digits),
+                        opt_int_str(r.cd_ssn),
+                        opt_str(r.cd_digits),
+                        frag,
+                        otid,
+                        dtid,
+                        marks["begin"],
+                        marks["continue"],
+                        marks["end"],
+                        marks["abort"],
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in _TCAP_SCHEMA.fields])
+
+    tcap = sccp.mapInPandas(tcap_fields, _TCAP_SCHEMA)
+
+    # Diameter side: per-chunk header parse → per-frame '-' aggregation
+    _DIA_SCHEMA = _T(
+        [
+            _F("frame_no", _L()),
+            _F("ord_key", _L()),
+            _F("req", _S()),
+            _F("hbh", _S()),
+            _F("e2e", _S()),
+        ]
+    )
+
+    def dia_fields(batches):
+        import pandas as _pd
+
+        from ingestor_etl_spark.protocols.diameter import parse_message
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                buf = bytes(r.payload) if r.payload is not None else b""
+                pos = 0
+                while pos + 20 <= len(buf):
+                    msg, consumed = parse_message(buf[pos:])
+                    if msg is None or consumed <= 0:
+                        break
+                    rows.append(
+                        (
+                            int(r.frame_no),
+                            int(r.sctp_ssn or 0),
+                            "1" if msg["request"] else "0",
+                            str(msg["hop_by_hop_id"]),
+                            str(msg["end_to_end_id"]),
+                        )
+                    )
+                    pos += consumed
+            yield _pd.DataFrame(rows, columns=[f.name for f in _DIA_SCHEMA.fields])
+
+    dia_src = l4.where(
+        (F.col("src_port") == 3868) | (F.col("dst_port") == 3868)
+    ).select("frame_no", "sctp_ssn", "payload")
+    dia = dia_src.mapInPandas(dia_fields, _DIA_SCHEMA)
+
+    def _agg_join(col):
+        # tshark -Eaggregator=-: occurrences in chunk order
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ord_key", F.col(col).alias("v")))),
+                lambda s: s["v"],
+            ),
+            "-",
+        ).alias(col)
+
+    dia_agg = dia.groupBy("frame_no").agg(
+        _agg_join("req"), _agg_join("hbh"), _agg_join("e2e")
+    )
+
+    return (
+        spine.join(tcap, "frame_no", "left")
+        .join(dia_agg, "frame_no", "left")
+        .select(
+            F.col("frame_no").alias("frame_number"),
+            "time_epoch_us",
+            "ip_src",
+            "ip_dst",
+            "sccp_calling_ssn",
+            "sccp_calling_digits",
+            "sccp_called_ssn",
+            "sccp_called_digits",
+            "sccp_msg_fragment",
+            "tcap_otid",
+            "tcap_dtid",
+            "tcap_begin",
+            "tcap_continue",
+            "tcap_end",
+            "tcap_abort",
+            F.col("req").alias("diameter_flags_request"),
+            F.col("hbh").alias("diameter_hopbyhopid"),
+            F.col("e2e").alias("diameter_endtoendid"),
+            "sctp",
+        )
+        .orderBy("frame_number")
+    )

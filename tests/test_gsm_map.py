@@ -213,3 +213,18 @@ def test_truncated_and_garbage_tcap_yield_none():
     assert parse_tcap(b"\xff\xff\xff") is None
     # primitive with indefinite length is illegal: walk stops → None
     assert parse_tcap(b"\x02\x80\x00\x00") is None
+
+
+def test_sccp_party_address_parse():
+    """Q.713 address decode (S6 field surface): SSN-only, PC+SSN,
+    GTI-4 digits with odd-length filler, and the malformed truncated
+    address must come back clean."""
+    from ingestor_etl_spark.capturegen import sccp_gt_addr
+    from ingestor_etl_spark.protocols.gsm_map import _parse_sccp_address
+
+    assert _parse_sccp_address(b"\x42\x08") == (8, None)          # SSN only
+    assert _parse_sccp_address(b"\x43\x00\x01\x09") == (9, None)  # PC + SSN
+    assert _parse_sccp_address(sccp_gt_addr(8, "1234567")) == (8, "1234567")
+    assert _parse_sccp_address(sccp_gt_addr(6, "987654")) == (6, "987654")
+    assert _parse_sccp_address(b"\x43\x09") == (None, None)       # truncated PC
+    assert _parse_sccp_address(b"") == (None, None)
