@@ -107,6 +107,63 @@ def decode_sip(segments: DataFrame) -> DataFrame:
     )
 
 
+def propagate_call_owner(messages: DataFrame) -> DataFrame:
+    """Call-level SDP owner propagation + the INVITE '0 0' patch
+    (sip_ingestor.py:430-433): the reference correlates CALLS by any
+    member message's SDP owner key, and an INVITE whose own o= line
+    carries the '0 0' placeholder gets the call's real (session_id,
+    version) written in after the leg join. Expressed relationally:
+    each (file, call_id)'s first real owner (frame order) is joined
+    back, and placeholder INVITEs take it as their effective owner —
+    so they both correlate under the call key AND store the patched
+    bytes, exactly the reference's post-join mutation. One extra
+    aggregation on the same (file, call_id) exchange call_summary
+    uses."""
+    real = (F.col("sdp_session_id") != "") & ~(
+        (F.col("sdp_session_id") == "0") & (F.col("sdp_version") == "0")
+    )
+    owners = (
+        messages.where(real)
+        .groupBy("file", "call_id")
+        .agg(
+            F.min(
+                F.struct("frame_no", "sdp_session_id", "sdp_version")
+            ).alias("k")
+        )
+        .select(
+            "file",
+            "call_id",
+            F.col("k.sdp_session_id").alias("_call_sid"),
+            F.col("k.sdp_version").alias("_call_ver"),
+        )
+    )
+    # the flag must be evaluated BEFORE either column mutates (a
+    # lazy Column in the second withColumn would see the already-
+    # patched session id and never fire)
+    out = messages.join(owners, ["file", "call_id"], "left").withColumn(
+        "_ph",
+        (F.col("method") == "INVITE")
+        & (F.col("sdp_session_id") == "0")
+        & (F.col("sdp_version") == "0")
+        & F.col("_call_sid").isNotNull(),
+    )
+    return (
+        out.withColumn(
+            "sdp_session_id",
+            F.when(F.col("_ph"), F.col("_call_sid")).otherwise(
+                F.col("sdp_session_id")
+            ),
+        )
+        .withColumn(
+            "sdp_version",
+            F.when(F.col("_ph"), F.col("_call_ver")).otherwise(
+                F.col("sdp_version")
+            ),
+        )
+        .drop("_call_sid", "_call_ver", "_ph")
+    )
+
+
 def correlate_sip_legs(
     messages: DataFrame,
     leg_a_ips: list[str],
@@ -114,8 +171,10 @@ def correlate_sip_legs(
 ) -> DataFrame:
     """J5: join calls from the A-leg IP group to B-leg calls that
     share an SDP owner (session_id, version); the A rows get the B
-    leg's from/to users, originals preserved
+    leg's from/to users, originals preserved, and placeholder-owner
+    INVITEs patched to the call key first
     (sip_ingestor.py:398-433)."""
+    messages = propagate_call_owner(messages)
     with_sdp = messages.where(F.col("sdp_session_id") != "")
     a = with_sdp.where(F.col("src_ip").isin(leg_a_ips) | F.col("dst_ip").isin(leg_a_ips))
     b = (

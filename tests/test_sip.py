@@ -103,3 +103,64 @@ def test_correlate_sip_legs_j5(spark, tmp_path):
     assert pm_row.peer_call_id == "ice-leg"
     summary = call_summary(msgs).toPandas()
     assert set(summary.call_id) == {"pm-leg", "ice-leg"}
+
+
+def test_invite_placeholder_owner_patched_and_correlated(spark, tmp_path):
+    """sip_ingestor.py:430-433: a PM INVITE whose SDP owner is the
+    '0 0' placeholder must (a) correlate to the B leg under the
+    CALL's real owner key and (b) store the patched session id /
+    version — the reference's post-join byte mutation."""
+    from ingestor_etl_spark import capturegen as g
+    from ingestor_etl_spark.protocols.net import expand_l4
+    from ingestor_etl_spark.protocols.sip import correlate_sip_legs, decode_sip
+    from ingestor_etl_spark.sources.pcap import read_pcap
+
+    def msg(lines, sdp):
+        body = f"v=0\r\no=- {sdp[0]} {sdp[1]} IN IP4 10.1.1.1\r\n" if sdp else ""
+        return ("\r\n".join(lines) + "\r\n\r\n" + body).encode()
+
+    invite_pm = msg(
+        [
+            "INVITE sip:200@demo SIP/2.0",
+            "From: <sip:100@demo>;tag=1",
+            "To: <sip:200@demo>",
+            "Call-ID: pm-1",
+        ],
+        ("0", "0"),  # placeholder owner
+    )
+    ok_pm = msg(
+        [
+            "SIP/2.0 200 OK",
+            "From: <sip:100@demo>;tag=1",
+            "To: <sip:200@demo>;tag=2",
+            "Call-ID: pm-1",
+        ],
+        ("7777", "3"),  # the call's REAL owner
+    )
+    invite_ice = msg(
+        [
+            "INVITE sip:555@demo SIP/2.0",
+            "From: <sip:444@demo>;tag=9",
+            "To: <sip:555@demo>",
+            "Call-ID: ice-1",
+        ],
+        ("7777", "3"),
+    )
+    frames = [
+        (3000, 0, g.eth(g.ipv4(g.udp(invite_pm, 5060, 5060), 17, src="10.9.9.1", dst="10.9.9.2"))),
+        (3000, 1, g.eth(g.ipv4(g.udp(ok_pm, 5060, 5060), 17, src="10.9.9.2", dst="10.9.9.1"))),
+        (3000, 2, g.eth(g.ipv4(g.udp(invite_ice, 5060, 5060), 17, src="10.8.8.1", dst="10.8.8.2"))),
+    ]
+    path = tmp_path / "sip00.pcap"
+    path.write_bytes(g.pcap(frames))
+    msgs = decode_sip(expand_l4(read_pcap(spark, str(path))))
+    out = correlate_sip_legs(
+        msgs, leg_a_ips=["10.9.9.1", "10.9.9.2"], leg_b_ips=["10.8.8.1", "10.8.8.2"]
+    ).toPandas()
+    inv = out[(out.call_id == "pm-1") & (out.method == "INVITE")].iloc[0]
+    # patched bytes: placeholder replaced by the call's real owner
+    assert (inv.sdp_session_id, inv.sdp_version) == ("7777", "3")
+    # correlated: user rewrite from the ICE leg applied
+    assert inv.from_user == "444" and inv.to_user == "555"
+    assert inv.from_original == "100" and inv.to_original == "200"
+    assert inv.peer_call_id == "ice-1"
