@@ -93,6 +93,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "stream_cms_cells_parity", "stream_zscore_parity",
     "exact_substring_extend", "cross_source_dup_overlap",
     "multimodal_decode_audio", "pcap_tshark_fields",
+    "minhash_contamination", "dedup_threshold_sweep",
     # reworked in r7 — census-gated LSH plan selection + hashed
     # exact-substring gram keys + loose what-if population: re-sample
     # every consumer of the gated band-pairs generator

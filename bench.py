@@ -172,6 +172,8 @@ EXTENDED = [
     "cross_source_dup_overlap",
     "multimodal_decode_audio",
     "pcap_tshark_fields",
+    "minhash_contamination",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1689,3 +1689,178 @@ def cross_source_dup_overlap(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------- minhash_contamination
+# Fuzzy benchmark decontamination: corpus documents NEAR-duplicating an
+# eval-set document leak test answers into training data even when no
+# exact 8-gram survives (the exact screen is contamination_check). The
+# eval set here is a deterministic doc_id stratum so the oracle can
+# reproduce it; in production it is the benchmark table.
+CONTAM_BENCH_MOD = 41  # doc_id % MOD == RESIDUE → eval-set member
+CONTAM_BENCH_RESIDUE = 7
+CONTAM_MIN_CONTAINMENT = 0.5  # |∩| / |bench shingles|
+
+
+@register(
+    "minhash_contamination",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sigs AS (
+        SELECT doc_id, {", ".join(f"{_sql_minhash(s)} AS {s}" for s in SALTS)}
+        FROM shingled
+    ),
+    banded AS (SELECT doc_id, {_SQL_BANDS} FROM sigs),
+    long_form AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM banded" for i in range(N_BANDS))}
+    ),
+    bench AS (
+        SELECT * FROM long_form
+        WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_RESIDUE}
+    ),
+    corp AS (
+        SELECT * FROM long_form
+        WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_RESIDUE}
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id
+        FROM corp c JOIN bench b
+          ON c.band_no = b.band_no AND c.band_key = b.band_key
+    ),
+    ver AS (
+        SELECT cand.doc_id, cand.bench_doc_id,
+               len(list_filter(sb.shingles,
+                               s -> list_contains(sc.shingles, s))) AS ns,
+               len(sb.shingles) AS nb
+        FROM cand
+        JOIN shingled sc ON sc.doc_id = cand.doc_id
+        JOIN shingled sb ON sb.doc_id = cand.bench_doc_id
+    )
+    SELECT doc_id, bench_doc_id,
+           CAST(ns AS BIGINT) AS n_shared_shingles,
+           round(CAST(ns AS DOUBLE) / nb, 4) AS containment
+    FROM ver
+    WHERE CAST(ns AS DOUBLE) / nb >= {CONTAM_MIN_CONTAINMENT}
+    ORDER BY doc_id, bench_doc_id
+    """,
+    tags=("dedup", "contamination", "curation"),
+)
+def minhash_contamination(spark, sf_dir):
+    """FUZZY benchmark decontamination (the near-dup analogue of the
+    exact-8-gram contamination_check): corpus documents whose bigram
+    shingles CONTAIN ≥ {t:.0%} of an eval-set document's shingles are
+    flagged, with candidates generated by the MinHash band join
+    between the corpus and the (small) eval side — never an all-pairs
+    scan. The eval relation is broadcast into both the band join and
+    the verification join, so at 100 TB the corpus is touched by
+    exactly one banding pass + one candidate-confined verify; the cut
+    direction is containment of the BENCHMARK (a corpus doc that
+    embeds a whole eval item is contaminated no matter how much other
+    text it carries — plain Jaccard misses exactly that case)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    is_bench = (
+        F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE
+    )
+    shingled = materialize(_shingled(spark, sf_dir))
+    sigs = shingled.selectExpr(
+        "doc_id", "shingles", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    ).selectExpr("doc_id", "shingles", *_SPARK_BAND_LIST)
+    lf = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])
+        ).alias("band_no", "band_key"),
+    )
+    bench_lf = lf.where(is_bench)
+    corp_lf = lf.where(~is_bench)
+    cand = (
+        corp_lf.join(
+            F.broadcast(
+                bench_lf.select(
+                    "band_no", "band_key", F.col("doc_id").alias("bench_doc_id")
+                )
+            ),
+            ["band_no", "band_key"],
+        )
+        .select("doc_id", "bench_doc_id")
+        .dropDuplicates()
+    )
+    corp_sh = shingled.select("doc_id", F.col("shingles").alias("c_sh"))
+    bench_sh = shingled.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("shingles").alias("b_sh")
+    )
+    ver = (
+        cand.join(corp_sh, "doc_id")
+        .join(F.broadcast(bench_sh), "bench_doc_id")
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            F.size(F.array_intersect("b_sh", "c_sh")).alias("ns"),
+            F.size("b_sh").alias("nb"),
+        )
+    )
+    contain = F.col("ns").cast("double") / F.col("nb")
+    return (
+        ver.where(contain >= CONTAM_MIN_CONTAINMENT)
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            F.col("ns").cast("bigint").alias("n_shared_shingles"),
+            F.round(contain, 4).alias("containment"),
+        )
+        .orderBy("doc_id", "bench_doc_id")
+    )
+
+
+minhash_contamination.__doc__ = minhash_contamination.__doc__.format(
+    t=CONTAM_MIN_CONTAINMENT
+)
+
+
+# ----------------------------------------------------- dedup_threshold_sweep
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+    t AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS threshold)
+    SELECT t.threshold,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_removable_docs,
+           round(coalesce(avg(p.jaccard), 0.0), 4) AS avg_jaccard
+    FROM t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+    tags=("dedup", "planning", "jaccard"),
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup THRESHOLD planning: pair volume, removable-doc count
+    (docs with a smaller-id keeper — the keep-first convention every
+    dedup op here uses) and mean similarity at each candidate Jaccard
+    threshold, all derived from ONE pair relation (the exact verified
+    pairs at the loosest threshold) — the sweep itself is a 5-row
+    broadcast cross-tab, so choosing the production threshold costs
+    one extra tiny aggregation, not five dedup runs. On the synthetic
+    corpus every verified pair sits ≥ 0.97, so all five rows read the
+    same — a data property (templated near-exact dups, no
+    mid-similarity band), not a construction cap: the pair relation's
+    floor equals the lowest swept threshold."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    t = spark.createDataFrame(
+        [(float(x),) for x in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    j = F.broadcast(t).join(pairs, pairs["jaccard"] >= t["threshold"], "left")
+    return (
+        j.groupBy("threshold")
+        .agg(
+            F.count("doc_a").cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_removable_docs"),
+            F.round(F.coalesce(F.avg("jaccard"), F.lit(0.0)), 4).alias(
+                "avg_jaccard"
+            ),
+        )
+        .orderBy("threshold")
+    )
