@@ -75,6 +75,9 @@ BNL_ALLOWED = {
     # literal-side by construction, same shape as key_skew_profile
     "events_hourly_heatmap",
     "order_status_aging",
+    # 5-row literal threshold grid broadcast into the non-equi
+    # (jaccard >= threshold) cross-tab — literal-side by construction
+    "dedup_threshold_sweep",
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
