@@ -807,6 +807,35 @@ def _skew_main() -> None:
         {"vecs": 102_000, "dup_cluster_vecs": 100_000, "output": "≈102k×K edges"},
     )
 
+    # 9. hot-shingle exact-Jaccard pairs (round-7 verdict item 1):
+    # 200k docs × 10 shingles, ONE boilerplate shingle on 30% of the
+    # corpus — the uncut shared-shingle self-join would emit
+    # C(60k,2) ≈ 1.8e9 rows from that shingle alone, so the df
+    # census (Σ C(df,2) > JACCARD_UNCUT_MASS_MAX) routes the plan to
+    # the lossless PPJoin prefix+size filter, whose rare-first
+    # prefixes exclude the hot shingle entirely; candidates come
+    # only from the ~500k-token rare tail (df ≈ 4).
+    from ingestor_etl_spark.queries.dedup_ops import jaccard_pairs
+
+    hot_docs = spark.range(200_000).selectExpr(
+        "id AS doc_id",
+        "array_distinct(concat("
+        " transform(sequence(0, 8), i -> concat('sh', pmod(hash(id, i), 500000))),"
+        " CASE WHEN id % 10 < 3 THEN array('the quick brown')"
+        "      ELSE array(concat('sh', pmod(hash(id, 99), 500000))) END"
+        ")) AS shingles",
+    )
+    run(
+        "jaccard_pairs_hot_shingle",
+        jaccard_pairs(spark, hot_docs),
+        {
+            "docs": 200_000,
+            "hot_shingle_docs": 60_000,
+            "uncut_join_rows": "C(60k,2)≈1.8e9 from one shingle",
+            "routed_plan": "ppjoin_prefix (census)",
+        },
+    )
+
     print(
         json.dumps(
             {

