@@ -532,17 +532,16 @@ def _sf1_main() -> None:
     def run_at(sf_dir: str, sf1_planes: bool) -> dict[str, float]:
         from pyspark.sql import functions as F
 
-        from ingestor_etl_spark.queries.vector_ops import (
-            N_PLANES,
-            _as_double,
-            _near_dup_from,
-        )
+        from ingestor_etl_spark.queries.vector_ops import _as_double
 
         out = {}
         for name in names:
-            if name in ("knn_graph", "embedding_near_dup") and sf1_planes:
+            if name == "knn_graph" and sf1_planes:
                 # occupancy rule: bucket count per table is 2^planes,
-                # so plane count tracks log2(corpus) — +3 at 10×
+                # so plane count tracks log2(corpus) — +3 at 10×.
+                # embedding_near_dup needs no override since round 8:
+                # the registered query derives n_planes + bucket_cap
+                # from its own census (auto_scale in _near_dup_from).
                 e = (
                     load_table(spark, sf_dir, "embeddings")
                     .repartition(spark.sparkContext.defaultParallelism)
@@ -551,16 +550,7 @@ def _sf1_main() -> None:
                         _as_double(F.col("embedding")).alias("v"),
                     )
                 )
-                if name == "knn_graph":
-                    df = _knn_graph_from(e, n_planes=KNN_PLANES + 3)
-                else:
-                    # occupancy rule + hot-bucket sub-split: dense
-                    # directional cones keep occupancy heavy-tailed
-                    # at any mean, so the cap bounds in-bucket
-                    # candidate mass (see _near_dup_from docstring)
-                    df = _near_dup_from(
-                        e, n_planes=N_PLANES + 3, bucket_cap=256
-                    )
+                df = _knn_graph_from(e, n_planes=KNN_PLANES + 3)
             else:
                 df = registry[name].fn(spark, sf_dir)
             out[name] = _time_query(df, 2)

@@ -146,6 +146,35 @@ _SPARK_BUCKET = _spark_bucket(0)
 
 
 NEAR_DUP_THRESHOLD = 0.45
+
+# Occupancy rule constants (round-8: wired into the REGISTERED
+# embedding_near_dup, round-7 verdict item 2). Bucket count per
+# table is 2^n_planes, so plane count must track log2(corpus) to
+# keep MEAN occupancy constant as data grows; the target is
+# calibrated so the rule is the identity at the oracle scales
+# (500 reps @ sf0.01 and 2,000 @ sf0.1 → N_PLANES = 4) and
+# reproduces the measured sf1 configuration (20,000 reps → 7 =
+# N_PLANES + 3, the BENCH_SF1 exponent-0.861 setting).
+NEAR_DUP_TARGET_OCC = 160
+# Hot-bucket sub-split cap, engaged by a candidate-mass census
+# (auto_scale): Σ C(occupancy, 2) over (table, bucket) cells is the
+# exact in-bucket candidate row count; under the budget the plain
+# bucket join IS the cheap exact plan and the cap machinery stays
+# out (measured: mass 1.0e5 @ sf0.01, 1.6e6 @ sf0.1 — both exact /
+# oracle-identical; 5.5e7 @ sf1 with a 1171-occupancy hot bucket →
+# cap engages, reproducing the BENCH_SF1 exponent-0.861 config).
+# Same pay-when-skewed shape as dedup_ops.JACCARD_UNCUT_MASS_MAX.
+NEAR_DUP_BUCKET_CAP = 256
+NEAR_DUP_MASS_MAX = 10e6
+
+
+def _near_dup_planes(n_reps: int) -> int:
+    """ceil(log2(n_reps / target occupancy)), floored at N_PLANES."""
+    import math
+
+    if n_reps <= NEAR_DUP_TARGET_OCC:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_reps / NEAR_DUP_TARGET_OCC)))
 _NEAR_DUP_KEYS_SQL = "\n      UNION ALL\n".join(
     f"      SELECT vec_id, {t} AS tbl, {_sql_bucket(t)} AS bucket FROM e"
     for t in range(N_TABLES)
@@ -230,7 +259,7 @@ def embedding_near_dup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    return _near_dup_from(e)
+    return _near_dup_from(e, auto_scale=True)
 
 
 def _near_dup_from(
@@ -238,6 +267,7 @@ def _near_dup_from(
     expand: bool = True,
     n_planes: int = N_PLANES,
     bucket_cap: int | None = None,
+    auto_scale: bool = False,
 ):
     """embedding_near_dup body on any (vec_id, v) relation.
 
@@ -268,8 +298,47 @@ def _near_dup_from(
     union exists for — so the cap trades a bounded recall haircut in
     dense cones for bounded work (measured at sf1: candidate mass
     35×→~linear; tests pin cap-output ⊆ uncapped-output and
-    cap=∞ ≡ uncapped). Default None = registered/oracle semantics."""
+    cap=∞ ≡ uncapped). Default None = fixed-parameter semantics.
+
+    ``auto_scale=True`` (the REGISTERED query, round-7 verdict item
+    2) derives both knobs from censuses instead of taking them as
+    parameters: n_planes from the distinct-vector count via the
+    occupancy rule (_near_dup_planes — one count() over the
+    already-materialized reps relation), then bucket_cap from a
+    one-row candidate-mass census over the (table, bucket) occupancy
+    at the chosen plane count — Σ C(occ, 2) ≤ NEAR_DUP_MASS_MAX
+    keeps the plain bucket join (the cheap exact plan; the cap
+    machinery stays out entirely, so the oracle scales are
+    byte-exact), above it the NEAR_DUP_BUCKET_CAP sub-split engages.
+    The registered query therefore self-defends at 10× — bench.py
+    --sf1 runs it verbatim, no parameter overrides."""
     members, reps = _vec_clusters(e)
+    if auto_scale:
+        # one-row driver control flow over a persisted relation, the
+        # same pattern as dedup_ops._bucket_census / _jaccard_census
+        n_planes = _near_dup_planes(reps.count())
+        probe = reps.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.expr(_spark_bucket(t, n_planes)).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ])
+            ).alias("k")
+        ).select("k.tbl", "k.bucket")
+        mass_row = (
+            probe.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .agg(F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("mass"))
+            .collect()[0]
+        )
+        bucket_cap = (
+            NEAR_DUP_BUCKET_CAP
+            if float(mass_row["mass"] or 0.0) > NEAR_DUP_MASS_MAX
+            else None
+        )
     xbits_expr = _spark_bucket(N_TABLES, 4)  # table index past the union
     keys = reps.select(
         "vec_fp",

@@ -57,11 +57,11 @@ def test_census_measures_uncut_join_rows_exactly(spark):
 
 
 def test_gate_routes_hot_corpus_to_prefix_plan(spark):
-    """A hot shingle on 1/3 of 40k docs puts Σ C(df,2) ≈ 8.9e7 x ...
-    over the cap via C(13334,2) alone? No — C(13334,2) ≈ 8.9e7 < 2e8,
-    so use 1/2 of 50k docs: C(25000,2) ≈ 3.1e8 > cap → prefix plan
-    (visible as the row_number ranking in the optimized plan). The
-    sf0.01 corpus stays under the cap → uncut plan (no window)."""
+    """One boilerplate shingle on 1/2 of 50k docs contributes
+    C(25000,2) ≈ 3.1e8 uncut join rows > JACCARD_UNCUT_MASS_MAX →
+    the census must route to the PPJoin plan (visible as the
+    row_number prefix ranking in the optimized plan); the sf0.01
+    corpus stays under the budget → direct-join plan (no window)."""
     hot = _hot_corpus(spark, 50_000, 2)
     plan = jaccard_pairs(spark, hot)._jdf.queryExecution().optimizedPlan().toString()
     release_caches()
@@ -116,3 +116,34 @@ def test_gate_constant_is_sane():
     # the sf0.1 corpus measures 3.65e7 — comfortably inside the
     # uncut budget; one 25k-doc boilerplate shingle is outside it
     assert 3.65e7 < JACCARD_UNCUT_MASS_MAX < 25_000 * 24_999 / 2
+
+
+def test_near_dup_occupancy_rule_calibration():
+    """The occupancy rule is the identity at the oracle scales and
+    reproduces the measured sf1 configuration (N_PLANES + 3 at 10×)."""
+    from ingestor_etl_spark.queries.vector_ops import N_PLANES, _near_dup_planes
+
+    assert _near_dup_planes(500) == N_PLANES  # sf0.01
+    assert _near_dup_planes(2_000) == N_PLANES  # sf0.1
+    assert _near_dup_planes(20_000) == N_PLANES + 3  # sf1
+    assert _near_dup_planes(200_000) > _near_dup_planes(20_000)
+
+
+def test_near_dup_auto_equals_uncapped_at_oracle_scale(spark):
+    """Below the mass budget the auto census must leave the plan on
+    the plain bucket join — output byte-identical to the
+    fixed-parameter uncapped form (this is what keeps the driver's
+    sf0.01 oracle row untouched)."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.queries.vector_ops import _as_double, _near_dup_from
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    auto = _near_dup_from(e, auto_scale=True).collect()
+    release_caches()
+    fixed = _near_dup_from(e).collect()
+    release_caches()
+    assert auto == fixed
