@@ -76,80 +76,94 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver samples a prefix-window (~50 names) of this dict when it
-# checks correctness. The rotation closed in r6: every registered
-# query has had a green driver row at least once. From r7 on the
-# window head is (1) operators reworked in a PRIOR round whose new
-# plan has no driver row yet, (2) queries NEW this round, (3)
-# operators reworked THIS round, then everything else — so no query
-# can sit unsampled and every plan change gets pinned within a round.
+# checks correctness. Every registered query has had a green driver
+# row at least once (rotation closed in r6; cumulative union == the
+# registry, zero latest-check failures). From r8 on the window head
+# is the queries whose PLAN this round reworked, followed by every
+# other query ordered by how long ago its latest driver row ran —
+# so plan changes get pinned immediately and no query sits
+# unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-7 window head ---
-    # reworked in r6 (window-algebra HTTP linking, protocols/
-    # http_sig.py:511) but never driver re-sampled — round-6 verdict
-    # item 3 puts it first so CORRECTNESS_r07 pins the new plan
-    "pcap_http_ocs_linked",
-    # new in r7 (streaming parity for the last pytest-only operators,
-    # the exact-substring extend stage, the provenance overlap matrix)
-    "stream_cms_cells_parity", "stream_zscore_parity",
-    "exact_substring_extend", "cross_source_dup_overlap",
-    "multimodal_decode_audio", "pcap_tshark_fields",
-    "minhash_contamination", "dedup_threshold_sweep",
-    # reworked in r7 — census-gated LSH plan selection + hashed
-    # exact-substring gram keys + loose what-if population: re-sample
-    # every consumer of the gated band-pairs generator
-    "minhash_lsh_pairs", "containment_pairs", "minhash_jaccard_estimate",
-    "lsh_band_whatif", "lsh_dedup_eval", "exact_substring_dedup",
-    "dedup_cc_clusters", "curation_pipeline", "mixture_token_allocation",
-    # --- round-6 additions (all green in CORRECTNESS_r06) ---
-    "stream_neardup_parity", "stream_interval_join_parity",
+    # --- round-8 window head: queries whose plan round 8 reworked
+    # (census-gated exact-Jaccard pairs + its two consumers; the
+    # auto-scaled embedding_near_dup) ---
+    "ngram_jaccard_pairs",
+    "cross_source_dup_overlap",
+    "dedup_threshold_sweep",
+    "embedding_near_dup",
+    # --- longest-unsampled next (rotation: latest driver row round
+    # ascending, r1/r2 first, then r3, r4, ... — regenerated each
+    # round from CORRECTNESS_r0*.json so every query re-verifies on
+    # the current tree within ~3 rounds; round-7 verdict item 4) ---
+    "pcap_diameter_transactions", "pcap_http_camel_diameter",
+    "pcap_http_ss7sms", "pcap_sip_leg_rewrite", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_revenue_forecast", "topk_accounts", "tshark_cap_camel",
+    "pcap_diameter_correlated", "pcap_gsm_map_decoded",
+    "pcap_gtp_enriched", "pcap_sip_calls", "pcap_smpp_transactions",
+    "pcap_tcap_transactions", "a1_counters", "a2_unmatched_census",
+    "asof_attribution", "bpe_pair_counts", "contamination_check",
+    "corpus_top_ngrams", "csv_ingest", "curriculum_bins",
+    "doc_chunk_overlap", "doc_fingerprint", "doc_pack_budget",
+    "domain_mixture", "epoch_resample", "events_funnel",
+    "events_hourly_rollup", "events_rolling_7d", "exact_dedup",
+    "html_strip", "importance_resample", "interval_join_events",
+    "j1_request_response", "j2_group_enrich", "j6_sessionize",
+    "j7_error_sessions", "jsonl_ingest", "lang_id", "minhash_signatures",
+    "multimodal_batch_shape", "multimodal_dedup", "multimodal_features",
+    "multimodal_frame_sample", "o3_dedup_events", "orc_ingest",
+    "pii_redact", "pivot_user_event_matrix", "retention_cohorts",
+    "simhash_clusters", "sketch_distinct_users", "sketch_value_quantiles",
+    "stratified_sample", "text_normalize", "text_quality",
+    "text_repetition", "token_count", "url_dedup", "url_normalize",
+    "window_event_navigation", "active_user_stickiness", "ann_pq_topk",
+    "array_functions", "bloom_join_filter", "canonical_docs",
+    "char_entropy", "cms_heavy_hitters", "compaction_plan",
+    "conditional_functions", "cube_revenue", "datetime_functions",
+    "embedding_outliers", "embedding_quantize_int8", "embedding_stats",
+    "event_transition_matrix", "events_gapfill", "frequent_paths",
+    "gdpr_delete_audit", "gopher_rules", "halflife_decay",
+    "incremental_dedup", "incremental_rollup", "inverted_index_shards",
+    "json_functions", "lang_id_confusion", "math_functions",
+    "mixture_drift", "multitouch_attribution", "pit_dimension_join",
+    "prefix_filter_join", "quality_classifier", "quantile_normalize",
+    "rolling_zscore_outliers", "rrf_hybrid_search", "salted_skew_join",
+    "session_transcripts", "sketch_shard_merge", "snapshot_diff",
+    "source_reputation", "string_functions", "vocab_coverage",
+    "window_zoo", "winsorize_scores", "zone_map_prune", "zorder_layout",
+    "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed", "merge_upsert",
+    "pagerank_dup_graph", "q10_returned_revenue", "q11_important_parts",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_fresh_stock_suppliers", "q21_blocking_supplier",
+    "q22_idle_customers", "q2_min_cost_supplier", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "retention_matrix",
+    "rollup_returns", "scd2_history", "set_ops_cohorts", "shard_pack",
+    "shingle_df_profile", "sql_passthrough", "tfidf_cosine_pairs",
+    "value_histogram", "window_running_revenue", "bm25_search",
+    "dataset_card", "dedup_report", "eval_holdout_split",
+    "j7_display_filter", "key_skew_profile", "pcap_flow_stats",
+    "salted_hot_agg", "score_calibration", "segment_dedup",
+    "unigram_logprob", "ann_dim_truncation_eval", "ann_recall_eval",
+    "bigram_novelty", "clv_by_cohort", "code_detect", "collocation_lift",
+    "containment_pairs", "curation_pipeline", "dedup_cc_clusters",
+    "dup_graph_degree_stats", "dup_graph_triangles",
+    "dup_group_size_profile", "entity_resolution", "er_quality_eval",
+    "events_hourly_heatmap", "exact_substring_dedup",
+    "exact_substring_extend", "fixedwidth_ingest", "fk_integrity_audit",
+    "funnel_conversion", "hard_negative_mining",
+    "join_cardinality_estimator", "knn_graph", "label_balance_resample",
+    "lsh_band_whatif", "lsh_dedup_eval", "minhash_contamination",
+    "minhash_jaccard_estimate", "minhash_lsh_pairs",
+    "mixture_token_allocation", "multimodal_decode_audio",
+    "multimodal_decode_image", "order_status_aging",
+    "partitioned_write_roundtrip", "pcap_http_ocs_linked",
+    "pcap_tshark_fields", "schema_profile", "semdedup_clusters",
+    "source_lang_purity", "stream_cms_cells_parity",
+    "stream_interval_join_parity", "stream_neardup_parity",
     "stream_session_window_parity", "stream_windowed_counts_parity",
-    "hard_negative_mining",
-    # round-6 reworked operators (green r6 driver rows)
-    "knn_graph", "embedding_near_dup", "entity_resolution",
-    "multimodal_decode_image", "funnel_conversion",
-    # the r6 rotation-closers (first sampled r6, all green)
-    "code_detect", "ann_recall_eval", "dup_graph_degree_stats",
-    "bigram_novelty", "label_balance_resample", "semdedup_clusters",
-    "join_cardinality_estimator", "fk_integrity_audit",
-    "er_quality_eval", "schema_profile", "dup_group_size_profile",
-    "fixedwidth_ingest", "collocation_lift", "vocab_coverage_curve",
-    "dup_graph_triangles", "ann_dim_truncation_eval",
-    "events_hourly_heatmap", "order_status_aging",
-    "supplier_lead_time", "clv_by_cohort", "source_lang_purity",
-    # previously sampled (all green on their latest driver row)
-    "partitioned_write_roundtrip", "salted_hot_agg", "dedup_report",
-    "key_skew_profile", "eval_holdout_split", "score_calibration",
-    "dataset_card", "j7_display_filter", "pcap_flow_stats",
-    "segment_dedup", "bm25_search", "unigram_logprob", "shard_pack",
-    "value_histogram", "pagerank_dup_graph", "q10_returned_revenue",
-    "q14_promo_revenue", "q18_large_orders", "rollup_returns",
-    "window_running_revenue", "sql_passthrough", "q13_order_distribution",
-    "q17_small_qty_revenue", "q22_idle_customers", "q16_supplier_variety",
-    "q21_blocking_supplier", "q2_min_cost_supplier", "q11_important_parts",
-    "q20_fresh_stock_suppliers", "set_ops_cohorts", "q7_nation_volume",
-    "q12_priority_lines", "q15_top_supplier", "q19_disjunctive_revenue",
-    "q8_market_share", "q9_product_profit", "ann_cosine_topk",
-    "ann_lsh_bucketed", "ann_ivf", "merge_upsert",
-    "scd2_history",
-    "tfidf_cosine_pairs", "retention_matrix", "shingle_df_profile",
-    "event_transition_matrix",
-    "embedding_outliers", "active_user_stickiness",
-    "multitouch_attribution", "inverted_index_shards",
-    "prefix_filter_join", "gopher_rules",
-    "char_entropy", "halflife_decay",
-    "events_gapfill", "cms_heavy_hitters", "source_reputation",
-    "compaction_plan", "gdpr_delete_audit",
-    "zone_map_prune", "incremental_rollup", "lang_id_confusion",
-    "winsorize_scores", "session_transcripts", "incremental_dedup",
-    "embedding_quantize_int8", "pit_dimension_join", "salted_skew_join",
-    "rolling_zscore_outliers", "bloom_join_filter",
-    "frequent_paths", "quantile_normalize", "cube_revenue",
-    "sketch_shard_merge", "zorder_layout", "window_zoo",
-    "datetime_functions", "array_functions", "string_functions",
-    "json_functions", "math_functions", "conditional_functions",
-    "snapshot_diff", "quality_classifier", "canonical_docs",
-    "rrf_hybrid_search", "ann_pq_topk",
-    "vocab_coverage", "mixture_drift", "embedding_stats",
+    "stream_zscore_parity", "supplier_lead_time", "vocab_coverage_curve",
 ]
 
 

@@ -381,13 +381,17 @@ _TXNS_PER_FILE = 2500
 _N_FILES = 8
 
 
-def bench_protocol_throughput(spark) -> dict:
+def bench_protocol_throughput(
+    spark, n_files: int = _N_FILES, txns_per_file: int = _TXNS_PER_FILE
+) -> dict:
     """End-to-end pcap → decode → J1-correlate rate on a synthetic
     Diameter workload (the reference's actual job shape; its only
     published metric is per-file processed counts, BASELINE.md).
 
-    8 files × 2500 txns × 2 messages = 40k messages; files are the
-    parallelism unit exactly as in production."""
+    Default 8 files × 2500 txns × 2 messages = 40k messages; files
+    are the parallelism unit exactly as in production. bench.py
+    --sf1 runs the 10× shape (80 files / 400k messages) to pin
+    decode+correlate scaling alongside the corpus queries."""
     import glob
     import struct as _s
     import tempfile
@@ -397,13 +401,16 @@ def bench_protocol_throughput(spark) -> dict:
     from ingestor_etl_spark.protocols.net import expand_l4
     from ingestor_etl_spark.sources.pcap import read_pcap
 
-    cap_dir = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_bench_caps_v1")
+    cap_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ingestor_etl_spark_bench_caps_v1_{n_files}x{txns_per_file}",
+    )
     os.makedirs(cap_dir, exist_ok=True)
-    if len(glob.glob(cap_dir + "/*.pcap")) != _N_FILES:
-        for fno in range(_N_FILES):
+    if len(glob.glob(cap_dir + "/*.pcap")) != n_files:
+        for fno in range(n_files):
             frames = []
-            for i in range(_TXNS_PER_FILE):
-                hbh = fno * _TXNS_PER_FILE + i
+            for i in range(txns_per_file):
+                hbh = fno * txns_per_file + i
                 sess = f"sess;{fno};{i}".encode()
                 ccr = g.diameter_msg(
                     272, True, hbh, hbh,
@@ -418,7 +425,7 @@ def bench_protocol_throughput(spark) -> dict:
             with open(os.path.join(cap_dir, f"bench{fno}.pcap"), "wb") as fh:
                 fh.write(g.pcap(frames))
 
-    n_messages = _N_FILES * _TXNS_PER_FILE * 2
+    n_messages = n_files * txns_per_file * 2
     df = correlate_diameter(
         decode_diameter(expand_l4(read_pcap(spark, cap_dir + "/*.pcap")))
     )
@@ -527,6 +534,15 @@ def _sf1_main() -> None:
         "containment_pairs",
         "tfidf_cosine_pairs",
         "embedding_near_dup",
+        # round-8 (round-7 verdict item 3): the re-planned jaccard
+        # pair consumers + the remaining round-7 additions + the
+        # curation E2E
+        "ngram_jaccard_pairs",
+        "cross_source_dup_overlap",
+        "dedup_threshold_sweep",
+        "exact_substring_extend",
+        "minhash_contamination",
+        "curation_pipeline",
     ]
 
     def run_at(sf_dir: str, sf1_planes: bool) -> dict[str, float]:
@@ -561,6 +577,22 @@ def _sf1_main() -> None:
 
     t01 = run_at("/root/testdata/sf0.1", False)
     t1 = run_at(SF1_DIR, True)
+
+    # 10× protocol throughput (round-7 verdict item 5): same
+    # decode+correlate pipeline at 80 files / 400k messages —
+    # embarrassingly parallel decode + one keyed shuffle, so the
+    # exponent should sit at ≈1.
+    proto01 = bench_protocol_throughput(spark)
+    release_caches()
+    proto1 = bench_protocol_throughput(spark, n_files=80)
+    release_caches()
+    protocol = {
+        "sf0_1": proto01,
+        "sf1": proto1,
+        "ratio_sec": round(proto1["sec"] / proto01["sec"], 2),
+        "scaling_exponent": round(math.log10(proto1["sec"] / proto01["sec"]), 3),
+    }
+
     result = {
         "metric": "sf1_scale_check",
         "unit": "sec",
@@ -572,6 +604,7 @@ def _sf1_main() -> None:
             n: round(math.log10(t1[n] / t01[n]), 3) for n in names
         },
         "knn_note": f"sf1 uses n_planes={KNN_PLANES + 3} (occupancy rule)",
+        "protocol_throughput": protocol,
     }
     print(json.dumps(result))
 

@@ -242,18 +242,32 @@ JACCARD_PAIRS_T = 0.5  # the loosest threshold any consumer sweeps
 
 # Census gate for the exact-Jaccard pair plan (round-7 verdict item
 # 1 — the uncut shared-shingle self-join was the one remaining
-# hot-key quadratic). The decision variable is the uncut join's
-# EXACT row count, Σ_s C(df_s, 2) over the shingle document
-# frequencies: when it is bounded, the direct join + count-aggregate
-# is measurably the cheapest exact plan (5k docs / 931-shingle
-# vocabulary at sf0.1: 36.5M join rows ≈ 1.4 s on 32 cores, vs 14 s
-# for candidate+verify, whose 5.5M array_intersect verifications
-# dominate — SCALING.md §29); when ONE boilerplate shingle hits a
-# big fraction of a crawl, Σ C(df,2) goes quadratic and the census
-# flips to the lossless PPJoin prefix+size-filter plan, whose
-# rare-first prefixes never contain the hot shingles. Same
-# pay-when-skewed shape as _bucket_census/HOT_BUCKET_MAX below.
+# hot-key quadratic). Two one-row signals over the shingle document
+# frequencies decide the plan (SCALING.md §29 for the measurements):
+#
+# - mass = Σ_s C(df_s, 2): the direct join's EXACT row count. When
+#   bounded, direct join + count-aggregate is measurably the
+#   cheapest exact plan (sf0.1: 36.5M rows ≈ 1.4 s on 32 cores, vs
+#   14 s for PPJoin candidate+verify, whose 5.5M array_intersect
+#   verifications dominate on that low-skew corpus).
+# - mass_capped = Σ_s C(min(df_s, JACCARD_HOT_DF), 2): what the mass
+#   WOULD be if no shingle were hotter than the cap — the
+#   concentration signal. Boilerplate skew (one shingle on a big
+#   fraction of a crawl) makes mass >> mass_capped; df-uniform
+#   growth (more shards of the same structure — the sf1 shape, max
+#   df unchanged at 338) keeps mass ≈ mass_capped.
+#
+# Route to the lossless PPJoin prefix+size-filter plan (rare-first
+# prefixes never contain the hot shingles) only when the work is
+# material AND hot-head-dominated: mass > MASS_MAX and mass >
+# 2 × mass_capped. On df-uniform corpora PPJoin cannot prune (the
+# "rarest" half of every doc is still moderately hot and the
+# verification constant is ~10× the join's — measured 118 s vs 14 s
+# at sf1), so absolute size alone must NOT flip the plan; on
+# Zipf-skewed real crawls the over-cap head dominates mass and the
+# gate fires. Same pay-when-skewed shape as _bucket_census below.
 JACCARD_UNCUT_MASS_MAX = 200e6  # join rows; ≈8 s of codegen count-agg on 32 cores
+JACCARD_HOT_DF = 1024  # df cap defining the "hot head" (HOT_BUCKET_MAX twin)
 
 
 def _jaccard_sets(spark, shingled: DataFrame) -> DataFrame:
@@ -265,23 +279,30 @@ def _jaccard_sets(spark, shingled: DataFrame) -> DataFrame:
     return materialize(shingled.withColumn("sz", F.size("shingles")))
 
 
-def _jaccard_census(sets: DataFrame) -> tuple[int, float]:
+def _jaccard_census(sets: DataFrame) -> tuple[int, float, float]:
     """One-row probe over the shingle df distribution: (max df,
-    Σ C(df,2) uncut-join row count). One map-side-combined
-    aggregation over the persisted sets relation — the shuffle is a
-    (shingle, long) row per DISTINCT shingle, reduced to one driver
-    row."""
+    Σ C(df,2) direct-join row count, Σ C(min(df, JACCARD_HOT_DF), 2)
+    hot-capped row count — the concentration signal). One
+    map-side-combined aggregation over the persisted sets relation —
+    the shuffle is a (shingle, long) row per DISTINCT shingle,
+    reduced to one driver row."""
     el = sets.select(F.explode("shingles").alias("s"))
+    capped = F.least(F.col("df"), F.lit(JACCARD_HOT_DF))
     row = (
         el.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .agg(
             F.max("df").alias("max_df"),
             F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("mass"),
+            F.sum(capped * (capped - 1) / 2).alias("mass_capped"),
         )
         .collect()[0]
     )
-    return int(row["max_df"] or 0), float(row["mass"] or 0.0)
+    return (
+        int(row["max_df"] or 0),
+        float(row["mass"] or 0.0),
+        float(row["mass_capped"] or 0.0),
+    )
 
 
 def _jaccard_pairs_uncut(sets: DataFrame, threshold: float) -> DataFrame:
@@ -392,12 +413,18 @@ def jaccard_pairs(
     (doc_id, shingles) relation — census-gated between the two exact
     plans above. Both paths produce byte-identical output; the
     census only chooses WHO computes it (see JACCARD_UNCUT_MASS_MAX
-    for the measured rationale)."""
+    / JACCARD_HOT_DF for the measured rationale)."""
     sets = _jaccard_sets(spark, shingled)
-    _, mass = _jaccard_census(sets)
-    if mass <= JACCARD_UNCUT_MASS_MAX:
-        return _jaccard_pairs_uncut(sets, threshold)
-    return _jaccard_pairs_prefix(spark, sets, threshold)
+    _, mass, mass_capped = _jaccard_census(sets)
+    if _use_prefix_plan(mass, mass_capped):
+        return _jaccard_pairs_prefix(spark, sets, threshold)
+    return _jaccard_pairs_uncut(sets, threshold)
+
+
+def _use_prefix_plan(mass: float, mass_capped: float) -> bool:
+    """Material work AND hot-head-dominated (see the constants'
+    comment block): absolute size alone must not flip the plan."""
+    return mass > JACCARD_UNCUT_MASS_MAX and mass > 2 * mass_capped
 
 
 @register(

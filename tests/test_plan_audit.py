@@ -170,7 +170,19 @@ def test_executed_exchange_budgets(spark, sf_dir):
     from ingestor_etl_spark.queries import load_all
 
     reg = load_all()
-    budgets = {"pcap_http_ocs_linked": 7, "fk_integrity_audit": 5}
+    budgets = {
+        "pcap_http_ocs_linked": 7,
+        "fk_integrity_audit": 5,
+        # round-8 (round-7 verdict item 6): the r7/r8 additions and
+        # the census-gated jaccard family, pinned at their measured
+        # post-AQE executed counts
+        "dedup_threshold_sweep": 5,
+        "cross_source_dup_overlap": 5,
+        "pcap_tshark_fields": 3,
+        "exact_substring_extend": 4,
+        "ngram_jaccard_pairs": 3,
+        "embedding_near_dup": 2,
+    }
     for name, cap in budgets.items():
         df = reg[name].fn(spark, sf_dir)
         e = executed_facts(df)

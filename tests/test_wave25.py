@@ -50,10 +50,24 @@ def test_census_measures_uncut_join_rows_exactly(spark):
         "doc_id long, shingles array<string>",
     )
     sets = _jaccard_sets(spark, df)
-    max_df, mass = _jaccard_census(sets)
+    max_df, mass, mass_capped = _jaccard_census(sets)
     release_caches()
     assert max_df == 3
     assert mass == 3 + 1  # C(3,2) + C(2,2)
+    assert mass_capped == mass  # every df far below JACCARD_HOT_DF
+
+
+def test_prefix_routing_needs_both_size_and_concentration():
+    """The sf1 lesson (SCALING §29): 10× df-uniform growth pushed
+    mass past the absolute budget while max df stayed 338 — and the
+    PPJoin plan was 8× SLOWER there (118 s vs 14 s). The gate must
+    require the hot head to dominate, not just absolute size."""
+    from ingestor_etl_spark.queries.dedup_ops import _use_prefix_plan
+
+    assert not _use_prefix_plan(3.65e7, 3.65e7)  # sf0.1: small
+    assert not _use_prefix_plan(3.65e8, 3.65e8)  # sf1: big but uniform
+    assert _use_prefix_plan(1.8e9, 2.6e6)  # one 60k-doc boilerplate shingle
+    assert not _use_prefix_plan(1.0e6, 1.0e3)  # concentrated but tiny
 
 
 def test_gate_routes_hot_corpus_to_prefix_plan(spark):
