@@ -310,7 +310,14 @@ def _jaccard_pairs_uncut(sets: DataFrame, threshold: float) -> DataFrame:
     plan with the smallest constant when Σ C(df,2) is bounded (the
     census guarantees it is before this runs). Sizes ride through
     the join (max() over a per-group constant) so the Jaccard verdict
-    needs no post-aggregation size joins."""
+    needs no post-aggregation size joins.
+
+    Layout note (measured, do not "fix"): leave the join input's
+    partitioning to AQE. An explicit mass-scaled repartition(n, "s")
+    was tried to flatten the partial-aggregate hash maps at sf1 and
+    made BOTH scales ~2.5× slower (sf0.1 1.8 → 5.1 s, sf1 27 → 61 s)
+    — the exchange barrier costs more than the GC pressure it was
+    meant to relieve, and AQE already right-sizes the join."""
     el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
     a, b = el.alias("a"), el.alias("b")
     shared = (
