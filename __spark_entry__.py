@@ -84,9 +84,10 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-8 window head: queries whose plan round 8 reworked
-    # (census-gated exact-Jaccard pairs + its two consumers; the
-    # auto-scaled embedding_near_dup) ---
+    # --- round-8 window head: the query NEW in round 8, then the
+    # queries whose plan round 8 reworked (census-gated exact-Jaccard
+    # pairs + its two consumers; the auto-scaled embedding_near_dup)
+    "xml_ingest",
     "ngram_jaccard_pairs",
     "cross_source_dup_overlap",
     "dedup_threshold_sweep",

@@ -504,6 +504,83 @@ def jsonl_ingest(spark, sf_dir):
     ).orderBy("is_corrupt", "doc_id")
 
 
+# ----------------------------------------------------------- xml source
+_XML_FILES = {
+    # one document per file — the error-isolation layout real XML
+    # corpora use (see sources/xml_source.py: a malformed record can
+    # swallow the rest of its file's records, so the file is the
+    # error unit)
+    "f0.xml": "<doc><doc_id>0</doc_id><text>alpha beta gamma</text>"
+    "<lang>en</lang><source>web</source></doc>",
+    "f1.xml": "<doc><doc_id>1</doc_id><text>delta epsilon</text>"
+    "<lang>es</lang><source>web</source></doc>",
+    # type mismatch: doc_id not a long — whole record flagged (the
+    # XML reader does NOT keep parseable sibling fields, unlike JSON)
+    "f2.xml": "<doc><doc_id>nan</doc_id><text>mu nu</text>"
+    "<lang>en</lang><source>books</source></doc>",
+    # missing field: null, clean
+    "f3.xml": "<doc><doc_id>6</doc_id><lang>en</lang><source>web</source></doc>",
+    # broken markup
+    "f4.xml": "<doc><doc_id>7<text>broken markup</doc>",
+}
+
+
+def xml_fixture_dir() -> str:
+    """Deterministic XML corpus: 2 clean docs, one missing-field doc
+    (null field, clean), one type-mismatch doc, one broken-markup
+    doc."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "ingestor_etl_spark_xml_v1")
+    os.makedirs(d, exist_ok=True)
+    for name, content in _XML_FILES.items():
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(content)
+            os.replace(tmp, path)
+    return d
+
+
+@register(
+    "xml_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'en', 'web', 16, FALSE, CAST(NULL AS VARCHAR)),
+      (1, 'es', 'web', 13, FALSE, CAST(NULL AS VARCHAR)),
+      (6, 'en', 'web', CAST(NULL AS INTEGER), FALSE, CAST(NULL AS VARCHAR)),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INTEGER), TRUE, '<doc><doc_id>nan<'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INTEGER), TRUE, '<doc><doc_id>7<te')
+    ) AS t(doc_id, lang, source, n_chars, is_corrupt, corrupt_excerpt)
+    ORDER BY is_corrupt, doc_id, corrupt_excerpt
+    """,
+    tags=("corpus", "source", "xml"),
+)
+def xml_ingest(spark, sf_dir):
+    """S-class source breadth: XML corpus ingestion via Spark 4's
+    built-in XML datasource with §2.8 error-row semantics — explicit
+    schema (no inference pass), PERMISSIVE mode, records that fail
+    parsing or type coercion preserved as rows with the raw record in
+    ``_corrupt``. A missing element is null, not an error; a
+    type-mismatch record is flagged whole (XML differs from JSONL
+    here: sibling fields are NOT kept — pinned by the oracle row)."""
+    from ingestor_etl_spark.sources.xml_source import read_xml_documents
+
+    docs = read_xml_documents(spark, xml_fixture_dir())
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.substring("_corrupt", 1, 17).alias("corrupt_excerpt"),
+    ).orderBy("is_corrupt", "doc_id", "corrupt_excerpt")
+
+
 # ------------------------------------------------------ domain mixture
 @register(
     "domain_mixture",

@@ -161,3 +161,40 @@ def test_near_dup_auto_equals_uncapped_at_oracle_scale(spark):
     fixed = _near_dup_from(e).collect()
     release_caches()
     assert auto == fixed
+
+
+def test_xml_ingest_error_semantics(spark):
+    """§2.8 on the XML source: missing element → null (clean);
+    type-mismatch → whole record flagged with raw text preserved
+    (XML does NOT keep parseable sibling fields, unlike JSONL);
+    broken markup → flagged. File = error-isolation unit."""
+    from ingestor_etl_spark.queries.corpus_ops import xml_ingest
+
+    out = xml_ingest(spark, SF).toPandas()
+    clean = out[~out.is_corrupt]
+    corrupt = out[out.is_corrupt]
+    assert sorted(clean.doc_id) == [0, 1, 6]
+    assert clean[clean.doc_id == 6].n_chars.isna().all()  # missing field
+    assert len(corrupt) == 2
+    assert corrupt.doc_id.isna().all()  # whole record flagged
+    assert set(corrupt.corrupt_excerpt) == {
+        "<doc><doc_id>nan<",
+        "<doc><doc_id>7<te",
+    }
+
+
+def test_xml_corrupt_file_does_not_poison_siblings(spark, tmp_path):
+    """A malformed file corrupts only its own row(s); other FILES in
+    the same read are untouched (the isolation contract the fixture
+    layout documents)."""
+    from ingestor_etl_spark.sources.xml_source import read_xml_documents
+
+    (tmp_path / "good.xml").write_text(
+        "<doc><doc_id>10</doc_id><text>fine</text>"
+        "<lang>en</lang><source>web</source></doc>"
+    )
+    (tmp_path / "bad.xml").write_text("<doc><doc_id>11<text>oops</doc>")
+    out = read_xml_documents(spark, str(tmp_path)).toPandas()
+    good = out[out._corrupt.isna()]
+    assert list(good.doc_id) == [10] and list(good.text) == ["fine"]
+    assert len(out[out._corrupt.notna()]) == 1
