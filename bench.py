@@ -174,6 +174,8 @@ EXTENDED = [
     "pcap_tshark_fields",
     "minhash_contamination",
     "dedup_threshold_sweep",
+    # round-8 addition
+    "xml_ingest",
 ]
 
 
