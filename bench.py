@@ -506,15 +506,15 @@ def _sf1_main() -> None:
     """`bench.py --sf1`: the round-5 verdict's 10× scale checkpoint —
     run the slowest sf0.1 queries at sf1 (generated on first
     use) and report per-query times at both scales plus the scaling
-    exponent log10(t_sf1/t_sf0.1) (1.0 = perfectly linear). knn_graph
-    runs with n_planes = KNN_PLANES + 3 at sf1, applying the
-    documented occupancy rule (plane count tracks log2(corpus));
-    everything else runs the registered query verbatim. Round-7
+    exponent log10(t_sf1/t_sf0.1) (1.0 = perfectly linear). Every
+    query — knn_graph included since round 9 — runs the REGISTERED
+    plan verbatim with zero bench-side parameters: knn_graph and
+    embedding_near_dup both derive their scale knobs (n_planes,
+    bucket_cap) from in-query censuses (auto_scale). Round-7
     extends the set with the round-6/7 heavies (exact_substring_dedup,
     lsh_band_whatif, containment_pairs, tfidf_cosine_pairs,
     embedding_near_dup — round-6 verdict item 5)."""
-    from ingestor_etl_spark.catalog import load_table
-    from ingestor_etl_spark.queries.vector_ops import _knn_graph_from, KNN_PLANES
+    from ingestor_etl_spark.queries.vector_ops import KNN_PLANES, _knn_planes
 
     registry = load_all()
     spark = get_spark("ingestor-etl-spark-sf1")
@@ -547,38 +547,18 @@ def _sf1_main() -> None:
         "curation_pipeline",
     ]
 
-    def run_at(sf_dir: str, sf1_planes: bool) -> dict[str, float]:
-        from pyspark.sql import functions as F
-
-        from ingestor_etl_spark.queries.vector_ops import _as_double
-
+    def run_at(sf_dir: str) -> dict[str, float]:
         out = {}
         for name in names:
-            if name == "knn_graph" and sf1_planes:
-                # occupancy rule: bucket count per table is 2^planes,
-                # so plane count tracks log2(corpus) — +3 at 10×.
-                # embedding_near_dup needs no override since round 8:
-                # the registered query derives n_planes + bucket_cap
-                # from its own census (auto_scale in _near_dup_from).
-                e = (
-                    load_table(spark, sf_dir, "embeddings")
-                    .repartition(spark.sparkContext.defaultParallelism)
-                    .select(
-                        "vec_id",
-                        _as_double(F.col("embedding")).alias("v"),
-                    )
-                )
-                df = _knn_graph_from(e, n_planes=KNN_PLANES + 3)
-            else:
-                df = registry[name].fn(spark, sf_dir)
+            df = registry[name].fn(spark, sf_dir)
             out[name] = _time_query(df, 2)
             release_caches()
         return out
 
     import math
 
-    t01 = run_at("/root/testdata/sf0.1", False)
-    t1 = run_at(SF1_DIR, True)
+    t01 = run_at("/root/testdata/sf0.1")
+    t1 = run_at(SF1_DIR)
 
     # 10× protocol throughput (round-7 verdict item 5): same
     # decode+correlate pipeline at 80 files / 400k messages —
@@ -605,7 +585,12 @@ def _sf1_main() -> None:
         "scaling_exponent": {
             n: round(math.log10(t1[n] / t01[n]), 3) for n in names
         },
-        "knn_note": f"sf1 uses n_planes={KNN_PLANES + 3} (occupancy rule)",
+        "knn_note": (
+            "registered query self-scales (auto_scale census): "
+            f"n_planes={_knn_planes(2000)} at sf0.1, "
+            f"{_knn_planes(20000)} at sf1; no bench-side overrides "
+            f"(fixed base KNN_PLANES={KNN_PLANES})"
+        ),
         "protocol_throughput": protocol,
     }
     print(json.dumps(result))
@@ -823,12 +808,14 @@ def _skew_main() -> None:
             "uncollapsed_join_rows": "10×C(100k,2)≈5e13",
         },
     )
-    # knn_graph measured through its REGISTERED exact semantics: the
-    # top-(K+1) member prune keeps expansion linear (m×K edges for
-    # the dup cluster), so the full kNN output itself is bounded.
+    # knn_graph measured through its REGISTERED exact semantics
+    # (auto_scale census, as the registered query runs since round
+    # 9): the top-(K+1) member prune keeps expansion linear (m×K
+    # edges for the dup cluster), so the full kNN output itself is
+    # bounded. ~2k distinct vectors → the census keeps KNN_PLANES.
     run(
         "vector_identical_cluster_knn",
-        _knn_graph_from(vecs),
+        _knn_graph_from(vecs, auto_scale=True),
         {"vecs": 102_000, "dup_cluster_vecs": 100_000, "output": "≈102k×K edges"},
     )
 

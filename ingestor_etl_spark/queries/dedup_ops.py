@@ -273,10 +273,22 @@ JACCARD_HOT_DF = 1024  # df cap defining the "hot head" (HOT_BUCKET_MAX twin)
 def _jaccard_sets(spark, shingled: DataFrame) -> DataFrame:
     """(doc_id, shingles, sz), materialized — feeds the df census
     and both pair plans (shingling's interpreted HOF lambdas are the
-    cost center; run them once)."""
+    cost center; run them once).
+
+    Shingle arrays are forced element-distinct here (ADVICE r8):
+    jaccard_pairs is a public entry point and its two census-routed
+    plans agree only on distinct elements (the uncut plan counts
+    join matches, which duplicates inflate; the PPJoin plan uses
+    array_intersect, which ignores them) — applying array_distinct
+    at the shared input makes the output plan-independent for ANY
+    caller. For every registered query this is a no-op: _shingled
+    already emits array_distinct arrays."""
     from ingestor_etl_spark.plans.layout import materialize
 
-    return materialize(shingled.withColumn("sz", F.size("shingles")))
+    return materialize(
+        shingled.withColumn("shingles", F.array_distinct("shingles"))
+        .withColumn("sz", F.size("shingles"))
+    )
 
 
 def _jaccard_census(sets: DataFrame) -> tuple[int, float, float]:
