@@ -84,44 +84,29 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-8 window head: the query NEW in round 8, then the
-    # queries whose plan round 8 reworked (census-gated exact-Jaccard
-    # pairs + its two consumers; the auto-scaled embedding_near_dup)
-    "xml_ingest",
+    # --- round-9 window head: the queries whose plan round 9
+    # reworked (knn_graph's in-query occupancy census; the shared
+    # _jaccard_sets array_distinct + near-dup sub-split plane fix
+    # inherited by the jaccard trio and embedding_near_dup)
+    "knn_graph",
+    "embedding_near_dup",
     "ngram_jaccard_pairs",
     "cross_source_dup_overlap",
     "dedup_threshold_sweep",
-    "embedding_near_dup",
     # --- longest-unsampled next (rotation: latest driver row round
-    # ascending, r1/r2 first, then r3, r4, ... — regenerated each
-    # round from CORRECTNESS_r0*.json so every query re-verifies on
-    # the current tree within ~3 rounds; round-7 verdict item 4) ---
-    "pcap_diameter_transactions", "pcap_http_camel_diameter",
-    "pcap_http_ss7sms", "pcap_sip_leg_rewrite", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q6_revenue_forecast", "topk_accounts", "tshark_cap_camel",
-    "pcap_diameter_correlated", "pcap_gsm_map_decoded",
-    "pcap_gtp_enriched", "pcap_sip_calls", "pcap_smpp_transactions",
-    "pcap_tcap_transactions", "a1_counters", "a2_unmatched_census",
-    "asof_attribution", "bpe_pair_counts", "contamination_check",
-    "corpus_top_ngrams", "csv_ingest", "curriculum_bins",
-    "doc_chunk_overlap", "doc_fingerprint", "doc_pack_budget",
-    "domain_mixture", "epoch_resample", "events_funnel",
-    "events_hourly_rollup", "events_rolling_7d", "exact_dedup",
-    "html_strip", "importance_resample", "interval_join_events",
-    "j1_request_response", "j2_group_enrich", "j6_sessionize",
-    "j7_error_sessions", "jsonl_ingest", "lang_id", "minhash_signatures",
-    "multimodal_batch_shape", "multimodal_dedup", "multimodal_features",
-    "multimodal_frame_sample", "o3_dedup_events", "orc_ingest",
-    "pii_redact", "pivot_user_event_matrix", "retention_cohorts",
-    "simhash_clusters", "sketch_distinct_users", "sketch_value_quantiles",
-    "stratified_sample", "text_normalize", "text_quality",
-    "text_repetition", "token_count", "url_dedup", "url_normalize",
-    "window_event_navigation", "active_user_stickiness", "ann_pq_topk",
-    "array_functions", "bloom_join_filter", "canonical_docs",
-    "char_entropy", "cms_heavy_hitters", "compaction_plan",
-    "conditional_functions", "cube_revenue", "datetime_functions",
-    "embedding_outliers", "embedding_quantize_int8", "embedding_stats",
+    # ascending — r3 cohort first (19), then r4 (45), r5, ... —
+    # regenerated from CORRECTNESS_r01-r08; round-8 verdict item 2)
+    "multimodal_dedup", "multimodal_features", "multimodal_frame_sample",
+    "o3_dedup_events", "orc_ingest", "pii_redact",
+    "pivot_user_event_matrix", "retention_cohorts", "simhash_clusters",
+    "sketch_distinct_users", "sketch_value_quantiles", "stratified_sample",
+    "text_normalize", "text_quality", "text_repetition", "token_count",
+    "url_dedup", "url_normalize", "window_event_navigation",
+    "active_user_stickiness", "ann_pq_topk", "array_functions",
+    "bloom_join_filter", "canonical_docs", "char_entropy",
+    "cms_heavy_hitters", "compaction_plan", "conditional_functions",
+    "cube_revenue", "datetime_functions", "embedding_outliers",
+    "embedding_quantize_int8", "embedding_stats",
     "event_transition_matrix", "events_gapfill", "frequent_paths",
     "gdpr_delete_audit", "gopher_rules", "halflife_decay",
     "incremental_dedup", "incremental_rollup", "inverted_index_shards",
@@ -154,7 +139,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "events_hourly_heatmap", "exact_substring_dedup",
     "exact_substring_extend", "fixedwidth_ingest", "fk_integrity_audit",
     "funnel_conversion", "hard_negative_mining",
-    "join_cardinality_estimator", "knn_graph", "label_balance_resample",
+    "join_cardinality_estimator", "label_balance_resample",
     "lsh_band_whatif", "lsh_dedup_eval", "minhash_contamination",
     "minhash_jaccard_estimate", "minhash_lsh_pairs",
     "mixture_token_allocation", "multimodal_decode_audio",
@@ -165,6 +150,22 @@ _DRIVER_SAMPLE_PRIORITY = [
     "stream_interval_join_parity", "stream_neardup_parity",
     "stream_session_window_parity", "stream_windowed_counts_parity",
     "stream_zscore_parity", "supplier_lead_time", "vocab_coverage_curve",
+    "a1_counters", "a2_unmatched_census", "asof_attribution",
+    "bpe_pair_counts", "contamination_check", "corpus_top_ngrams",
+    "csv_ingest", "curriculum_bins", "doc_chunk_overlap",
+    "doc_fingerprint", "doc_pack_budget", "domain_mixture",
+    "epoch_resample", "events_funnel", "events_hourly_rollup",
+    "events_rolling_7d", "exact_dedup", "html_strip",
+    "importance_resample", "interval_join_events", "j1_request_response",
+    "j2_group_enrich", "j6_sessionize", "j7_error_sessions",
+    "jsonl_ingest", "lang_id", "minhash_signatures",
+    "multimodal_batch_shape", "pcap_diameter_correlated",
+    "pcap_diameter_transactions", "pcap_gsm_map_decoded",
+    "pcap_gtp_enriched", "pcap_http_camel_diameter", "pcap_http_ss7sms",
+    "pcap_sip_calls", "pcap_sip_leg_rewrite", "pcap_smpp_transactions",
+    "pcap_tcap_transactions", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_revenue_forecast",
+    "topk_accounts", "tshark_cap_camel", "xml_ingest"
 ]
 
 
