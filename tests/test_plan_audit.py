@@ -189,3 +189,45 @@ def test_executed_exchange_budgets(spark, sf_dir):
         release_caches()
         assert "exec_error" not in e, (name, e)
         assert e["exec_exchanges"] <= cap, (name, e)
+
+
+def test_executed_exchange_budget_ppjoin_hot_plan(spark):
+    """Round-8 verdict item 6: the census-gated jaccard_pairs has TWO
+    executed shapes, and only the uncut one is covered by the
+    registry budgets above (oracle-scale corpora never route to
+    PPJoin). Pin the HOT shape on a synthetic boilerplate corpus —
+    one shingle on all 25k docs (hot mass C(25k,2) ≈ 3.1e8 >
+    JACCARD_UNCUT_MASS_MAX, ≫ 2× capped mass) — so a plan regression
+    of the skew path fails an invariant instead of drifting in
+    SKEWBENCH. Measured post-AQE executed count: 6 (dfreq agg, rank
+    window, keyed repartition, candidate distinct, two verify-join
+    shuffles)."""
+    from pyspark.sql import functions as F  # noqa: F401 (corpus expr)
+
+    from ingestor_etl_spark.plans.audit import executed_facts
+    from ingestor_etl_spark.plans.layout import release_caches
+    from ingestor_etl_spark.queries.dedup_ops import (
+        JACCARD_UNCUT_MASS_MAX,
+        _jaccard_census,
+        _jaccard_sets,
+        _use_prefix_plan,
+        jaccard_pairs,
+    )
+
+    hot_docs = spark.range(25_000).selectExpr(
+        "id AS doc_id",
+        "array_distinct(concat("
+        " transform(sequence(0, 3), i -> concat('sh', pmod(hash(id, i), 40000))),"
+        " array('the quick brown')"
+        ")) AS shingles",
+    )
+    # the census must actually route this corpus to the PPJoin plan
+    _, mass, mass_capped = _jaccard_census(_jaccard_sets(spark, hot_docs))
+    release_caches()
+    assert mass > JACCARD_UNCUT_MASS_MAX and _use_prefix_plan(mass, mass_capped)
+
+    e = executed_facts(jaccard_pairs(spark, hot_docs))
+    release_caches()
+    assert "exec_error" not in e, e
+    assert e["exec_pyevals"] == 0, e
+    assert e["exec_exchanges"] <= 6, e
