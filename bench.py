@@ -451,10 +451,14 @@ _SF1_REPS = 10  # sf1 = 10 × sf0.1
 
 
 def _gen_sf1(spark) -> None:
-    """Deterministic 10× scale-up of the sf0.1 tables the five
+    _gen_scaled(spark, SF1_DIR, _SF1_REPS)
+
+
+def _gen_scaled(spark, out_dir: str, n_reps: int) -> None:
+    """Deterministic n_reps× scale-up of the sf0.1 tables the
     slowest queries touch (documents, embeddings, lineitem). The
-    model is "a 10× larger crawl with the same per-shard structure":
-    replica 0 is sf0.1 verbatim; replicas 1-9 are content-decorrelated
+    model is "an n× larger crawl with the same per-shard structure":
+    replica 0 is sf0.1 verbatim; replicas 1+ are content-decorrelated
     so duplicate families, shingle universes, and vector directions
     stay replica-local — matching how independently-crawled shards
     behave, and keeping OUTPUT cardinality linear so the bench
@@ -466,13 +470,14 @@ def _gen_sf1(spark) -> None:
       deterministic per-(k, replica) sign pattern — norm-preserving,
       directions decorrelated across replicas;
     - lineitem: keys offset per replica, measures unchanged.
-    Written once to .sf1data/sf1 (gitignored; regenerate any time)."""
-    os.makedirs(SF1_DIR, exist_ok=True)
+    Written once to .sf1data/ (gitignored; regenerate any time)."""
+    os.makedirs(out_dir, exist_ok=True)
+    SF1_DIR = out_dir  # noqa: N806 — table writes below target out_dir
     src = "/root/testdata/sf0.1"
     rep = "CAST(r.id AS INT)"
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
-    reps = spark.range(_SF1_REPS).alias("r")
+    reps = spark.range(n_reps).alias("r")
     d = docs.crossJoin(reps).selectExpr(
         f"doc_id + {rep} * 5000 AS doc_id",
         f"CASE WHEN r.id = 0 THEN text ELSE "
@@ -594,6 +599,222 @@ def _sf1_main() -> None:
         "protocol_throughput": protocol,
     }
     print(json.dumps(result))
+
+
+# ------------------------------------------ jaccard-family decomposition
+SF03_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".sf1data", "sf0.3"
+)
+
+
+def _jdecomp_main() -> None:
+    """`bench.py --jdecomp` (round-8 verdict item 3): bound the
+    jaccard-family superlinearity. BENCH_SF1 pins the trio's sf0.1→sf1
+    exponents at 1.158/1.136/1.006; SCALING §31 attributes the excess
+    to hash-aggregate group pressure on the pair relation. This mode
+    adds the sf0.3 scale point and decomposes the shared core
+    (jaccard_pairs over the documents shingles) into:
+
+    - mass: Σ C(df,2), the exact join-output row count feeding the
+      aggregate (from the census — plain code, no execution);
+    - groups: distinct (doc_a, doc_b) group count out of the
+      aggregate (the hash-agg state size);
+    - t_join_count: the shared-shingle self-join under a single
+      global count — pair PRODUCTION cost with no per-group state;
+    - t_pairagg: the same join under the (doc_a, doc_b) count
+      aggregate — production + group pressure; the difference
+      isolates what the hash-agg state costs;
+    - t_full: the registered trio verbatim.
+
+    If t_join_count's exponent matches mass's, production is linear
+    and any excess lives in (t_pairagg − t_join_count) — the group
+    state. Exponent pairs over the two intervals (0.1→0.3, 0.3→1)
+    further separate a smooth power law from a memory threshold."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _jaccard_census,
+        _jaccard_sets,
+        _shingled,
+    )
+
+    registry = load_all()
+    spark = get_spark("ingestor-etl-spark-jdecomp")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+        _gen_scaled(spark, SF1_DIR, _SF1_REPS)
+    if not os.path.exists(os.path.join(SF03_DIR, "documents.parquet")):
+        _gen_scaled(spark, SF03_DIR, 3)
+
+    trio = ("ngram_jaccard_pairs", "cross_source_dup_overlap", "dedup_threshold_sweep")
+    scales = {"sf0.1": "/root/testdata/sf0.1", "sf0.3": SF03_DIR, "sf1": SF1_DIR}
+    out: dict[str, dict] = {}
+    for label, sf_dir in scales.items():
+        row: dict[str, object] = {}
+        sets = _jaccard_sets(spark, _shingled(spark, sf_dir))
+        max_df, mass, _ = _jaccard_census(sets)
+        row["max_df"], row["mass_join_rows"] = max_df, mass
+        el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
+        a, b = el.alias("a"), el.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        join_count = joined.agg(F.count(F.lit(1)).alias("n"))
+        pairagg = joined.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).agg(F.count(F.lit(1)).alias("n_shared"))
+        row["t_join_count"] = _time_query(join_count, 2)
+        row["t_pairagg"] = _time_query(pairagg, 2)
+        row["groups"] = pairagg.count()
+        release_caches()
+        for name in trio:
+            row[f"t_{name}"] = _time_query(registry[name].fn(spark, sf_dir), 2)
+            release_caches()
+        out[label] = row
+
+    def expo(metric: str, lo: str, hi: str, decades: float) -> float:
+        return round(
+            math.log10(out[hi][metric] / max(out[lo][metric], 1e-9)) / decades, 3
+        )
+
+    metrics = [
+        "mass_join_rows", "groups", "t_join_count", "t_pairagg",
+        *[f"t_{n}" for n in trio],
+    ]
+    exponents = {
+        m: {
+            "sf0.1->sf0.3": expo(m, "sf0.1", "sf0.3", math.log10(3)),
+            "sf0.3->sf1": expo(m, "sf0.3", "sf1", math.log10(10 / 3)),
+            "sf0.1->sf1": expo(m, "sf0.1", "sf1", 1.0),
+        }
+        for m in metrics
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "jaccard_decomposition",
+                "unit": "sec",
+                "value": round(sum(out["sf1"][f"t_{n}"] for n in trio), 3),
+                "scales": out,
+                "exponents": exponents,
+            }
+        )
+    )
+
+
+# ---------------------------------------------- near-dup cap haircut
+def _haircut_main() -> None:
+    """`bench.py --haircut` (round-8 verdict item 4): measure
+    embedding_near_dup's bucket-cap recall haircut at sf1, where the
+    candidate-mass census actually engages the cap (5.5e7 > 10e6 —
+    it can never fire at oracle scale). Compares the registered
+    auto_scale output (capped) against the uncut contract at the
+    SAME census-chosen plane count (bucket_cap=None), per cos_sim
+    band. capped ⊆ uncapped is pinned by test_wave24; this records
+    the dropped-pair fraction next to the sf0.1 figure in
+    SCALING.md."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.queries.vector_ops import (
+        _as_double,
+        _near_dup_from,
+        _near_dup_planes,
+    )
+
+    spark = get_spark("ingestor-etl-spark-haircut")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if not os.path.exists(os.path.join(SF1_DIR, "embeddings.parquet")):
+        _gen_scaled(spark, SF1_DIR, _SF1_REPS)
+
+    e = (
+        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    )
+
+    def banded(df) -> dict[str, int]:
+        rows = (
+            df.groupBy(
+                F.when(F.col("cos_sim") >= 0.8, "0.80-1.00")
+                .when(F.col("cos_sim") >= 0.6, "0.60-0.80")
+                .otherwise("0.45-0.60")
+                .alias("band")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["band"]: r["n"] for r in rows}
+
+    n_planes = _near_dup_planes(e.select("v").distinct().count())
+    capped = banded(_near_dup_from(e, auto_scale=True))
+    release_caches()
+    uncapped = banded(_near_dup_from(e, n_planes=n_planes, bucket_cap=None))
+    release_caches()
+    bands = sorted(set(capped) | set(uncapped))
+    total_c, total_u = sum(capped.values()), sum(uncapped.values())
+    print(
+        json.dumps(
+            {
+                "metric": "near_dup_cap_haircut_sf1",
+                "unit": "dropped_pair_fraction",
+                "value": round(1 - total_c / max(total_u, 1), 6),
+                "n_planes": n_planes,
+                "pairs_capped": total_c,
+                "pairs_uncapped": total_u,
+                "per_band": {
+                    b: {
+                        "capped": capped.get(b, 0),
+                        "uncapped": uncapped.get(b, 0),
+                        "dropped_fraction": round(
+                            1 - capped.get(b, 0) / max(uncapped.get(b, 0), 1), 6
+                        ),
+                    }
+                    for b in bands
+                },
+            }
+        )
+    )
+
+
+# -------------------------------------------------- protocol variance
+def _protocol_main() -> None:
+    """`bench.py --protocol` (round-8 verdict item 7): the pinned
+    protocol-throughput recipe. Same-session runs spanned 2×
+    (44.9k–85.1k msgs/s in BENCH_LOCAL_r08) because the 0.5-0.7 s
+    pipeline is small against scheduler/GC noise on a shared 32-core
+    VM. Recipe (also in SCALING.md): idle box, ONE Spark session,
+    warm-up job, then N ≥ 5 independent measurements of the same
+    decode+correlate pipeline (each itself best-of-3 noop writes);
+    report best with ALL runs recorded. Best-of is the right
+    estimator for a fixed workload: contention only ever adds time."""
+    n = int(os.environ.get("SPARK_GRAFT_PROTOCOL_RUNS", "5"))
+    spark = get_spark("ingestor-etl-spark-protocol")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    runs = []
+    for _ in range(n):
+        runs.append(bench_protocol_throughput(spark))
+        release_caches()
+    best = max(runs, key=lambda p: p["msgs_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "protocol_throughput_recipe",
+                "unit": "msgs_per_sec",
+                "value": best["msgs_per_sec"],
+                "n_runs": n,
+                "best": best,
+                "runs_msgs_per_sec": [r["msgs_per_sec"] for r in runs],
+                "runs_sec": [r["sec"] for r in runs],
+            }
+        )
+    )
 
 
 # ----------------------------------------------------------- skew stress
@@ -865,5 +1086,11 @@ if __name__ == "__main__":
         _skew_main()
     elif "--sf1" in sys.argv:
         _sf1_main()
+    elif "--jdecomp" in sys.argv:
+        _jdecomp_main()
+    elif "--haircut" in sys.argv:
+        _haircut_main()
+    elif "--protocol" in sys.argv:
+        _protocol_main()
     else:
         main()
