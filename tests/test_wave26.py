@@ -1,0 +1,78 @@
+"""Wave-26 (round 9): knn_graph's in-query occupancy census (round-8
+verdict item 1) and the sub-split plane-independence fix (round-8
+advice). Oracle parity for the registered query runs in
+test_oracle_parity; these pin the census itself — identity at oracle
+scales, the documented sf1 configuration above them, and output
+equality between the auto-scaled and fixed-parameter forms where the
+rule is the identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestor_etl_spark.plans.layout import release_caches
+from ingestor_etl_spark.queries.vector_ops import (
+    KNN_PLANES,
+    N_PLANES,
+    N_TABLES,
+    _as_double,
+    _hyperplanes,
+    _hyperplanes_at,
+    _knn_graph_from,
+    _knn_planes,
+    _spark_bucket,
+    _spark_bucket_at,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_knn_occupancy_rule_calibration():
+    """Identity at every driver-oracle scale (so the fixed-plane
+    DuckDB oracle is untouched), the measured sf1 configuration
+    (KNN_PLANES + 3) at 10×, monotone above."""
+    assert _knn_planes(500) == KNN_PLANES  # sf0.01
+    assert _knn_planes(2_000) == KNN_PLANES  # sf0.1
+    assert _knn_planes(2_560) == KNN_PLANES  # identity-range edge
+    assert _knn_planes(2_561) == KNN_PLANES + 1
+    assert _knn_planes(20_000) == KNN_PLANES + 3  # sf1
+    assert _knn_planes(200_000) > _knn_planes(20_000)
+
+
+def test_knn_auto_equals_fixed_at_oracle_scale(spark):
+    """Inside the identity range the auto census must leave the plan
+    on the fixed plane count — output identical to the
+    fixed-parameter form (this is what keeps the driver's sf0.01
+    oracle row untouched)."""
+    from ingestor_etl_spark.catalog import load_table
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    auto = _knn_graph_from(e, auto_scale=True).collect()
+    release_caches()
+    fixed = _knn_graph_from(e).collect()
+    release_caches()
+    assert auto == fixed
+
+
+def test_subsplit_planes_independent_of_main_tables():
+    """Round-8 advice: the hot-bucket sub-split bits must come from
+    plane-family indices DISJOINT from every main table at ANY
+    auto-scaled plane count — the old fixed _spark_bucket(N_TABLES, 4)
+    family (indices 40-43) collides with tables 5-6 once n_planes
+    rises above 4, collapsing the 16-way sub-split exactly where the
+    cap engages."""
+    for n_planes in (N_PLANES, 7, 9):
+        main = [
+            tuple(p) for t in range(N_TABLES) for p in _hyperplanes(t, n_planes)
+        ]
+        xbits = [tuple(p) for p in _hyperplanes_at(N_TABLES * n_planes, 4)]
+        assert not set(main) & set(xbits), n_planes
+
+
+def test_subsplit_unchanged_at_fixed_config():
+    """With the fixed 4-plane config the new indexing is exactly the
+    old family (indices 40-43), so every pinned capped output is
+    unchanged."""
+    assert _spark_bucket_at(N_TABLES * N_PLANES, 4) == _spark_bucket(N_TABLES, 4)
