@@ -84,10 +84,12 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-9 window head: the queries whose plan round 9
-    # reworked (knn_graph's in-query occupancy census; the shared
-    # _jaccard_sets array_distinct + near-dup sub-split plane fix
-    # inherited by the jaccard trio and embedding_near_dup)
+    # --- round-9 window head: the query NEW in round 9, then the
+    # queries whose plan round 9 reworked (knn_graph's in-query
+    # occupancy census; the shared _jaccard_sets array_distinct +
+    # near-dup sub-split plane fix inherited by the jaccard trio and
+    # embedding_near_dup)
+    "ann_ivf_pq",
     "knn_graph",
     "embedding_near_dup",
     "ngram_jaccard_pairs",

@@ -176,6 +176,8 @@ EXTENDED = [
     "dedup_threshold_sweep",
     # round-8 addition
     "xml_ingest",
+    # round-9 addition
+    "ann_ivf_pq",
 ]
 
 

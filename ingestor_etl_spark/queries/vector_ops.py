@@ -965,6 +965,223 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------ IVF + PQ
+IVFPQ_POOL = 10  # ADC shortlist size fed to the exact re-rank
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ivf_cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id IN {CENTROID_IDS}
+    ),
+    ivf_scored AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cid) AS crnk
+      FROM e CROSS JOIN ivf_cents c
+    ),
+    assigned AS (SELECT vec_id, cid FROM ivf_scored WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM ivf_scored
+      WHERE crnk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    subs AS (
+      SELECT vec_id, s.sub,
+             v[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+    ),
+    pq_cents AS (
+      SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv
+      FROM subs
+      WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}
+    ),
+    pq_assign AS (
+      SELECT x.vec_id, x.sub, c.cid,
+             row_number() OVER (
+               PARTITION BY x.vec_id, x.sub
+               ORDER BY (list_dot_product(x.sv, x.sv)
+                         - 2 * list_dot_product(x.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), c.cid) AS rnk
+      FROM subs x JOIN pq_cents c USING (sub)
+    ),
+    codes AS (SELECT vec_id, sub, cid FROM pq_assign WHERE rnk = 1),
+    qd AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cid,
+             CAST(round((list_dot_product(q.sv, q.sv)
+                         - 2 * list_dot_product(q.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), 4)
+                  AS DECIMAL(12,4)) AS d
+      FROM subs q JOIN pq_cents c USING (sub)
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(qd.d) AS DOUBLE) AS approx_dist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.neighbor_id
+      JOIN qd ON qd.query_id = cand.query_id
+             AND qd.sub = codes.sub AND qd.cid = codes.cid
+      GROUP BY cand.query_id, cand.neighbor_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS prnk
+      FROM adc
+    ),
+    rerank AS (
+      SELECT p.query_id, p.neighbor_id, p.approx_dist,
+             round(list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+      FROM pool p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = p.neighbor_id
+      WHERE p.prnk <= {IVFPQ_POOL}
+    )
+    SELECT query_id, neighbor_id, cos_sim, approx_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM rerank
+    ) WHERE rnk <= {IVF_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "ivf", "pq"),
+)
+def ann_ivf_pq(spark, sf_dir):
+    """IVF + PQ with exact re-rank — the production billion-scale ANN
+    stack (FAISS IVFPQ + refine): the IVF coarse quantizer restricts
+    each query to its {nprobe} probed inverted lists, PQ asymmetric
+    distances shortlist {pool} candidates per query WITHOUT touching
+    full vectors, and only the shortlist pays an exact cosine for the
+    final top-{k}. At 100 TB this is the only affordable shape: the
+    corpus is scanned once to assign + encode (both against broadcast
+    codebooks — no corpus shuffle), query-time math is
+    table-lookups + one tiny re-rank join.
+
+    Plan: both centroid tables (8 IVF seeds, {pqk}×{subs} PQ
+    codebook) broadcast; candidate generation is the probes ⋈
+    assigned equi-join on cid (list sizes balanced by the space
+    partition); ADC = broadcast lookup-table join + (query, neighbor)
+    sum — DECIMAL(12,4) per-subspace terms so the sum is order-free
+    and cross-engine exact (the ann_pq_topk parity pattern); the
+    exact re-rank touches ≤ {pool} rows per query. Composes the
+    ann_ivf coarse pass and the ann_pq_topk codebooks unchanged —
+    same seeds, same argmin tie-breaks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # --- IVF coarse pass (ann_ivf's assignment, verbatim) ---
+    ivf_cents = e.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    csim = cosine(F.col("v"), F.col("cv"))
+    ivf_scored = e.crossJoin(F.broadcast(ivf_cents)).select(
+        "vec_id", "cid", csim.alias("sim")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    ivf_ranked = ivf_scored.withColumn("crnk", F.row_number().over(wc))
+    assigned = ivf_ranked.where("crnk = 1").select("vec_id", "cid")
+    probes = ivf_ranked.where(
+        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    # --- PQ encode + ADC tables (ann_pq_topk's codebooks, verbatim) ---
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    pq_cents = subs.where(
+        (F.col("vec_id") >= PQ_SEED_BASE)
+        & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
+    ).select(
+        (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
+        "sub",
+        F.col("sv").alias("cv"),
+    )
+    sv, cv = F.col("sv"), F.col("cv")
+    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
+    codes = (
+        subs.join(F.broadcast(pq_cents), "sub")
+        .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    )
+    qd = (
+        subs.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(pq_cents), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            F.round(l2, 4).cast("decimal(12,4)").alias("d"),
+        )
+    )
+    # --- ADC over the IVF candidates only ---
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("double").alias("approx_dist"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    pool = adc.withColumn("prnk", F.row_number().over(wp)).where(
+        F.col("prnk") <= IVFPQ_POOL
+    )
+    # --- exact re-rank of the shortlist only ---
+    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rerank = (
+        pool.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_sim"),
+            "approx_dist",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "approx_dist", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+ann_ivf_pq.__doc__ = ann_ivf_pq.__doc__.format(
+    nprobe=NPROBE, pool=IVFPQ_POOL, k=IVF_TOPK, pqk=PQ_K, subs=PQ_SUBS
+)
+
+
 # ------------------------------------------------------------ vector hygiene
 @register(
     "embedding_stats",

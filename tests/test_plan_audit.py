@@ -16,6 +16,9 @@ from ingestor_etl_spark.plans.audit import audit_all
 BNL_ALLOWED = {
     "ann_cosine_topk",
     "ann_ivf",
+    # 8-row IVF-centroid broadcast into the assignment cross join —
+    # same shape as ann_ivf (round 9)
+    "ann_ivf_pq",
     "q22_idle_customers",
     # 1-row scalar-subquery (global total) broadcast into the HAVING
     # filter — literal-side by construction, same shape as q22
