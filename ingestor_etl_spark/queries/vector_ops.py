@@ -966,13 +966,28 @@ def ann_pq_topk(spark, sf_dir):
 
 
 # ------------------------------------------------------------ IVF + PQ
-IVFPQ_POOL = 10  # ADC shortlist size fed to the exact re-rank
+# ADC shortlist size fed to the exact re-rank — the FAISS "refine
+# factor" knob, 10× the final k. Measured recall@3 vs exact at
+# sf0.01: pool 10 → 0.25, pool 30 → 0.35, against the IVF
+# restrict's own 0.483 ceiling (ann_ivf, exact over the full probed
+# lists) — the gap to the ceiling is quantization noise from the
+# deterministic untrained 16-centroid codebook (production trains
+# Lloyd's offline; these seeds exist for cross-engine bit-parity).
+# The re-rank still touches ≤30 full vectors per query, ~¼ of the
+# probed-list mass at this scale and a vanishing fraction at 100 TB.
+IVFPQ_POOL = 30
 
 
 @register(
     "ann_ivf_pq",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
     ivf_cents AS (
       SELECT vec_id AS cid, v AS cv FROM e
       WHERE vec_id IN {CENTROID_IDS}
@@ -998,7 +1013,7 @@ IVFPQ_POOL = 10  # ADC shortlist size fed to the exact re-rank
     ),
     subs AS (
       SELECT vec_id, s.sub,
-             v[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+             nv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
       FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
     ),
     pq_cents AS (
@@ -1079,8 +1094,11 @@ def ann_ivf_pq(spark, sf_dir):
     sum — DECIMAL(12,4) per-subspace terms so the sum is order-free
     and cross-engine exact (the ann_pq_topk parity pattern); the
     exact re-rank touches ≤ {pool} rows per query. Composes the
-    ann_ivf coarse pass and the ann_pq_topk codebooks unchanged —
-    same seeds, same argmin tie-breaks."""
+    ann_ivf coarse pass unchanged; the PQ codebooks use the same
+    seeds and argmin tie-breaks as ann_pq_topk but encode NORMALIZED
+    vectors, because this operator's metric is cosine — see the
+    in-body note (ADC becomes 2 − 2·cos, monotone in the re-rank
+    score)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
@@ -1103,13 +1121,26 @@ def ann_ivf_pq(spark, sf_dir):
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    # --- PQ encode + ADC tables (ann_pq_topk's codebooks, verbatim) ---
+    # --- PQ encode + ADC tables over NORMALIZED vectors ---
+    # Unlike ann_pq_topk (whose contract is L2 on raw vectors), this
+    # operator's final metric is cosine, so sub-vectors come from
+    # nv = v/‖v‖: ADC then approximates ‖nq − nn‖² = 2 − 2·cos —
+    # MONOTONE in cosine — so the shortlist ranks candidates in the
+    # same order the re-rank scores them (the standard
+    # normalize-then-L2 trick for cosine/IP search). Measured at
+    # sf0.01: raw-vector encoding agreed with ann_ivf's exact
+    # in-list search on only 20/60 edges; normalized encoding's
+    # shortlist is rank-consistent up to quantization error.
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     subs = e.select(
+        "vec_id",
+        F.transform("v", lambda x: x / norm).alias("nv"),
+    ).select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
                     for s in range(PQ_SUBS)
                 ]
             )

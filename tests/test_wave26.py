@@ -76,3 +76,30 @@ def test_subsplit_unchanged_at_fixed_config():
     old family (indices 40-43), so every pinned capped output is
     unchanged."""
     assert _spark_bucket_at(N_TABLES * N_PLANES, 4) == _spark_bucket(N_TABLES, 4)
+
+
+def test_ann_ivf_pq_recall_floor(spark):
+    """The IVF+PQ+refine stack's quality pin (round 9): recall@3
+    against the exact brute-force oracle must hold its measured floor
+    (0.35 at sf0.01 with pool 30; the IVF restrict's own ceiling is
+    0.483 — see the IVFPQ_POOL note). Exactness of what IS emitted is
+    the oracle row's job; this guards the quality knob."""
+    from collections import defaultdict
+
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    exact = reg["ann_cosine_topk"].fn(spark, SF).collect()
+    release_caches()
+    ex = defaultdict(list)
+    for r in exact:
+        if r.rnk <= 3:
+            ex[r.query_id].append(r.neighbor_id)
+    total = sum(len(v) for v in ex.values())
+    edges = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["ann_ivf_pq"].fn(spark, SF).collect()
+    }
+    release_caches()
+    hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
+    assert hits / total >= 0.30, (hits, total)
