@@ -967,15 +967,251 @@ def ann_pq_topk(spark, sf_dir):
 
 # ------------------------------------------------------------ IVF + PQ
 # ADC shortlist size fed to the exact re-rank — the FAISS "refine
-# factor" knob, 10× the final k. Measured recall@3 vs exact at
-# sf0.01: pool 10 → 0.25, pool 30 → 0.35, against the IVF
-# restrict's own 0.483 ceiling (ann_ivf, exact over the full probed
-# lists) — the gap to the ceiling is quantization noise from the
-# deterministic untrained 16-centroid codebook (production trains
-# Lloyd's offline; these seeds exist for cross-engine bit-parity).
-# The re-rank still touches ≤30 full vectors per query, ~¼ of the
-# probed-list mass at this scale and a vanishing fraction at 100 TB.
+# factor" knob, 10× the final k. The re-rank touches ≤30 full
+# vectors per query, a vanishing fraction of the corpus at 100 TB.
 IVFPQ_POOL = 30
+
+# Deterministic Lloyd refinement rounds (round 10 — round-9 verdict
+# item 1: the untrained seed quantizers capped recall@3 at 0.35
+# against the untrained-IVF restrict's own 0.483 ceiling). A FIXED
+# iteration count with seed-row init is fully deterministic, so both
+# engines can run it unrolled (the pagerank_dup_graph pattern for
+# pinned iterative algorithms). Measured recall@3 vs exact at
+# sf0.01, NPROBE=2, pool 30 (prototype sweep, L2-on-normalized coarse
+# stage): (ivf_iters, pq_iters) (0,0) → 0.350, (0,2) → 0.383 —
+# the untrained coarse ceiling binds — (3,2) → 0.467, (4,2) → 0.500
+# with the trained-coarse ceiling at 0.650. (4,2) clears the
+# round-9 target (≥ 0.43 = 90% of the old ceiling) with margin;
+# further PQ rounds were flat (±0.02) and further IVF rounds
+# regressed to 0.467 at 5.
+IVF_ITERS = 4
+PQ_ITERS = 2
+
+
+def _lloyd_refine(points, cents, iters, dim, keys=()):
+    """Deterministic Lloyd refinement, cross-engine exact: ``iters``
+    fixed rounds of assign → mean → carry-over starting from the
+    seed-row centroids. ``points`` is (*keys, vec_id, pv) with
+    ``dim``-element vectors, ``cents`` is (*keys, cid, cv); with
+    ``keys=("sub",)`` each PQ subspace trains independently in the
+    same pass.
+
+    Exactness contract (what lets the DuckDB oracle unroll the same
+    rounds and hash-match): assignment is an argmin over struct
+    (distance, cid) — tie-break on cid — using the identical
+    left-fold L2 both engines already share; the mean update stages
+    components as round(x·10⁶) → BIGINT sums (order-free exact,
+    and integer-fast where a DECIMAL aggregation pays BigDecimal
+    boxing per element) and recovers the mean as
+    (CAST(sum AS DOUBLE) / 10⁶) / count — every step correctly
+    rounded and identical on both engines, so the refined centroids
+    are bit-identical doubles; empty clusters carry the previous
+    centroid (the oracle's COALESCE after a left join).
+
+    Execution shape — the k-means coordinator pattern (what FAISS
+    does when it trains: centroid state lives with the coordinator,
+    each round is one pass over the data): the points relation is
+    materialized ONCE (scan + normalize never re-execute), then each
+    round is a SINGLE distributed job — per-row argmin projection
+    against the current centroids embedded as literals (no join, no
+    shuffle of the vectors), one map-side-combinable aggregation to
+    (keys, cid) groups carrying ``dim`` per-dimension long sums (no
+    row explosion — the shuffle moves ≤ K rows per key), and a ≤ K-row
+    collect of the sums (≤ 512 doubles here — KB-sized BY
+    CONSTRUCTION at any corpus size, so the driver round-trip is
+    scale-safe, unlike collecting data). The trained codebook returns
+    as a literal-backed DataFrame for the downstream broadcast joins.
+    At 100 TB you would train on a deterministic hash-sample of the
+    corpus (pmod(hash(id), K) = 0) rather than the full table — at
+    test scales the full pass is cheaper than the sample's extra
+    stage."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    ks = list(keys)
+    pv = F.col("pv")
+
+    def py_dot(a, b):
+        # the engines' sequential left-fold, op-for-op (exact IEEE
+        # parity with aggregate(zip_with(...)) / list_dot_product)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # seed centroids: {key_tuple: [(cid, [components...]), ...]}
+    books: dict[tuple, list[tuple]] = {}
+    for row in cents.collect():
+        key = tuple(row[k] for k in ks)
+        books.setdefault(key, []).append((row["cid"], list(row["cv"])))
+    for key in books:
+        books[key].sort()
+
+    # ‖p‖² once per point so the per-pair distance is one zip-fold;
+    # the left-assoc (pp − 2·pc) + cc is exactly the oracle's
+    # expression. Callers repartition BELOW the normalize projection
+    # so this cache fills in parallel (see ann_ivf_pq's et).
+    points = materialize(points.withColumn("pp", _dot(pv, pv)))
+
+    # expressions are built as single SQL strings — constructing the
+    # ~K·dim literal codebook as Column objects costs one py4j
+    # round-trip PER literal (~0.5 s/round of pure driver overhead);
+    # one selectExpr string is one round-trip and Catalyst
+    # constant-folds the literal array exactly the same.
+    def _d(x: float) -> str:
+        # repr() round-trips binary64 exactly; Spark's parser is
+        # correctly rounded, so the literal is the identical double
+        return f"{x!r}D"
+
+    def cbook_sql() -> str:
+        def arr(book):
+            return (
+                "array("
+                + ", ".join(
+                    f"named_struct('cid', {cid}L, "
+                    f"'cv', array({', '.join(_d(x) for x in cv)}), "
+                    f"'cc', {_d(py_dot(cv, cv))})"
+                    for cid, cv in book
+                )
+                + ")"
+            )
+
+        if not ks:
+            return arr(books[()])
+        whens = " ".join(
+            f"WHEN {ks[0]} = {key[0]} THEN {arr(book)}"
+            for key, book in sorted(books.items())
+        )
+        return f"CASE {whens} END"
+
+    dot_sql = (
+        "aggregate(zip_with(pv, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    for _ in range(iters):
+        assign = points.selectExpr(
+            *ks,
+            f"array_min(transform({cbook_sql()}, c -> named_struct("
+            f"'d', (pp - 2 * {dot_sql}) + c.cc, 'cid', c.cid))).cid AS cid",
+            "pv",
+        )
+        upd = (
+            assign.groupBy(*ks, "cid")
+            .agg(
+                F.expr("count(1) AS n"),
+                *[
+                    F.expr(
+                        f"sum(cast(round(element_at(pv, {i + 1})"
+                        f" * 1000000.0) as bigint)) AS s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        fresh: dict[tuple, dict] = {}
+        for row in upd:
+            key = tuple(row[k] for k in ks)
+            fresh[key] = fresh.get(key, {})
+            fresh[key][row["cid"]] = [
+                (float(row[f"s{i}"]) / 1e6) / row["n"] for i in range(dim)
+            ]
+        books = {
+            key: [
+                # empty cluster: carry the previous centroid
+                (cid, fresh.get(key, {}).get(cid, cv))
+                for cid, cv in book
+            ]
+            for key, book in books.items()
+        }
+
+    spark = points.sparkSession
+    rows = [
+        (*key, cid, cv) for key, book in books.items() for cid, cv in book
+    ]
+    schema = ", ".join(
+        [*[f"{k} INT" for k in ks], "cid BIGINT", "cv ARRAY<DOUBLE>"]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _sql_lloyd(prefix, src, seed_sql, iters, keys, dim):
+    """Unrolled-CTE mirror of ``_lloyd_refine`` for the DuckDB oracle
+    (the pagerank_dup_graph pattern): emits ``{prefix}_c0`` (seed) ..
+    ``{prefix}_c{iters}``; each round is assign (argmin L2, cid-asc
+    ties) → exact long-staged elementwise mean (parallel-unnest zip
+    of the components against range(1, dim+1); round(x·10⁶) BIGINT
+    sums, mean recovered as (CAST(sum AS DOUBLE)/10⁶)/count — the
+    _lloyd_refine contract) → empty-cluster carry-over. ``src`` must
+    expose (*keys, vec_id, pv)."""
+    kp = "".join(f"{k}, " for k in keys)
+    xkp = "".join(f"x.{k}, " for k in keys)
+    ckp = "".join(f"c.{k}, " for k in keys)
+    ctes = [f"{prefix}_c0 AS ({seed_sql})"]
+    for k in range(1, iters + 1):
+        prev = f"{prefix}_c{k - 1}"
+        joinc = (
+            f"JOIN {prev} c USING ({', '.join(keys)})"
+            if keys
+            else f"CROSS JOIN {prev} c"
+        )
+        ctes.append(
+            f"""{prefix}_a{k} AS (
+      SELECT {xkp}x.vec_id, x.pv, c.cid,
+             row_number() OVER (
+               PARTITION BY {xkp}x.vec_id
+               ORDER BY (list_dot_product(x.pv, x.pv)
+                         - 2 * list_dot_product(x.pv, c.cv))
+                        + list_dot_product(c.cv, c.cv), c.cid) AS rnk
+      FROM {src} x {joinc}
+    )"""
+        )
+        ctes.append(
+            f"""{prefix}_u{k} AS (
+      SELECT {kp}cid, pos,
+             (CAST(sum(xl) AS DOUBLE) / 1000000.0) / count(*) AS m
+      FROM (
+        SELECT {kp}cid, unnest(range(1, {dim + 1})) AS pos,
+               CAST(round(unnest(pv) * 1000000.0) AS BIGINT) AS xl
+        FROM {prefix}_a{k} WHERE rnk = 1
+      ) GROUP BY {kp}cid, pos
+    )"""
+        )
+        ctes.append(
+            f"""{prefix}_n{k} AS (
+      SELECT {kp}cid, list(m ORDER BY pos) AS cv
+      FROM {prefix}_u{k} GROUP BY {kp}cid
+    )"""
+        )
+        ctes.append(
+            f"""{prefix}_c{k} AS (
+      SELECT {ckp}c.cid, COALESCE(n.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN {prefix}_n{k} n USING ({kp}cid)
+    )"""
+        )
+    return ctes
+
+
+_IVFPQ_LLOYD_CTES = ",\n    ".join(
+    [
+        *_sql_lloyd(
+            "ivf",
+            "nve",
+            f"SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id IN {CENTROID_IDS}",
+            IVF_ITERS,
+            (),
+            DIM,
+        ),
+        *_sql_lloyd(
+            "pq",
+            "psubs",
+            f"SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv FROM subs "
+            f"WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}",
+            PQ_ITERS,
+            ("sub",),
+            PQ_SUBDIM,
+        ),
+    ]
+)
 
 
 @register(
@@ -988,18 +1224,22 @@ IVFPQ_POOL = 30
                                               embedding::DOUBLE[]))) AS nv
       FROM embeddings
     ),
-    ivf_cents AS (
-      SELECT vec_id AS cid, v AS cv FROM e
-      WHERE vec_id IN {CENTROID_IDS}
+    nve AS (SELECT vec_id, nv AS pv FROM e),
+    subs AS (
+      SELECT vec_id, s.sub,
+             nv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
     ),
+    psubs AS (SELECT vec_id, sub, sv AS pv FROM subs),
+    {_IVFPQ_LLOYD_CTES},
     ivf_scored AS (
       SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY list_dot_product(e.v, c.cv)
-                                  / (sqrt(list_dot_product(e.v, e.v))
-                                     * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                ORDER BY (list_dot_product(e.nv, e.nv)
+                                          - 2 * list_dot_product(e.nv, c.cv))
+                                         + list_dot_product(c.cv, c.cv),
                                 c.cid) AS crnk
-      FROM e CROSS JOIN ivf_cents c
+      FROM e CROSS JOIN ivf_c{IVF_ITERS} c
     ),
     assigned AS (SELECT vec_id, cid FROM ivf_scored WHERE crnk = 1),
     probes AS (
@@ -1011,16 +1251,6 @@ IVFPQ_POOL = 30
       FROM probes p JOIN assigned a ON a.cid = p.cid
       WHERE a.vec_id <> p.query_id
     ),
-    subs AS (
-      SELECT vec_id, s.sub,
-             nv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
-      FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
-    ),
-    pq_cents AS (
-      SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv
-      FROM subs
-      WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}
-    ),
     pq_assign AS (
       SELECT x.vec_id, x.sub, c.cid,
              row_number() OVER (
@@ -1028,7 +1258,7 @@ IVFPQ_POOL = 30
                ORDER BY (list_dot_product(x.sv, x.sv)
                          - 2 * list_dot_product(x.sv, c.cv))
                         + list_dot_product(c.cv, c.cv), c.cid) AS rnk
-      FROM subs x JOIN pq_cents c USING (sub)
+      FROM subs x JOIN pq_c{PQ_ITERS} c USING (sub)
     ),
     codes AS (SELECT vec_id, sub, cid FROM pq_assign WHERE rnk = 1),
     qd AS (
@@ -1037,7 +1267,7 @@ IVFPQ_POOL = 30
                          - 2 * list_dot_product(q.sv, c.cv))
                         + list_dot_product(c.cv, c.cv), 4)
                   AS DECIMAL(12,4)) AS d
-      FROM subs q JOIN pq_cents c USING (sub)
+      FROM subs q JOIN pq_c{PQ_ITERS} c USING (sub)
       WHERE q.vec_id < {N_QUERIES}
     ),
     adc AS (
@@ -1087,55 +1317,54 @@ def ann_ivf_pq(spark, sf_dir):
     codebooks — no corpus shuffle), query-time math is
     table-lookups + one tiny re-rank join.
 
-    Plan: both centroid tables (8 IVF seeds, {pqk}×{subs} PQ
-    codebook) broadcast; candidate generation is the probes ⋈
+    Both quantizers are Lloyd-TRAINED (round 10): {ivf_iters} rounds
+    for the 8 coarse centroids and {pq_iters} per PQ subspace, seeded
+    from the same fixed corpus rows as before — see _lloyd_refine for
+    the determinism/exactness contract and the measured recall table
+    at IVF_ITERS (0.35 untrained → 0.50 trained at sf0.01). The
+    coarse stage runs entirely on NORMALIZED vectors with L2 argmin —
+    the k-means-consistent metric once centroids are means (cosine
+    to a non-unit mean ranks differently); on unit inputs
+    L2² = 2 − 2·cos, so probing still follows the cosine geometry.
+
+    Plan: both trained centroid tables (8 IVF rows, {pqk}×{subs} PQ
+    codebook — literal-backed local relations, so training never
+    re-executes downstream) broadcast; candidate generation is the
+    probes ⋈
     assigned equi-join on cid (list sizes balanced by the space
     partition); ADC = broadcast lookup-table join + (query, neighbor)
     sum — DECIMAL(12,4) per-subspace terms so the sum is order-free
     and cross-engine exact (the ann_pq_topk parity pattern); the
-    exact re-rank touches ≤ {pool} rows per query. Composes the
-    ann_ivf coarse pass unchanged; the PQ codebooks use the same
-    seeds and argmin tie-breaks as ann_pq_topk but encode NORMALIZED
-    vectors, because this operator's metric is cosine — see the
-    in-body note (ADC becomes 2 − 2·cos, monotone in the re-rank
-    score)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    # --- IVF coarse pass (ann_ivf's assignment, verbatim) ---
-    ivf_cents = e.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    csim = cosine(F.col("v"), F.col("cv"))
-    ivf_scored = e.crossJoin(F.broadcast(ivf_cents)).select(
-        "vec_id", "cid", csim.alias("sim")
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    ivf_ranked = ivf_scored.withColumn("crnk", F.row_number().over(wc))
-    assigned = ivf_ranked.where("crnk = 1").select("vec_id", "cid")
-    probes = ivf_ranked.where(
-        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
-    cand = (
-        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    # --- PQ encode + ADC tables over NORMALIZED vectors ---
-    # Unlike ann_pq_topk (whose contract is L2 on raw vectors), this
-    # operator's final metric is cosine, so sub-vectors come from
-    # nv = v/‖v‖: ADC then approximates ‖nq − nn‖² = 2 − 2·cos —
-    # MONOTONE in cosine — so the shortlist ranks candidates in the
-    # same order the re-rank scores them (the standard
-    # normalize-then-L2 trick for cosine/IP search). Measured at
-    # sf0.01: raw-vector encoding agreed with ann_ivf's exact
-    # in-list search on only 20/60 edges; normalized encoding's
-    # shortlist is rank-consistent up to quantization error.
+    exact re-rank touches ≤ {pool} rows per query. The PQ codebooks
+    encode NORMALIZED sub-vectors, because this operator's metric is
+    cosine — ADC approximates 2 − 2·cos, monotone in the re-rank
+    score (the standard normalize-then-L2 trick for cosine/IP
+    search)."""
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    subs = e.select(
-        "vec_id",
-        F.transform("v", lambda x: x / norm).alias("nv"),
-    ).select(
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    # training-side twin of e, materialized ONCE: the repartition
+    # sits BELOW the normalize projection, so the small
+    # single-partition parquet scan fans out before the per-element
+    # math and the cache fills in parallel instead of on one task.
+    # Seeds, IVF points, and PQ sub-vectors all project from this
+    # cache, and the IVF and PQ trainings run CONCURRENTLY (they are
+    # data-independent; Spark schedules jobs from both threads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ingestor_etl_spark.plans.layout import materialize
+
+    et = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et.count()  # prefill before the two training threads share it
+    tsubs = et.select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -1146,13 +1375,61 @@ def ann_ivf_pq(spark, sf_dir):
             )
         ).alias("sub", "sv"),
     )
-    pq_cents = subs.where(
-        (F.col("vec_id") >= PQ_SEED_BASE)
-        & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
-    ).select(
-        (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
-        "sub",
-        F.col("sv").alias("cv"),
+    with ThreadPoolExecutor(2) as pool_:
+        fut_ivf = pool_.submit(
+            _lloyd_refine,
+            et.select("vec_id", F.col("nv").alias("pv")),
+            et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            ),
+            IVF_ITERS,
+            DIM,
+        )
+        fut_pq = pool_.submit(
+            _lloyd_refine,
+            tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
+            tsubs.where(
+                (F.col("vec_id") >= PQ_SEED_BASE)
+                & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
+            ).select(
+                (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
+                "sub",
+                F.col("sv").alias("cv"),
+            ),
+            PQ_ITERS,
+            PQ_SUBDIM,
+            ("sub",),
+        )
+        ivf_cents = fut_ivf.result()
+        pq_cents = fut_pq.result()
+    # --- IVF coarse pass: Lloyd-trained centroids, L2 on nv ---
+    nvc, cvc = F.col("nv"), F.col("cv")
+    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
+    ivf_scored = e.crossJoin(F.broadcast(ivf_cents)).select(
+        "vec_id", "cid", cl2.alias("d2")
+    )
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ivf_ranked = ivf_scored.withColumn("crnk", F.row_number().over(wc))
+    assigned = ivf_ranked.where("crnk = 1").select("vec_id", "cid")
+    probes = ivf_ranked.where(
+        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    # --- PQ encode + ADC tables over NORMALIZED sub-vectors ---
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
     )
     sv, cv = F.col("sv"), F.col("cv")
     l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
@@ -1209,7 +1486,8 @@ def ann_ivf_pq(spark, sf_dir):
 
 
 ann_ivf_pq.__doc__ = ann_ivf_pq.__doc__.format(
-    nprobe=NPROBE, pool=IVFPQ_POOL, k=IVF_TOPK, pqk=PQ_K, subs=PQ_SUBS
+    nprobe=NPROBE, pool=IVFPQ_POOL, k=IVF_TOPK, pqk=PQ_K, subs=PQ_SUBS,
+    ivf_iters=IVF_ITERS, pq_iters=PQ_ITERS,
 )
 
 

@@ -79,11 +79,13 @@ def test_subsplit_unchanged_at_fixed_config():
 
 
 def test_ann_ivf_pq_recall_floor(spark):
-    """The IVF+PQ+refine stack's quality pin (round 9): recall@3
-    against the exact brute-force oracle must hold its measured floor
-    (0.35 at sf0.01 with pool 30; the IVF restrict's own ceiling is
-    0.483 — see the IVFPQ_POOL note). Exactness of what IS emitted is
-    the oracle row's job; this guards the quality knob."""
+    """The IVF+PQ+refine stack's quality pin (round 9, floor raised
+    round 10): with Lloyd-trained quantizers (IVF_ITERS=4,
+    PQ_ITERS=2) measured recall@3 against the exact brute-force
+    oracle is 0.500 at sf0.01 with pool 30, against the trained
+    coarse restrict's 0.650 ceiling (untrained was 0.35 / 0.483 —
+    round-9 verdict item 1). Exactness of what IS emitted is the
+    oracle row's job; this guards the quality knob."""
     from collections import defaultdict
 
     from ingestor_etl_spark.queries import load_all
@@ -102,4 +104,4 @@ def test_ann_ivf_pq_recall_floor(spark):
     }
     release_caches()
     hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
-    assert hits / total >= 0.30, (hits, total)
+    assert hits / total >= 0.45, (hits, total)
