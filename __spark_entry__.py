@@ -84,90 +84,220 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-9 window head: the query NEW in round 9, then the
-    # queries whose plan round 9 reworked (knn_graph's in-query
-    # occupancy census; the shared _jaccard_sets array_distinct +
-    # near-dup sub-split plane fix inherited by the jaccard trio and
-    # embedding_near_dup)
+    # --- round-10 window head: ann_ivf_pq (its quantizers are now
+    # Lloyd-TRAINED — round-9 verdict item 1 — so its plan and oracle
+    # both changed this round), then the r4 stale cohort (20 — the
+    # last cohort whose latest driver row predates r5; round-9
+    # verdict item 2 asks prefix_filter_join and window_zoo first),
+    # then the r5 cohort (32). A ~50 window covers the head + all of
+    # r4 + most of r5; everything after is ordered by staleness
+    # (latest driver round ascending, regenerated from
+    # CORRECTNESS_r01-r09).
     "ann_ivf_pq",
-    "knn_graph",
-    "embedding_near_dup",
-    "ngram_jaccard_pairs",
+    "prefix_filter_join",
+    "window_zoo",
+    "math_functions",
+    "mixture_drift",
+    "multitouch_attribution",
+    "pit_dimension_join",
+    "quality_classifier",
+    "quantile_normalize",
+    "rolling_zscore_outliers",
+    "rrf_hybrid_search",
+    "salted_skew_join",
+    "session_transcripts",
+    "sketch_shard_merge",
+    "snapshot_diff",
+    "source_reputation",
+    "string_functions",
+    "vocab_coverage",
+    "winsorize_scores",
+    "zone_map_prune",
+    "zorder_layout",
+    "ann_cosine_topk",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "merge_upsert",
+    "pagerank_dup_graph",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_fresh_stock_suppliers",
+    "q21_blocking_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_matrix",
+    "rollup_returns",
+    "scd2_history",
+    "set_ops_cohorts",
+    "shard_pack",
+    "shingle_df_profile",
+    "sql_passthrough",
+    "tfidf_cosine_pairs",
+    "value_histogram",
+    "window_running_revenue",
+    "bm25_search",
+    "dataset_card",
+    "dedup_report",
+    "eval_holdout_split",
+    "j7_display_filter",
+    "key_skew_profile",
+    "pcap_flow_stats",
+    "salted_hot_agg",
+    "score_calibration",
+    "segment_dedup",
+    "unigram_logprob",
+    "ann_dim_truncation_eval",
+    "ann_recall_eval",
+    "bigram_novelty",
+    "clv_by_cohort",
+    "code_detect",
+    "collocation_lift",
+    "containment_pairs",
+    "curation_pipeline",
+    "dedup_cc_clusters",
+    "dup_graph_degree_stats",
+    "dup_graph_triangles",
+    "dup_group_size_profile",
+    "entity_resolution",
+    "er_quality_eval",
+    "events_hourly_heatmap",
+    "exact_substring_dedup",
+    "exact_substring_extend",
+    "fixedwidth_ingest",
+    "fk_integrity_audit",
+    "funnel_conversion",
+    "hard_negative_mining",
+    "join_cardinality_estimator",
+    "label_balance_resample",
+    "lsh_band_whatif",
+    "lsh_dedup_eval",
+    "minhash_contamination",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_pairs",
+    "mixture_token_allocation",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
+    "order_status_aging",
+    "partitioned_write_roundtrip",
+    "pcap_http_ocs_linked",
+    "pcap_tshark_fields",
+    "schema_profile",
+    "semdedup_clusters",
+    "source_lang_purity",
+    "stream_cms_cells_parity",
+    "stream_interval_join_parity",
+    "stream_neardup_parity",
+    "stream_session_window_parity",
+    "stream_windowed_counts_parity",
+    "stream_zscore_parity",
+    "supplier_lead_time",
+    "vocab_coverage_curve",
+    "a1_counters",
+    "a2_unmatched_census",
+    "asof_attribution",
+    "bpe_pair_counts",
+    "contamination_check",
+    "corpus_top_ngrams",
+    "csv_ingest",
+    "curriculum_bins",
+    "doc_chunk_overlap",
+    "doc_fingerprint",
+    "doc_pack_budget",
+    "domain_mixture",
+    "epoch_resample",
+    "events_funnel",
+    "events_hourly_rollup",
+    "events_rolling_7d",
+    "exact_dedup",
+    "html_strip",
+    "importance_resample",
+    "interval_join_events",
+    "j1_request_response",
+    "j2_group_enrich",
+    "j6_sessionize",
+    "j7_error_sessions",
+    "jsonl_ingest",
+    "lang_id",
+    "minhash_signatures",
+    "multimodal_batch_shape",
+    "pcap_diameter_correlated",
+    "pcap_diameter_transactions",
+    "pcap_gsm_map_decoded",
+    "pcap_gtp_enriched",
+    "pcap_http_camel_diameter",
+    "pcap_http_ss7sms",
+    "pcap_sip_calls",
+    "pcap_sip_leg_rewrite",
+    "pcap_smpp_transactions",
+    "pcap_tcap_transactions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "topk_accounts",
+    "tshark_cap_camel",
+    "xml_ingest",
+    "active_user_stickiness",
+    "ann_pq_topk",
+    "array_functions",
+    "bloom_join_filter",
+    "canonical_docs",
+    "char_entropy",
+    "cms_heavy_hitters",
+    "compaction_plan",
+    "conditional_functions",
     "cross_source_dup_overlap",
+    "cube_revenue",
+    "datetime_functions",
     "dedup_threshold_sweep",
-    # --- longest-unsampled next (rotation: latest driver row round
-    # ascending — r3 cohort first (19), then r4 (45), r5, ... —
-    # regenerated from CORRECTNESS_r01-r08; round-8 verdict item 2)
-    "multimodal_dedup", "multimodal_features", "multimodal_frame_sample",
-    "o3_dedup_events", "orc_ingest", "pii_redact",
-    "pivot_user_event_matrix", "retention_cohorts", "simhash_clusters",
-    "sketch_distinct_users", "sketch_value_quantiles", "stratified_sample",
-    "text_normalize", "text_quality", "text_repetition", "token_count",
-    "url_dedup", "url_normalize", "window_event_navigation",
-    "active_user_stickiness", "ann_pq_topk", "array_functions",
-    "bloom_join_filter", "canonical_docs", "char_entropy",
-    "cms_heavy_hitters", "compaction_plan", "conditional_functions",
-    "cube_revenue", "datetime_functions", "embedding_outliers",
-    "embedding_quantize_int8", "embedding_stats",
-    "event_transition_matrix", "events_gapfill", "frequent_paths",
-    "gdpr_delete_audit", "gopher_rules", "halflife_decay",
-    "incremental_dedup", "incremental_rollup", "inverted_index_shards",
-    "json_functions", "lang_id_confusion", "math_functions",
-    "mixture_drift", "multitouch_attribution", "pit_dimension_join",
-    "prefix_filter_join", "quality_classifier", "quantile_normalize",
-    "rolling_zscore_outliers", "rrf_hybrid_search", "salted_skew_join",
-    "session_transcripts", "sketch_shard_merge", "snapshot_diff",
-    "source_reputation", "string_functions", "vocab_coverage",
-    "window_zoo", "winsorize_scores", "zone_map_prune", "zorder_layout",
-    "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed", "merge_upsert",
-    "pagerank_dup_graph", "q10_returned_revenue", "q11_important_parts",
-    "q12_priority_lines", "q13_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_fresh_stock_suppliers", "q21_blocking_supplier",
-    "q22_idle_customers", "q2_min_cost_supplier", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "retention_matrix",
-    "rollup_returns", "scd2_history", "set_ops_cohorts", "shard_pack",
-    "shingle_df_profile", "sql_passthrough", "tfidf_cosine_pairs",
-    "value_histogram", "window_running_revenue", "bm25_search",
-    "dataset_card", "dedup_report", "eval_holdout_split",
-    "j7_display_filter", "key_skew_profile", "pcap_flow_stats",
-    "salted_hot_agg", "score_calibration", "segment_dedup",
-    "unigram_logprob", "ann_dim_truncation_eval", "ann_recall_eval",
-    "bigram_novelty", "clv_by_cohort", "code_detect", "collocation_lift",
-    "containment_pairs", "curation_pipeline", "dedup_cc_clusters",
-    "dup_graph_degree_stats", "dup_graph_triangles",
-    "dup_group_size_profile", "entity_resolution", "er_quality_eval",
-    "events_hourly_heatmap", "exact_substring_dedup",
-    "exact_substring_extend", "fixedwidth_ingest", "fk_integrity_audit",
-    "funnel_conversion", "hard_negative_mining",
-    "join_cardinality_estimator", "label_balance_resample",
-    "lsh_band_whatif", "lsh_dedup_eval", "minhash_contamination",
-    "minhash_jaccard_estimate", "minhash_lsh_pairs",
-    "mixture_token_allocation", "multimodal_decode_audio",
-    "multimodal_decode_image", "order_status_aging",
-    "partitioned_write_roundtrip", "pcap_http_ocs_linked",
-    "pcap_tshark_fields", "schema_profile", "semdedup_clusters",
-    "source_lang_purity", "stream_cms_cells_parity",
-    "stream_interval_join_parity", "stream_neardup_parity",
-    "stream_session_window_parity", "stream_windowed_counts_parity",
-    "stream_zscore_parity", "supplier_lead_time", "vocab_coverage_curve",
-    "a1_counters", "a2_unmatched_census", "asof_attribution",
-    "bpe_pair_counts", "contamination_check", "corpus_top_ngrams",
-    "csv_ingest", "curriculum_bins", "doc_chunk_overlap",
-    "doc_fingerprint", "doc_pack_budget", "domain_mixture",
-    "epoch_resample", "events_funnel", "events_hourly_rollup",
-    "events_rolling_7d", "exact_dedup", "html_strip",
-    "importance_resample", "interval_join_events", "j1_request_response",
-    "j2_group_enrich", "j6_sessionize", "j7_error_sessions",
-    "jsonl_ingest", "lang_id", "minhash_signatures",
-    "multimodal_batch_shape", "pcap_diameter_correlated",
-    "pcap_diameter_transactions", "pcap_gsm_map_decoded",
-    "pcap_gtp_enriched", "pcap_http_camel_diameter", "pcap_http_ss7sms",
-    "pcap_sip_calls", "pcap_sip_leg_rewrite", "pcap_smpp_transactions",
-    "pcap_tcap_transactions", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "q6_revenue_forecast",
-    "topk_accounts", "tshark_cap_camel", "xml_ingest"
+    "embedding_near_dup",
+    "embedding_outliers",
+    "embedding_quantize_int8",
+    "embedding_stats",
+    "event_transition_matrix",
+    "events_gapfill",
+    "frequent_paths",
+    "gdpr_delete_audit",
+    "gopher_rules",
+    "halflife_decay",
+    "incremental_dedup",
+    "incremental_rollup",
+    "inverted_index_shards",
+    "json_functions",
+    "knn_graph",
+    "lang_id_confusion",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "ngram_jaccard_pairs",
+    "o3_dedup_events",
+    "orc_ingest",
+    "pii_redact",
+    "pivot_user_event_matrix",
+    "retention_cohorts",
+    "simhash_clusters",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "stratified_sample",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "token_count",
+    "url_dedup",
+    "url_normalize",
+    "window_event_navigation",
 ]
 
 
