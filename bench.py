@@ -474,7 +474,6 @@ def _gen_scaled(spark, out_dir: str, n_reps: int) -> None:
     - lineitem: keys offset per replica, measures unchanged.
     Written once to .sf1data/ (gitignored; regenerate any time)."""
     os.makedirs(out_dir, exist_ok=True)
-    SF1_DIR = out_dir  # noqa: N806 — table writes below target out_dir
     src = "/root/testdata/sf0.1"
     rep = "CAST(r.id AS INT)"
 
@@ -489,7 +488,7 @@ def _gen_scaled(spark, out_dir: str, n_reps: int) -> None:
         "length(CASE WHEN r.id = 0 THEN text ELSE "
         f"regexp_replace(text, '(\\\\S+)', concat('$1~', {rep})) END) AS n_chars",
     )
-    d.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+    d.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     e = emb.crossJoin(reps).selectExpr(
@@ -500,13 +499,13 @@ def _gen_scaled(spark, out_dir: str, n_reps: int) -> None:
         "  AS float)) AS embedding",
         "label",
     )
-    e.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+    e.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     li = spark.read.parquet(f"{src}/lineitem.parquet")
     cols = [c for c in li.columns if c != "l_orderkey"]
     li.crossJoin(reps).selectExpr(
         f"l_orderkey + {rep} * 10000000 AS l_orderkey", *cols
-    ).repartition(16).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+    ).repartition(16).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def _sf1_main() -> None:
@@ -574,6 +573,19 @@ def _sf1_main() -> None:
     proto01 = bench_protocol_throughput(spark)
     release_caches()
     proto1 = bench_protocol_throughput(spark, n_files=80)
+
+    # the knn_note reports the census inputs the registered query
+    # actually sees (distinct-vector counts OBSERVED in the two
+    # corpora), not nominal constants that go stale if the generated
+    # testdata or _SF1_REPS change (round-9 advice)
+    n_distinct01 = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("embedding").distinct().count()
+    )
+    n_distinct1 = (
+        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+        .select("embedding").distinct().count()
+    )
     release_caches()
     protocol = {
         "sf0_1": proto01,
@@ -594,9 +606,10 @@ def _sf1_main() -> None:
         },
         "knn_note": (
             "registered query self-scales (auto_scale census): "
-            f"n_planes={_knn_planes(2000)} at sf0.1, "
-            f"{_knn_planes(20000)} at sf1; no bench-side overrides "
-            f"(fixed base KNN_PLANES={KNN_PLANES})"
+            f"n_planes={_knn_planes(n_distinct01)} at sf0.1 "
+            f"({n_distinct01} distinct vectors observed), "
+            f"{_knn_planes(n_distinct1)} at sf1 ({n_distinct1}); "
+            f"no bench-side overrides (fixed base KNN_PLANES={KNN_PLANES})"
         ),
         "protocol_throughput": protocol,
     }
@@ -671,8 +684,18 @@ def _jdecomp_main() -> None:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         ).agg(F.count(F.lit(1)).alias("n_shared"))
         row["t_join_count"] = _time_query(join_count, 2)
-        row["t_pairagg"] = _time_query(pairagg, 2)
+        # the count doubles as _time_query's warm-up run, so the
+        # heaviest relation in the mode executes 3× (count + 2 timed)
+        # instead of 4× (round-9 advice); the timed best-of-2 noop
+        # writes are unchanged, keeping numbers comparable with
+        # JDECOMP.json r9
         row["groups"] = pairagg.count()
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            pairagg.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        row["t_pairagg"] = round(best, 3)
         release_caches()
         for name in trio:
             row[f"t_{name}"] = _time_query(registry[name].fn(spark, sf_dir), 2)
@@ -735,7 +758,7 @@ def _haircut_main() -> None:
         _gen_scaled(spark, SF1_DIR, _SF1_REPS)
 
     e = (
-        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+        spark.read.parquet(f"{out_dir}/embeddings.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
     )

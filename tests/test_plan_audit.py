@@ -234,3 +234,37 @@ def test_executed_exchange_budget_ppjoin_hot_plan(spark):
     assert "exec_error" not in e, e
     assert e["exec_pyevals"] == 0, e
     assert e["exec_exchanges"] <= 6, e
+
+
+def test_executed_exchange_budget_knn_census(spark, sf_dir):
+    """Round-9 verdict item 6: knn_graph's in-query occupancy census
+    (auto_scale, the registered form since round 9) is a one-row
+    count over the already-materialized distinct-vector relation — it
+    must add exactly one extra JOB and ZERO exchanges to the executed
+    plan. Pin that as an invariant: the auto-scaled form's post-AQE
+    executed facts equal the fixed-parameter form's exactly
+    (measured: 4 exchanges, 9 reuses at both sf0.001 and sf0.01),
+    inside the PLANS.md x-exch budget."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.catalog import load_table
+    from ingestor_etl_spark.plans.audit import executed_facts
+    from ingestor_etl_spark.plans.layout import release_caches
+    from ingestor_etl_spark.queries.vector_ops import (
+        _as_double,
+        _knn_graph_from,
+    )
+
+    def facts(auto):
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        f = executed_facts(_knn_graph_from(e, auto_scale=auto))
+        release_caches()
+        return f
+
+    auto, fixed = facts(True), facts(False)
+    assert "exec_error" not in auto, auto
+    assert "exec_error" not in fixed, fixed
+    assert auto == fixed, (auto, fixed)
+    assert auto["exec_exchanges"] <= 7, auto

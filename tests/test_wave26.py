@@ -64,10 +64,20 @@ def test_subsplit_planes_independent_of_main_tables():
     rises above 4, collapsing the 16-way sub-split exactly where the
     cap engages."""
     for n_planes in (N_PLANES, 7, 9):
+        # the invariant the fix establishes is INDEX-RANGE
+        # disjointness: main tables tile [0, N_TABLES*n_planes), the
+        # sub-split takes [N_TABLES*n_planes, N_TABLES*n_planes+4)
+        # (round-9 advice: assert the range, not just the values)
+        main_hi = N_TABLES * n_planes
+        assert set(range(main_hi)).isdisjoint(range(main_hi, main_hi + 4))
+        # value-level check kept as a STRICTER stand-in: it also
+        # guards against the LCG mapping two disjoint index ranges to
+        # colliding plane vectors (would silently halve sub-split
+        # entropy even with correct indexing)
         main = [
             tuple(p) for t in range(N_TABLES) for p in _hyperplanes(t, n_planes)
         ]
-        xbits = [tuple(p) for p in _hyperplanes_at(N_TABLES * n_planes, 4)]
+        xbits = [tuple(p) for p in _hyperplanes_at(main_hi, 4)]
         assert not set(main) & set(xbits), n_planes
 
 
