@@ -732,6 +732,116 @@ def _jdecomp_main() -> None:
     )
 
 
+# ------------------------------- split-heap agg-constant check
+def _jdecomp_cluster_main() -> None:
+    """`bench.py --jdecomp-cluster` (round-9 verdict item 3): turn
+    §33's "distributes away at cluster scale" ARGUMENT into a
+    MEASUREMENT. §33 bounds the jaccard trio's superlinearity to a
+    +36%/decade per-row final-agg constant attributed to 103M-group
+    hash-map pressure at a FIXED single-JVM heap; the distribution
+    claim predicts that splitting the same total heap across more
+    executor JVMs (each holding half the group state) moves the sf1
+    per-row constant back toward the sf0.1 value.
+
+    This mode runs the sf1 decomposition point twice in one process,
+    same day, same box:
+    - control: the standard bench session (local[32], one 8g JVM —
+      exactly the JDECOMP.json rig);
+    - split: local-cluster[2,16,4096] — the SAME 32 cores and the
+      SAME 8g of total executor heap, split across two executor
+      JVMs, so the only variable is how many JVMs hold the final
+      aggregate's hash state.
+    Reported per config: t_join_count (production only), t_pairagg
+    (production + group state), groups, and the §33 constants
+    t_pairagg/mass and (t_pairagg − t_join_count)/mass in ns/row."""
+    from pyspark.sql import functions as F
+
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _jaccard_census,
+        _jaccard_sets,
+        _shingled,
+    )
+
+    def sf1_point(spark) -> dict:
+        sets = _jaccard_sets(spark, _shingled(spark, SF1_DIR))
+        _, mass, _ = _jaccard_census(sets)
+        el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
+        a, b = el.alias("a"), el.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        join_count = joined.agg(F.count(F.lit(1)).alias("n"))
+        pairagg = joined.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).agg(F.count(F.lit(1)).alias("n_shared"))
+        row: dict[str, object] = {"mass_join_rows": mass}
+        row["t_join_count"] = _time_query(join_count, 2)
+        row["groups"] = pairagg.count()  # doubles as the warm-up
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            pairagg.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        row["t_pairagg"] = round(best, 3)
+        row["agg_ns_per_row"] = round(row["t_pairagg"] / mass * 1e9, 1)
+        row["delta_ns_per_row"] = round(
+            (row["t_pairagg"] - row["t_join_count"]) / mass * 1e9, 1
+        )
+        release_caches()
+        return row
+
+    # two split variants, selected by SPARK_GRAFT_SPLIT_MB:
+    # - 4096 (default): same TOTAL heap split in two — holds
+    #   groups-per-heap-GB constant, isolating the JVM-size/GC term;
+    # - 8192: two standard-heap executors — groups-per-heap-GB
+    #   HALVES, which is what actually happens when the fleet grows
+    #   with the data (the §33 distribution claim).
+    # SPARK_GRAFT_SPLIT_CONTROL=0 skips the control re-run when a
+    # same-day control measurement already exists.
+    mem_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "4096"))
+    control = None
+    if os.environ.get("SPARK_GRAFT_SPLIT_CONTROL", "1") != "0":
+        spark = get_spark("ingestor-etl-spark-jdecomp-control")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+            _gen_scaled(spark, SF1_DIR, _SF1_REPS)
+        control = sf1_point(spark)
+        spark.stop()
+
+    os.environ["SPARK_GRAFT_ON_CLUSTER"] = "1"
+    try:
+        spark = get_spark(
+            "ingestor-etl-spark-jdecomp-split",
+            **{
+                "spark.master": f"local-cluster[2,16,{mem_mb}]",
+                "spark.executor.memory": f"{mem_mb}m",
+            },
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_ON_CLUSTER"]
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    split = sf1_point(spark)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "jdecomp_split_heap",
+                "unit": "sec",
+                "value": split["t_pairagg"],
+                "sf": 1,
+                "control_local32_8g": control,
+                f"split_local_cluster_2x16_{mem_mb}m": split,
+                "sf01_reference_ns_per_row": 40.6,
+            }
+        )
+    )
+
+
 # ---------------------------------------------- near-dup cap haircut
 def _haircut_main() -> None:
     """`bench.py --haircut` (round-8 verdict item 4): measure
@@ -758,10 +868,67 @@ def _haircut_main() -> None:
         _gen_scaled(spark, SF1_DIR, _SF1_REPS)
 
     e = (
-        spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
     )
+
+    # round-9 verdict item 4: the organic sf1 corpus has no pairs
+    # above cos 0.8, so §34's key claim ("high-confidence pairs
+    # collide in several tables and survive the cap") was derived,
+    # not observed. Plant 500 partners at cosine 0.85–0.95 — EXACT
+    # by construction: w = c·nv + sqrt(1−c²)·û with û the fixed
+    # direction r Gram-Schmidt-orthogonalized against nv, so
+    # cos(v, w) = c — one partner per base (vec_id ≡ 21 mod 40),
+    # partner ids offset by 10⁶, c per pair from a deterministic
+    # LCG over [0.85, 0.95). The augmented corpus then reports the
+    # planted pairs' survival under the census-engaged cap next to
+    # the organic band table.
+    from ingestor_etl_spark.queries.vector_ops import _dot as _vdot
+
+    PLANT_OFF = 1_000_000
+    r_dir = F.array(
+        *[
+            F.lit(((k * 1103515245 + 12345) % 2001 - 1000) / 1000.0)
+            for k in range(64)
+        ]
+    )
+    nrm = F.sqrt(_vdot(F.col("v"), F.col("v")))
+    ct = 0.85 + F.pmod(F.col("vec_id") * 2654435761, F.lit(1000)).cast(
+        "double"
+    ) / 10000.0
+    planted = (
+        e.where(F.col("vec_id") % 40 == 21)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / nrm).alias("nv"),
+            ct.alias("ct"),
+        )
+        .withColumn("rd", _vdot(r_dir, F.col("nv")))
+        .withColumn(
+            "u",
+            F.zip_with(r_dir, F.col("nv"), lambda r, n: r - F.col("rd") * n),
+        )
+        .withColumn("un", F.sqrt(_vdot(F.col("u"), F.col("u"))))
+        .select(
+            (F.col("vec_id") + PLANT_OFF).alias("vec_id"),
+            F.zip_with(
+                F.col("nv"),
+                F.col("u"),
+                lambda n, uu: F.col("ct") * n
+                + F.sqrt(1 - F.col("ct") * F.col("ct")) * uu / F.col("un"),
+            ).alias("v"),
+        )
+    )
+    n_planted = planted.count()
+    e = e.unionByName(planted)
+
+    def planted_found(df) -> int:
+        return df.where(
+            (F.col("vec_b") == F.col("vec_a") + PLANT_OFF)
+            & (F.col("vec_a") % 40 == 21)
+            & (F.col("cos_sim") >= 0.8)
+        ).count()
 
     def banded(df) -> dict[str, int]:
         rows = (
@@ -776,10 +943,17 @@ def _haircut_main() -> None:
         )
         return {r["band"]: r["n"] for r in rows}
 
+    from ingestor_etl_spark.plans.layout import materialize
+
     n_planes = _near_dup_planes(e.select("v").distinct().count())
-    capped = banded(_near_dup_from(e, auto_scale=True))
+    capped_df = materialize(_near_dup_from(e, auto_scale=True))
+    capped, planted_capped = banded(capped_df), planted_found(capped_df)
     release_caches()
-    uncapped = banded(_near_dup_from(e, n_planes=n_planes, bucket_cap=None))
+    uncapped_df = materialize(
+        _near_dup_from(e, n_planes=n_planes, bucket_cap=None)
+    )
+    uncapped = banded(uncapped_df)
+    planted_uncapped = planted_found(uncapped_df)
     release_caches()
     bands = sorted(set(capped) | set(uncapped))
     total_c, total_u = sum(capped.values()), sum(uncapped.values())
@@ -792,6 +966,15 @@ def _haircut_main() -> None:
                 "n_planes": n_planes,
                 "pairs_capped": total_c,
                 "pairs_uncapped": total_u,
+                "planted_pairs": {
+                    "n_planted": n_planted,
+                    "target_cos_band": "0.85-0.95",
+                    "found_uncapped": planted_uncapped,
+                    "found_capped": planted_capped,
+                    "survival_fraction": round(
+                        planted_capped / max(planted_uncapped, 1), 6
+                    ),
+                },
                 "per_band": {
                     b: {
                         "capped": capped.get(b, 0),
@@ -1111,6 +1294,8 @@ if __name__ == "__main__":
         _skew_main()
     elif "--sf1" in sys.argv:
         _sf1_main()
+    elif "--jdecomp-cluster" in sys.argv:
+        _jdecomp_cluster_main()
     elif "--jdecomp" in sys.argv:
         _jdecomp_main()
     elif "--haircut" in sys.argv:
