@@ -551,6 +551,12 @@ def _sf1_main() -> None:
         "exact_substring_extend",
         "minhash_contamination",
         "curation_pipeline",
+        # round-10 (round-9 verdict item 5): the IVF+PQ stack — new
+        # in r9, quantizer-trained in r10 (6 extra training passes
+        # over the corpus, all broadcast/argmin projections, so the
+        # exponent should sit well under 1: the per-round driver
+        # round-trips are scale-constant)
+        "ann_ivf_pq",
     ]
 
     def run_at(sf_dir: str) -> dict[str, float]:

@@ -1191,6 +1191,16 @@ def _sql_lloyd(prefix, src, seed_sql, iters, keys, dim):
     return ctes
 
 
+_PQ_LLOYD_LIST = _sql_lloyd(
+    "pq",
+    "psubs",
+    f"SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv FROM subs "
+    f"WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}",
+    PQ_ITERS,
+    ("sub",),
+    PQ_SUBDIM,
+)
+
 _IVFPQ_LLOYD_CTES = ",\n    ".join(
     [
         *_sql_lloyd(
@@ -1201,17 +1211,13 @@ _IVFPQ_LLOYD_CTES = ",\n    ".join(
             (),
             DIM,
         ),
-        *_sql_lloyd(
-            "pq",
-            "psubs",
-            f"SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv FROM subs "
-            f"WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}",
-            PQ_ITERS,
-            ("sub",),
-            PQ_SUBDIM,
-        ),
+        *_PQ_LLOYD_LIST,
     ]
 )
+
+# PQ chain alone, for the distortion eval (skips the 4 IVF rounds the
+# eval never reads).
+_PQ_LLOYD_CTES = ",\n    ".join(_PQ_LLOYD_LIST)
 
 
 @register(
