@@ -84,7 +84,9 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-10 window head: ann_ivf_pq (its quantizers are now
+    # --- round-10 window head: pq_distortion_eval (NEW this round —
+    # the per-subspace quantization-error scorecard for the trained
+    # PQ codebooks), then ann_ivf_pq (its quantizers are now
     # Lloyd-TRAINED — round-9 verdict item 1 — so its plan and oracle
     # both changed this round), then the r4 stale cohort (20 — the
     # last cohort whose latest driver row predates r5; round-9
@@ -93,6 +95,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # r4 + most of r5; everything after is ordered by staleness
     # (latest driver round ascending, regenerated from
     # CORRECTNESS_r01-r09).
+    "pq_distortion_eval",
     "ann_ivf_pq",
     "prefix_filter_join",
     "window_zoo",

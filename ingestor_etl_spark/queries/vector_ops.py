@@ -1497,6 +1497,164 @@ ann_ivf_pq.__doc__ = ann_ivf_pq.__doc__.format(
 )
 
 
+# ------------------------------------------------------ pq_distortion_eval
+@register(
+    "pq_distortion_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, s.sub,
+             nv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+    ),
+    psubs AS (SELECT vec_id, sub, sv AS pv FROM subs),
+    {_PQ_LLOYD_CTES},
+    d0 AS (
+      SELECT x.vec_id, x.sub,
+             CAST(round(min((list_dot_product(x.sv, x.sv)
+                             - 2 * list_dot_product(x.sv, c.cv))
+                            + list_dot_product(c.cv, c.cv)), 4)
+                  AS DECIMAL(12,4)) AS d
+      FROM subs x JOIN pq_c0 c USING (sub)
+      GROUP BY x.vec_id, x.sub
+    ),
+    dt AS (
+      SELECT x.vec_id, x.sub,
+             CAST(round(min((list_dot_product(x.sv, x.sv)
+                             - 2 * list_dot_product(x.sv, c.cv))
+                            + list_dot_product(c.cv, c.cv)), 4)
+                  AS DECIMAL(12,4)) AS d
+      FROM subs x JOIN pq_c{PQ_ITERS} c USING (sub)
+      GROUP BY x.vec_id, x.sub
+    )
+    SELECT sub, count(*) AS n_vectors,
+           round(CAST(sum(d0.d) AS DOUBLE) / count(*), 6) AS seed_mse,
+           round(CAST(sum(dt.d) AS DOUBLE) / count(*), 6) AS trained_mse,
+           round((1 - CAST(sum(dt.d) AS DOUBLE)
+                      / CAST(sum(d0.d) AS DOUBLE)) * 100, 2)
+             AS improvement_pct
+    FROM d0 JOIN dt USING (vec_id, sub)
+    GROUP BY sub
+    ORDER BY sub
+    """,
+    tags=("vector", "pq", "eval", "quality"),
+)
+def pq_distortion_eval(spark, sf_dir):
+    """PQ codebook quality scorecard — per-subspace mean squared
+    quantization error (the training objective Lloyd minimizes; the
+    'distortion' FAISS reports after IndexPQ.train) for the SEED
+    codebook (pq_c0, the {pqk} fixed corpus rows ann_ivf_pq trained
+    from through round 9) vs the Lloyd-TRAINED codebook
+    (pq_c{pq_iters}, what ann_ivf_pq ships since round 10), plus the
+    relative improvement. This is the measurement behind the round-10
+    recall fix: ADC error is bounded by quantization distortion, so
+    a codebook that halves distortion tightens every shortlist.
+
+    Cross-engine exactness: the per-row min distance uses the shared
+    left-fold dot product on bit-identical normalized doubles, is
+    rounded to 4 decimals into DECIMAL(12,4) (order-free sums — the
+    ann_ivf_pq ADC pattern), and only the final per-sub means divide
+    exact sums as doubles.
+
+    Plan (the 100 TB lens): both codebooks together are
+    {pqk}×{subs}×2 tiny rows — collected once from the trainer,
+    re-emitted as one {subs}-row broadcast table holding BOTH books
+    as struct arrays — so the eval is a SINGLE pass over the
+    sub-vector projection with a per-row array_min (no join
+    explosion, no window), feeding a map-side-combinable aggregation
+    to {subs} groups. Training itself is _lloyd_refine's coordinator
+    pattern: per-round single jobs, KB-sized driver round-trips."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    et = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    tsubs = et.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    seed = tsubs.where(
+        (F.col("vec_id") >= PQ_SEED_BASE)
+        & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
+    ).select(
+        (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
+        "sub",
+        F.col("sv").alias("cv"),
+    )
+    trained = _lloyd_refine(
+        tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
+        seed,
+        PQ_ITERS,
+        PQ_SUBDIM,
+        ("sub",),
+    )
+
+    def book(cents, name):
+        cvc = F.col("cv")
+        return cents.groupBy("sub").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"), F.col("cv"), _dot(cvc, cvc).alias("cc")
+                    )
+                )
+            ).alias(name)
+        )
+
+    books = book(seed, "book0").join(book(trained, "bookt"), "sub")
+
+    def min_d(bname):
+        return F.expr(
+            f"array_min(transform({bname}, c -> named_struct("
+            "'d', (pp - 2 * aggregate(zip_with(sv, c.cv, (x, y) -> x * y),"
+            " 0D, (acc, x) -> acc + x)) + c.cc, 'cid', c.cid))).d"
+        )
+
+    per_row = (
+        tsubs.join(F.broadcast(books), "sub")
+        .withColumn("pp", _dot(F.col("sv"), F.col("sv")))
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            F.round(min_d("book0"), 4).cast("decimal(12,4)").alias("d0"),
+            F.round(min_d("bookt"), 4).cast("decimal(12,4)").alias("dt"),
+        )
+    )
+    s0 = F.sum("d0").cast("double")
+    st = F.sum("dt").cast("double")
+    return (
+        per_row.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(s0 / F.count(F.lit(1)), 6).alias("seed_mse"),
+            F.round(st / F.count(F.lit(1)), 6).alias("trained_mse"),
+            F.round((1 - st / s0) * 100, 2).alias("improvement_pct"),
+        )
+        .orderBy("sub")
+    )
+
+
+pq_distortion_eval.__doc__ = pq_distortion_eval.__doc__.format(
+    pqk=PQ_K, subs=PQ_SUBS, pq_iters=PQ_ITERS,
+)
+
+
 # ------------------------------------------------------------ vector hygiene
 @register(
     "embedding_stats",

@@ -115,3 +115,21 @@ def test_ann_ivf_pq_recall_floor(spark):
     release_caches()
     hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
     assert hits / total >= 0.45, (hits, total)
+
+
+def test_pq_distortion_training_helps_every_subspace(spark):
+    """The round-10 distortion scorecard behind the recall fix:
+    PQ_ITERS Lloyd rounds must REDUCE mean quantization error in
+    every subspace (Lloyd is monotone non-increasing in the training
+    objective; the seed book is its own iteration 0), with a
+    material margin at sf0.01 (measured: 20-32% per subspace).
+    Exactness of the emitted numbers is the oracle row's job."""
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["pq_distortion_eval"].fn(spark, SF).collect()
+    release_caches()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.trained_mse < r.seed_mse, r
+        assert r.improvement_pct >= 10.0, r
