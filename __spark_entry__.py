@@ -96,6 +96,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # (latest driver round ascending, regenerated from
     # CORRECTNESS_r01-r09).
     "pq_distortion_eval",
+    "ann_ivf_pq_residual",
     "ann_ivf_pq",
     "prefix_filter_join",
     "window_zoo",

@@ -1201,19 +1201,18 @@ _PQ_LLOYD_LIST = _sql_lloyd(
     PQ_SUBDIM,
 )
 
-_IVFPQ_LLOYD_CTES = ",\n    ".join(
-    [
-        *_sql_lloyd(
-            "ivf",
-            "nve",
-            f"SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id IN {CENTROID_IDS}",
-            IVF_ITERS,
-            (),
-            DIM,
-        ),
-        *_PQ_LLOYD_LIST,
-    ]
+_IVF_LLOYD_LIST = _sql_lloyd(
+    "ivf",
+    "nve",
+    f"SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id IN {CENTROID_IDS}",
+    IVF_ITERS,
+    (),
+    DIM,
 )
+
+_IVF_LLOYD_CTES = ",\n    ".join(_IVF_LLOYD_LIST)
+
+_IVFPQ_LLOYD_CTES = ",\n    ".join([*_IVF_LLOYD_LIST, *_PQ_LLOYD_LIST])
 
 # PQ chain alone, for the distortion eval (skips the 4 IVF rounds the
 # eval never reads).
@@ -1652,6 +1651,310 @@ def pq_distortion_eval(spark, sf_dir):
 
 pq_distortion_eval.__doc__ = pq_distortion_eval.__doc__.format(
     pqk=PQ_K, subs=PQ_SUBS, pq_iters=PQ_ITERS,
+)
+
+
+# ---------------------------------------------------- ann_ivf_pq_residual
+_PQR_LLOYD_CTES = ",\n    ".join(
+    _sql_lloyd(
+        "pqr",
+        "rpsubs",
+        f"SELECT vec_id - {PQ_SEED_BASE} AS cid, sub, sv AS cv FROM rsubs "
+        f"WHERE vec_id BETWEEN {PQ_SEED_BASE} AND {PQ_SEED_BASE + PQ_K - 1}",
+        PQ_ITERS,
+        ("sub",),
+        PQ_SUBDIM,
+    )
+)
+
+
+@register(
+    "ann_ivf_pq_residual",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
+    nve AS (SELECT vec_id, nv AS pv FROM e),
+    {_IVF_LLOYD_CTES},
+    ivf_scored AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY (list_dot_product(e.nv, e.nv)
+                                          - 2 * list_dot_product(e.nv, c.cv))
+                                         + list_dot_product(c.cv, c.cv),
+                                c.cid) AS crnk
+      FROM e CROSS JOIN ivf_c{IVF_ITERS} c
+    ),
+    assigned AS (SELECT vec_id, cid AS lid FROM ivf_scored WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS lid FROM ivf_scored
+      WHERE crnk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.lid
+      FROM probes p JOIN assigned a ON a.lid = p.lid
+      WHERE a.vec_id <> p.query_id
+    ),
+    resid AS (
+      SELECT e.vec_id, a.lid,
+             list_transform(list_zip(e.nv, c.cv), x -> x[1] - x[2]) AS rv
+      FROM e JOIN assigned a USING (vec_id)
+      JOIN ivf_c{IVF_ITERS} c ON c.cid = a.lid
+    ),
+    rsubs AS (
+      SELECT vec_id, s.sub,
+             rv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM resid, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+    ),
+    rpsubs AS (SELECT vec_id, sub, sv AS pv FROM rsubs),
+    {_PQR_LLOYD_CTES},
+    pq_assign AS (
+      SELECT x.vec_id, x.sub, c.cid,
+             row_number() OVER (
+               PARTITION BY x.vec_id, x.sub
+               ORDER BY (list_dot_product(x.sv, x.sv)
+                         - 2 * list_dot_product(x.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), c.cid) AS rnk
+      FROM rsubs x JOIN pqr_c{PQ_ITERS} c USING (sub)
+    ),
+    codes AS (SELECT vec_id, sub, cid AS code FROM pq_assign WHERE rnk = 1),
+    qresid AS (
+      SELECT p.query_id, p.lid,
+             list_transform(list_zip(e.nv, c.cv), x -> x[1] - x[2]) AS rv
+      FROM probes p JOIN e ON e.vec_id = p.query_id
+      JOIN ivf_c{IVF_ITERS} c ON c.cid = p.lid
+    ),
+    qsubs AS (
+      SELECT query_id, lid, s.sub,
+             rv[s.sub*{PQ_SUBDIM}+1 : s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+      FROM qresid, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+    ),
+    qd AS (
+      SELECT q.query_id, q.lid, q.sub, c.cid AS code,
+             CAST(round((list_dot_product(q.sv, q.sv)
+                         - 2 * list_dot_product(q.sv, c.cv))
+                        + list_dot_product(c.cv, c.cv), 4)
+                  AS DECIMAL(12,4)) AS d
+      FROM qsubs q JOIN pqr_c{PQ_ITERS} c USING (sub)
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(qd.d) AS DOUBLE) AS approx_dist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.neighbor_id
+      JOIN qd ON qd.query_id = cand.query_id AND qd.lid = cand.lid
+             AND qd.sub = codes.sub AND qd.code = codes.code
+      GROUP BY cand.query_id, cand.neighbor_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS prnk
+      FROM adc
+    ),
+    rerank AS (
+      SELECT p.query_id, p.neighbor_id, p.approx_dist,
+             round(list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+      FROM pool p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = p.neighbor_id
+      WHERE p.prnk <= {IVFPQ_POOL}
+    )
+    SELECT query_id, neighbor_id, cos_sim, approx_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM rerank
+    ) WHERE rnk <= {IVF_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "ivf", "pq", "residual"),
+)
+def ann_ivf_pq_residual(spark, sf_dir):
+    """IVFADC proper — ann_ivf_pq with RESIDUAL encoding, the exact
+    shape FAISS IndexIVFPQ trains: PQ codebooks learn the residual
+    r = nv − centroid(assigned list) instead of the raw vector, and
+    the query-side ADC lookup table is built per probed list from
+    the query's residual against THAT list's centroid. Residuals
+    concentrate near the origin once the coarse quantizer has
+    soaked up the between-list variance, so the same {pqk}-entry
+    codebooks spend their capacity on a much smaller cell — the
+    standard-textbook reason IVFADC beats raw-vector PQ at equal
+    code size (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011, §IV).
+
+    Training order is necessarily sequential (residuals need the
+    trained coarse quantizer): {ivf_iters} Lloyd rounds for the 8
+    centroids, one corpus pass to assign + subtract (argmin against
+    the 8-row broadcast, zip_with subtract — no shuffle), then
+    {pq_iters} Lloyd rounds per subspace on the residual sub-vectors,
+    seeded from the residuals of the same fixed corpus rows as
+    ann_ivf_pq. All math inherits _lloyd_refine's cross-engine
+    exactness contract; the residual subtract is one IEEE op per
+    element, identical in both engines.
+
+    Plan (the 100 TB lens): identical shape to ann_ivf_pq — corpus
+    scanned once against broadcast centroids/codebooks for
+    assign + encode, candidate generation is the probes ⋈ assigned
+    equi-join on the list id, ADC is a broadcast LUT join (the LUT
+    is {q}×{nprobe}×{subs}×{pqk} rows — still KB-sized) + one
+    (query, neighbor) sum, exact re-rank touches ≤ {pool} rows per
+    query. The only addition over ann_ivf_pq is the per-element
+    subtract in the encode pass and an extra `lid` key in the LUT
+    join — the ADC join stays per-probe-confined because a
+    neighbor's single assigned list IS the probe that produced it."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et.count()
+    # --- coarse quantizer first: residuals depend on it ---
+    ivf_cents = _lloyd_refine(
+        et.select("vec_id", F.col("nv").alias("pv")),
+        et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+        ),
+        IVF_ITERS,
+        DIM,
+    )
+    nvc, cvc = F.col("nv"), F.col("cv")
+    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ivf_ranked = (
+        et.crossJoin(F.broadcast(ivf_cents))
+        .select("vec_id", "nv", "cid", "cv", cl2.alias("d2"))
+        .withColumn("crnk", F.row_number().over(wc))
+    )
+    rv = F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x - y)
+    # one corpus pass: assignment + residual, cached for PQ training
+    # AND corpus encoding (bit-identical either way — materializing
+    # just avoids re-running the argmin)
+    resid = materialize(
+        ivf_ranked.where("crnk = 1").select(
+            "vec_id", F.col("cid").alias("lid"), rv.alias("rv")
+        )
+    )
+    assigned = resid.select("vec_id", "lid")
+    probes = ivf_ranked.where(
+        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("lid"),
+        rv.alias("rv"),
+    )
+    cand = (
+        probes.select("query_id", "lid")
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "lid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "lid")
+    )
+    # --- PQ on residual sub-vectors ---
+    rsubs = resid.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    pq_cents = _lloyd_refine(
+        rsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
+        rsubs.where(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
+        ).select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
+            "sub",
+            F.col("sv").alias("cv"),
+        ),
+        PQ_ITERS,
+        PQ_SUBDIM,
+        ("sub",),
+    )
+    sv, cv = F.col("sv"), F.col("cv")
+    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
+    codes = (
+        rsubs.join(F.broadcast(pq_cents), "sub")
+        .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("code"))
+    )
+    # --- per-probe ADC lookup table (20×2×4×16 rows — broadcast) ---
+    qsubs = probes.select(
+        "query_id",
+        "lid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    qd = qsubs.join(F.broadcast(pq_cents), "sub").select(
+        "query_id",
+        "lid",
+        "sub",
+        F.col("cid").alias("code"),
+        F.round(l2, 4).cast("decimal(12,4)").alias("d"),
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "lid", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("double").alias("approx_dist"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    pool = adc.withColumn("prnk", F.row_number().over(wp)).where(
+        F.col("prnk") <= IVFPQ_POOL
+    )
+    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rerank = (
+        pool.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_sim"),
+            "approx_dist",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "approx_dist", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+ann_ivf_pq_residual.__doc__ = ann_ivf_pq_residual.__doc__.format(
+    nprobe=NPROBE, pool=IVFPQ_POOL, pqk=PQ_K, subs=PQ_SUBS,
+    ivf_iters=IVF_ITERS, pq_iters=PQ_ITERS, q=N_QUERIES,
 )
 
 

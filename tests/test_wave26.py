@@ -133,3 +133,33 @@ def test_pq_distortion_training_helps_every_subspace(spark):
     for r in rows:
         assert r.trained_mse < r.seed_mse, r
         assert r.improvement_pct >= 10.0, r
+
+
+def test_ann_ivf_pq_residual_recall_floor(spark):
+    """IVFADC (residual encoding) quality pin: measured recall@3 vs
+    the exact oracle is 0.483 at sf0.01 — within one hit (1/60) of
+    raw-vector trained PQ's 0.500, against the same trained-coarse
+    0.650 ceiling. At this corpus scale (500 vectors / 8 lists) the
+    residual win shows up in DISTORTION, not recall: trained
+    residual codebooks average 0.172 MSE vs 0.184 raw (−6.5% at
+    equal code size; seeds were 0.242) — the Jégou et al. §IV
+    effect, which compounds as cells densify at real scale."""
+    from collections import defaultdict
+
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    exact = reg["ann_cosine_topk"].fn(spark, SF).collect()
+    release_caches()
+    ex = defaultdict(list)
+    for r in exact:
+        if r.rnk <= 3:
+            ex[r.query_id].append(r.neighbor_id)
+    total = sum(len(v) for v in ex.values())
+    edges = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["ann_ivf_pq_residual"].fn(spark, SF).collect()
+    }
+    release_caches()
+    hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
+    assert hits / total >= 0.45, (hits, total)
