@@ -557,6 +557,9 @@ def _sf1_main() -> None:
         # exponent should sit well under 1: the per-round driver
         # round-trips are scale-constant)
         "ann_ivf_pq",
+        # round-10: the residual-encoding twin (IVFADC proper) —
+        # same broadcast shape plus one assign+subtract corpus pass
+        "ann_ivf_pq_residual",
     ]
 
     def run_at(sf_dir: str) -> dict[str, float]:
