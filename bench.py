@@ -178,6 +178,9 @@ EXTENDED = [
     "xml_ingest",
     # round-9 addition
     "ann_ivf_pq",
+    # round-10 additions
+    "ann_ivf_pq_residual",
+    "pq_distortion_eval",
 ]
 
 
