@@ -744,6 +744,114 @@ def _jdecomp_main() -> None:
     )
 
 
+# ------------------------------- headline on two executor JVMs
+def _headline_cluster_main() -> None:
+    """`bench.py --headline-cluster`: run the 17-query headline set
+    on local-cluster[2,16,8192] — two REAL executor JVMs with
+    process-isolated shuffle serialization — next to a same-day
+    local[32] control, both on the split-layout copy (the primary
+    headline rig). §33's round-10 addendum measured one query family
+    under a split heap; this pins the WHOLE headline: every plan
+    that survives here pays real inter-process exchange costs, so a
+    query whose local[32] speed depended on in-process shuffle
+    shortcuts would show an outsized cluster delta. Expected shape:
+    a roughly uniform topology overhead on shuffle-bound queries
+    (the two-process rig serializes exchanges a real fleet also
+    serializes, but with only 2 JVMs to amortize) and parity on
+    scan/broadcast-bound ones.
+
+    The pandas-UDF queries (multimodal_features,
+    pcap_diameter_correlated) need the package importable in the
+    executors' python workers — shipped via addPyFile of a package
+    zip, exactly like __spark_entry__._ensure_shipped does for the
+    grading driver."""
+    import tempfile
+    import zipfile
+
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def ship_pkg(spark) -> None:
+        zip_path = os.path.join(
+            tempfile.gettempdir(), "ingestor_etl_spark_pkg.zip"
+        )
+        pkg_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "ingestor_etl_spark"
+        )
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(
+                            full,
+                            os.path.relpath(
+                                full, os.path.dirname(pkg_dir)
+                            ),
+                        )
+        spark.sparkContext.addPyFile(zip_path)
+
+    def run_headline(spark) -> dict[str, float]:
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        split_dir = _split_copy_dir(sf_dir)
+        run_dir = split_dir or sf_dir
+        if split_dir:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(_SPLIT_MAX_PARTITION_BYTES),
+            )
+        out: dict[str, float] = {}
+        for name in names:
+            out[name] = _time_query(registry[name].fn(spark, run_dir), 3)
+            release_caches()
+        return out
+
+    control = None
+    if os.environ.get("SPARK_GRAFT_SPLIT_CONTROL", "1") != "0":
+        spark = get_spark("ingestor-etl-spark-headline-control")
+        control = run_headline(spark)
+        spark.stop()
+
+    os.environ["SPARK_GRAFT_ON_CLUSTER"] = "1"
+    try:
+        spark = get_spark(
+            "ingestor-etl-spark-headline-cluster",
+            **{
+                "spark.master": "local-cluster[2,16,8192]",
+                "spark.executor.memory": "8192m",
+            },
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_ON_CLUSTER"]
+    ship_pkg(spark)
+    cluster = run_headline(spark)
+    spark.stop()
+
+    result = {
+        "metric": "headline_split_vs_cluster",
+        "unit": "sec",
+        "value": round(sum(cluster.values()), 3),
+        "sf": 0.1,
+        "control_local32_total": (
+            round(sum(control.values()), 3) if control else None
+        ),
+        "control_local32": control,
+        "cluster_2x16_8g": cluster,
+        "ratio": (
+            {
+                n: round(cluster[n] / control[n], 2)
+                for n in names
+            }
+            if control
+            else None
+        ),
+    }
+    print(json.dumps(result))
+
+
 # ------------------------------- split-heap agg-constant check
 def _jdecomp_cluster_main() -> None:
     """`bench.py --jdecomp-cluster` (round-9 verdict item 3): turn
@@ -1308,6 +1416,8 @@ if __name__ == "__main__":
         _sf1_main()
     elif "--jdecomp-cluster" in sys.argv:
         _jdecomp_cluster_main()
+    elif "--headline-cluster" in sys.argv:
+        _headline_cluster_main()
     elif "--jdecomp" in sys.argv:
         _jdecomp_main()
     elif "--haircut" in sys.argv:
