@@ -97,6 +97,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # CORRECTNESS_r01-r09).
     "pq_distortion_eval",
     "ann_ivf_pq_residual",
+    "ivf_nprobe_whatif",
     "ann_ivf_pq",
     "prefix_filter_join",
     "window_zoo",

@@ -1958,6 +1958,225 @@ ann_ivf_pq_residual.__doc__ = ann_ivf_pq_residual.__doc__.format(
 )
 
 
+# ------------------------------------------------------ ivf_nprobe_whatif
+N_LISTS = len(CENTROID_IDS)
+
+
+@register(
+    "ivf_nprobe_whatif",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
+    nve AS (SELECT vec_id, nv AS pv FROM e),
+    {_IVF_LLOYD_CTES},
+    ivf_scored AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY (list_dot_product(e.nv, e.nv)
+                                          - 2 * list_dot_product(e.nv, c.cv))
+                                         + list_dot_product(c.cv, c.cv),
+                                c.cid) AS crnk
+      FROM e CROSS JOIN ivf_c{IVF_ITERS} c
+    ),
+    assigned AS (SELECT vec_id, cid AS lid FROM ivf_scored WHERE crnk = 1),
+    list_sizes AS (SELECT lid, count(*) AS sz FROM assigned GROUP BY lid),
+    qprobe AS (
+      SELECT vec_id AS query_id, cid AS lid, crnk FROM ivf_scored
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qcum AS (
+      SELECT q.query_id, q.crnk AS nprobe,
+             sum(COALESCE(s.sz, 0)) OVER (
+               PARTITION BY q.query_id ORDER BY q.crnk) - 1 AS n_cand
+      FROM qprobe q LEFT JOIN list_sizes s USING (lid)
+    ),
+    cand_avg AS (
+      SELECT nprobe, avg(CAST(n_cand AS DOUBLE)) AS avg_c
+      FROM qcum GROUP BY nprobe
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {IVF_TOPK}
+    ),
+    hitrank AS (
+      SELECT x.query_id, p.crnk AS r
+      FROM exact3 x
+      JOIN assigned a ON a.vec_id = x.neighbor_id
+      JOIN qprobe p ON p.query_id = x.query_id AND p.lid = a.lid
+    ),
+    totals AS (SELECT count(*) AS n_edges FROM exact3),
+    nvecs AS (SELECT count(*) AS n_vecs FROM e),
+    sweep AS (SELECT unnest(range(1, {N_LISTS + 1})) AS nprobe),
+    recall AS (
+      SELECT s.nprobe,
+             sum(CASE WHEN h.r <= s.nprobe THEN 1 ELSE 0 END) AS hits
+      FROM sweep s CROSS JOIN hitrank h
+      GROUP BY s.nprobe
+    )
+    SELECT r.nprobe,
+           round(c.avg_c, 2) AS avg_candidates,
+           round(c.avg_c / (v.n_vecs - 1), 4) AS scan_frac,
+           round(CAST(r.hits AS DOUBLE) / t.n_edges, 4) AS ceiling_recall
+    FROM recall r
+    JOIN cand_avg c ON c.nprobe = r.nprobe
+    CROSS JOIN totals t CROSS JOIN nvecs v
+    ORDER BY r.nprobe
+    """,
+    tags=("vector", "ann", "ivf", "tuning", "planning"),
+)
+def ivf_nprobe_whatif(spark, sf_dir):
+    """IVF probe-budget planning sweep — the lsh_band_whatif analog
+    for the IVF family: for every nprobe 1..{nlists}, the recall
+    CEILING the coarse restrict imposes on any downstream scorer
+    (fraction of exact top-{k} neighbors whose assigned list ranks
+    within the query's first nprobe probes) next to what that budget
+    costs (average candidates scanned per query, and as a fraction
+    of the corpus). This is the measurement that justifies — or
+    indicts — the production NPROBE={nprobe} knob that ann_ivf,
+    ann_ivf_pq, and ann_ivf_pq_residual all share: the nprobe row
+    where the ceiling stops growing faster than scan_frac is the
+    right budget. Everything derives from ONE scored relation (the
+    trained-centroid argmin ann_ivf_pq already runs), so the sweep
+    adds no passes: nprobe=k's candidate count is the running sum of
+    probed-list sizes down each query's probe ranking.
+
+    Plan (the 100 TB lens): corpus scanned once against the
+    broadcast trained centroids; list sizes are an 8-row aggregate;
+    the per-query cumulative sum windows over {q}×{nlists} rows; the
+    exact leg broadcasts the {q}-query side against the corpus (the
+    ann_recall_eval pattern — the only O(corpus) term, and the term
+    you'd hash-sample at real scale). The sweep itself joins
+    KB-sized aggregates."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et.count()
+    ivf_cents = _lloyd_refine(
+        et.select("vec_id", F.col("nv").alias("pv")),
+        et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+        ),
+        IVF_ITERS,
+        DIM,
+    )
+    nvc, cvc = F.col("nv"), F.col("cv")
+    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = (
+        e.crossJoin(F.broadcast(ivf_cents))
+        .select("vec_id", "cid", cl2.alias("d2"))
+        .withColumn("crnk", F.row_number().over(wc))
+    )
+    assigned = ranked.where("crnk = 1").select(
+        "vec_id", F.col("cid").alias("lid")
+    )
+    list_sizes = assigned.groupBy("lid").agg(F.count(F.lit(1)).alias("sz"))
+    qprobe = ranked.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("lid"), "crnk"
+    )
+    wcum = Window.partitionBy("query_id").orderBy("crnk")
+    qcum = (
+        qprobe.join(F.broadcast(list_sizes), "lid", "left")
+        .withColumn("sz0", F.coalesce(F.col("sz"), F.lit(0)))
+        .select(
+            "query_id",
+            F.col("crnk").cast("long").alias("nprobe"),
+            (F.sum("sz0").over(wcum) - 1).alias("n_cand"),
+        )
+    )
+    cand_avg = qcum.groupBy("nprobe").agg(
+        F.avg(F.col("n_cand").cast("double")).alias("avg_c")
+    )
+    # exact top-k leg: broadcast the query side (ann_recall_eval's
+    # exact-leg shape)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    exact3 = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(we))
+        .where(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hitrank = (
+        exact3.join(
+            assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(qprobe), ["query_id", "lid"])
+        .select("query_id", F.col("crnk").alias("r"))
+    )
+    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
+    nvecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    sweep = spark.range(1, N_LISTS + 1).select(F.col("id").alias("nprobe"))
+    recall = (
+        sweep.crossJoin(hitrank)
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("nprobe"), 1).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return (
+        recall.join(cand_avg, "nprobe")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nvecs))
+        .select(
+            "nprobe",
+            F.round(F.col("avg_c"), 2).alias("avg_candidates"),
+            F.round(F.col("avg_c") / (F.col("n_vecs") - 1), 4).alias(
+                "scan_frac"
+            ),
+            F.round(
+                F.col("hits").cast("double") / F.col("n_edges"), 4
+            ).alias("ceiling_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+ivf_nprobe_whatif.__doc__ = ivf_nprobe_whatif.__doc__.format(
+    nlists=N_LISTS, k=IVF_TOPK, nprobe=NPROBE, q=N_QUERIES,
+)
+
+
 # ------------------------------------------------------------ vector hygiene
 @register(
     "embedding_stats",

@@ -163,3 +163,27 @@ def test_ann_ivf_pq_residual_recall_floor(spark):
     release_caches()
     hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
     assert hits / total >= 0.45, (hits, total)
+
+
+def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
+    """The planning sweep must agree with the constants the ANN
+    stacks document: at the production NPROBE=2 the coarse-restrict
+    ceiling is exactly the 0.650 that ann_ivf_pq's recall analysis
+    cites, at ~25% corpus scan; probing all 8 lists is a full scan
+    with ceiling 1.0 (the sweep's own sanity row)."""
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    rows = {
+        r.nprobe: r
+        for r in reg["ivf_nprobe_whatif"].fn(spark, SF).collect()
+    }
+    release_caches()
+    assert rows[2].ceiling_recall == 0.65
+    assert 0.2 < rows[2].scan_frac < 0.3
+    assert rows[8].ceiling_recall == 1.0
+    assert rows[8].scan_frac == 1.0
+    assert all(
+        rows[p].ceiling_recall <= rows[p + 1].ceiling_recall
+        for p in range(1, 8)
+    )
