@@ -98,6 +98,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "pq_distortion_eval",
     "ann_ivf_pq_residual",
     "ivf_nprobe_whatif",
+    "ann_quality_scoreboard",
     "ann_ivf_pq",
     "prefix_filter_join",
     "window_zoo",

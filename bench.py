@@ -181,6 +181,7 @@ EXTENDED = [
     # round-10 additions
     "ann_ivf_pq_residual",
     "pq_distortion_eval",
+    "ivf_nprobe_whatif",
 ]
 
 

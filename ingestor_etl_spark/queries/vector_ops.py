@@ -2177,6 +2177,116 @@ ivf_nprobe_whatif.__doc__ = ivf_nprobe_whatif.__doc__.format(
 )
 
 
+# --------------------------------------------------- ann_quality_scoreboard
+from ingestor_etl_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_SCOREBOARD_VARIANTS = (
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_pq_topk",
+    "ann_ivf_pq",
+    "ann_ivf_pq_residual",
+)
+
+_SB_PREDS_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT '{n}' AS variant, query_id, neighbor_id "
+    f"FROM ({_REGISTRY[n].oracle}) WHERE rnk <= {IVF_TOPK}"
+    for n in _SCOREBOARD_VARIANTS
+)
+
+
+@register(
+    "ann_quality_scoreboard",
+    oracle=f"""
+    WITH exact3 AS (
+      SELECT query_id, neighbor_id
+      FROM ({_REGISTRY["ann_cosine_topk"].oracle}) WHERE rnk <= {IVF_TOPK}
+    ),
+    totals AS (SELECT count(*) AS n_edges FROM exact3),
+    preds AS (
+      {_SB_PREDS_SQL}
+    )
+    SELECT p.variant,
+           count(*) AS n_predicted,
+           sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+           round(CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / t.n_edges, 4) AS recall_at_3
+    FROM preds p
+    LEFT JOIN exact3 e USING (query_id, neighbor_id)
+    CROSS JOIN totals t
+    GROUP BY p.variant, t.n_edges
+    ORDER BY recall_at_3 DESC, variant
+    """,
+    tags=("vector", "ann", "eval", "quality"),
+)
+def ann_quality_scoreboard(spark, sf_dir):
+    """The ANN scoreboard — recall@{k} of every approximate variant
+    the engine ships (LSH-bucketed, IVF restrict, raw PQ ADC,
+    IVF+PQ+refine, IVFADC residual) against the exact brute-force
+    top-{k}, in ONE query. This is the evaluation a user runs before
+    picking an index for a corpus: each variant's registered
+    DataFrame plan is composed as a subquery (operators compose
+    because they ARE DataFrames — the curation_pipeline pattern),
+    its top-{k} edges are checked against the exact edges with a
+    broadcast join, and the result is one KB-sized table ordered by
+    measured quality. The DuckDB oracle composes the SAME registered
+    oracle strings as nested-WITH subqueries, so the scoreboard
+    stays cross-engine exact by construction as variants evolve.
+
+    Plan (the 100 TB lens): the exact leg is the one O(corpus)
+    term (broadcast-queries shape, hash-sampled at real scale —
+    ann_recall_eval's contract); every variant leg inherits its own
+    registered plan's scale story (all broadcast/bucket-confined);
+    the final scoring joins ≤ {q}×{k} edge rows per variant."""
+    exact3 = (
+        _REGISTRY["ann_cosine_topk"]
+        .fn(spark, sf_dir)
+        .where(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
+    preds = None
+    for n in _SCOREBOARD_VARIANTS:
+        p = (
+            _REGISTRY[n]
+            .fn(spark, sf_dir)
+            .where(F.col("rnk") <= IVF_TOPK)
+            .select(
+                F.lit(n).alias("variant"), "query_id", "neighbor_id"
+            )
+        )
+        preds = p if preds is None else preds.unionByName(p)
+    hit = F.when(F.col("hit_mark").isNotNull(), 1).otherwise(0)
+    return (
+        preds.join(
+            F.broadcast(exact3.withColumn("hit_mark", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_predicted"),
+            F.sum(hit).alias("hits"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "variant",
+            "n_predicted",
+            "hits",
+            F.round(
+                F.col("hits").cast("double") / F.col("n_edges"), 4
+            ).alias("recall_at_3"),
+        )
+        .orderBy(F.desc("recall_at_3"), "variant")
+    )
+
+
+ann_quality_scoreboard.__doc__ = ann_quality_scoreboard.__doc__.format(
+    k=IVF_TOPK, q=N_QUERIES,
+)
+
+
 # ------------------------------------------------------------ vector hygiene
 @register(
     "embedding_stats",

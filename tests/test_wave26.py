@@ -187,3 +187,24 @@ def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
         rows[p].ceiling_recall <= rows[p + 1].ceiling_recall
         for p in range(1, 8)
     )
+
+
+def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
+    """The scoreboard's measured ordering must reproduce the round's
+    quality narrative: the Lloyd-trained IVF+PQ+refine stack tops
+    the table at 0.50, the UNTRAINED ann_ivf restrict lands exactly
+    at its documented 0.483 ceiling, and the refine-less raw ADC
+    (ann_pq_topk) trails everything — re-ranking and training are
+    both visible in one table. Exactness is the oracle row's job."""
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    rows = {
+        r.variant: r
+        for r in reg["ann_quality_scoreboard"].fn(spark, SF).collect()
+    }
+    release_caches()
+    assert rows["ann_ivf_pq"].recall_at_3 == 0.5
+    assert rows["ann_ivf"].recall_at_3 == 0.4833
+    assert rows["ann_pq_topk"].recall_at_3 < 0.25
+    assert all(r.n_predicted == 60 for r in rows.values())
