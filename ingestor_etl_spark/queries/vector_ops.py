@@ -2089,7 +2089,10 @@ def ivf_nprobe_whatif(spark, sf_dir):
     nvc, cvc = F.col("nv"), F.col("cv")
     cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
     wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    ranked = (
+    # the scored relation feeds three legs (assignment, query probe
+    # ranking, hit-rank lookup) — materialize it once so the argmin
+    # window never replans per leg
+    ranked = materialize(
         e.crossJoin(F.broadcast(ivf_cents))
         .select("vec_id", "cid", cl2.alias("d2"))
         .withColumn("crnk", F.row_number().over(wc))

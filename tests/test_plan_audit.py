@@ -19,6 +19,15 @@ BNL_ALLOWED = {
     # 8-row IVF-centroid broadcast into the assignment cross join —
     # same shape as ann_ivf (round 9)
     "ann_ivf_pq",
+    # round 10: the same centroid/codebook-literal cross joins as
+    # ann_ivf_pq (Lloyd training argmins + 1-row totals), plus — for
+    # the whatif — the 8-row nprobe sweep against the 60-row exact
+    # edge set, tiny×tiny by construction
+    "ann_ivf_pq_residual",
+    "ivf_nprobe_whatif",
+    # composes the five variant plans above, so it inherits exactly
+    # their literal-side nested loops
+    "ann_quality_scoreboard",
     "q22_idle_customers",
     # 1-row scalar-subquery (global total) broadcast into the HAVING
     # filter — literal-side by construction, same shape as q22
@@ -185,6 +194,15 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "exact_substring_extend": 4,
         "ngram_jaccard_pairs": 3,
         "embedding_near_dup": 2,
+        # round-10: the new vector family, pinned at their measured
+        # post-AQE executed counts at sf0.01 (same values as the
+        # PLANS.md sf0.001 rows — the plans are data-size-invariant:
+        # Lloyd training rounds are broadcast-argmin projections and
+        # the eval joins are KB-sized aggregates)
+        "pq_distortion_eval": 5,
+        "ann_ivf_pq_residual": 4,
+        "ivf_nprobe_whatif": 9,
+        "ann_quality_scoreboard": 30,
     }
     for name, cap in budgets.items():
         df = reg[name].fn(spark, sf_dir)
