@@ -195,10 +195,12 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "ngram_jaccard_pairs": 3,
         "embedding_near_dup": 2,
         # round-10: the new vector family, pinned at their measured
-        # post-AQE executed counts at sf0.01 (same values as the
-        # PLANS.md sf0.001 rows — the plans are data-size-invariant:
-        # Lloyd training rounds are broadcast-argmin projections and
-        # the eval joins are KB-sized aggregates)
+        # post-AQE executed counts at sf0.01 (the fixture scale;
+        # PLANS.md's sf0.001 rows match except ivf_nprobe_whatif,
+        # where AQE reuses one fewer exchange at the smaller scale —
+        # 12 there vs 9 here). Lloyd training rounds are
+        # broadcast-argmin projections and the eval joins are
+        # KB-sized aggregates, so the budgets are scale-stable.
         "pq_distortion_eval": 5,
         "ann_ivf_pq_residual": 4,
         "ivf_nprobe_whatif": 9,
