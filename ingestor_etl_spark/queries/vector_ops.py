@@ -2211,7 +2211,8 @@ _SB_PREDS_SQL = "\n      UNION ALL\n      ".join(
     )
     SELECT p.variant,
            count(*) AS n_predicted,
-           sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
            round(CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / t.n_edges, 4) AS recall_at_3
