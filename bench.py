@@ -1398,6 +1398,42 @@ def _skew_main() -> None:
         },
     )
 
+    # 10. hot inverted list for the IVF+PQ stacks (round 10): 100k
+    # vectors, 90% jittered around ONE direction — the shape a
+    # deduplicated-but-not-exact crawl corpus produces, where a
+    # single coarse cell can end up holding most of the corpus and
+    # every query probing it generates O(list) ADC candidates.
+    # Measured through the REGISTERED queries end-to-end (training
+    # included) on a temp parquet corpus with the standard layout.
+    # Training does NOT rescue this shape (measured trained list
+    # sizes: 90000 / 9999 / 1 — the cluster is tighter than the
+    # centroid resolution), so the row pins the plan property that
+    # matters instead: candidate cost is LINEAR in probed-list mass
+    # (the ADC join is one lookup row per candidate×subspace,
+    # grouped map-side; the exact re-rank stays ≤ pool rows/query),
+    # so a 90%-hot list degrades the stacks proportionally, never
+    # quadratically.
+    import tempfile as _tf
+
+    ivf_dir = _tf.mkdtemp(prefix="skew_ivf_")
+    spark.range(100_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), d -> CASE WHEN id % 10 < 9"
+        " THEN 1.0D + cast(pmod(hash(id, d), 1000) AS double) / 1000000.0D"
+        " ELSE cast(pmod(hash(id, d), 2000) - 1000 AS double) / 1000.0D"
+        " END) AS embedding",
+    ).write.mode("overwrite").parquet(f"{ivf_dir}/embeddings.parquet")
+    for q in ("ann_ivf_pq", "ann_ivf_pq_residual"):
+        run(
+            f"{q}_hot_list",
+            load_all()[q].fn(spark, ivf_dir),
+            {
+                "vecs": 100_000,
+                "hot_cluster_frac": 0.9,
+                "shape": "one dominant direction → hot coarse cell(s)",
+            },
+        )
+
     print(
         json.dumps(
             {
