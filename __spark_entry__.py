@@ -99,6 +99,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "ann_ivf_pq_residual",
     "ivf_nprobe_whatif",
     "ann_quality_scoreboard",
+    "ivf_balance_profile",
     "ann_ivf_pq",
     "prefix_filter_join",
     "window_zoo",

@@ -182,6 +182,7 @@ EXTENDED = [
     "ann_ivf_pq_residual",
     "pq_distortion_eval",
     "ivf_nprobe_whatif",
+    "ivf_balance_profile",
 ]
 
 

@@ -2180,6 +2180,122 @@ ivf_nprobe_whatif.__doc__ = ivf_nprobe_whatif.__doc__.format(
 )
 
 
+# ----------------------------------------------------- ivf_balance_profile
+@register(
+    "ivf_balance_profile",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS nv
+      FROM embeddings
+    ),
+    nve AS (SELECT vec_id, nv AS pv FROM e),
+    {_IVF_LLOYD_CTES},
+    ivf_scored AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY (list_dot_product(e.nv, e.nv)
+                                          - 2 * list_dot_product(e.nv, c.cv))
+                                         + list_dot_product(c.cv, c.cv),
+                                c.cid) AS crnk
+      FROM e CROSS JOIN ivf_c{IVF_ITERS} c
+    ),
+    assigned AS (SELECT vec_id, cid AS lid FROM ivf_scored WHERE crnk = 1),
+    sizes AS (
+      SELECT l.cid AS lid, count(a.vec_id) AS n_vectors
+      FROM ivf_c{IVF_ITERS} l LEFT JOIN assigned a ON a.lid = l.cid
+      GROUP BY l.cid
+    ),
+    total AS (SELECT count(*) AS n FROM assigned)
+    SELECT s.lid, s.n_vectors,
+           round(CAST(s.n_vectors AS DOUBLE) / t.n, 4) AS share,
+           round(CAST(s.n_vectors AS DOUBLE) * {N_LISTS} / t.n, 2)
+             AS load_factor
+    FROM sizes s CROSS JOIN total t
+    ORDER BY s.n_vectors DESC, s.lid
+    """,
+    tags=("vector", "ann", "ivf", "diagnostics", "skew"),
+)
+def ivf_balance_profile(spark, sf_dir):
+    """Inverted-list balance profile — the key_skew_profile analog
+    for the IVF family: per trained coarse cell, its corpus share
+    and load factor (observed size ÷ uniform size, the metric FAISS
+    calls imbalance). This is the diagnostic behind SCALING §41's
+    hot-list stress: a load factor near {nlists}.0 on one row means
+    one cell holds the corpus and every query probing it scans
+    O(corpus) ADC candidates — the signal to re-train with more
+    cells or split the hot cell BEFORE paying query-time cost. Every
+    list appears (LEFT JOIN from the centroid table), so an emptied
+    cell shows as a 0-row — Lloyd's empty-cluster carry-over makes
+    those legitimate.
+
+    Plan: one corpus pass against the broadcast trained centroids
+    (the same argmin every IVF stack runs), one {nlists}-group
+    aggregate, one broadcast 1-row total — nothing scales with
+    anything but the scan."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", F.transform("v", lambda x: x / norm))
+    )
+    et.count()
+    ivf_cents = _lloyd_refine(
+        et.select("vec_id", F.col("nv").alias("pv")),
+        et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+        ),
+        IVF_ITERS,
+        DIM,
+    )
+    nvc, cvc = F.col("nv"), F.col("cv")
+    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(ivf_cents))
+        .select("vec_id", "cid", cl2.alias("d2"))
+        .withColumn("crnk", F.row_number().over(wc))
+        .where("crnk = 1")
+        .select("vec_id", F.col("cid").alias("lid"))
+    )
+    sizes = (
+        ivf_cents.select(F.col("cid").alias("lid"))
+        .join(assigned, "lid", "left")
+        .groupBy("lid")
+        .agg(F.count(F.col("vec_id")).alias("n_vectors"))
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "lid",
+            "n_vectors",
+            F.round(F.col("n_vectors").cast("double") / F.col("n"), 4).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_vectors").cast("double") * N_LISTS / F.col("n"), 2
+            ).alias("load_factor"),
+        )
+        .orderBy(F.desc("n_vectors"), "lid")
+    )
+
+
+ivf_balance_profile.__doc__ = ivf_balance_profile.__doc__.format(
+    nlists=N_LISTS,
+)
+
+
 # --------------------------------------------------- ann_quality_scoreboard
 from ingestor_etl_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 

@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     # edge set, tiny×tiny by construction
     "ann_ivf_pq_residual",
     "ivf_nprobe_whatif",
+    "ivf_balance_profile",
     # composes the five variant plans above, so it inherits exactly
     # their literal-side nested loops
     "ann_quality_scoreboard",
@@ -205,6 +206,7 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "ann_ivf_pq_residual": 4,
         "ivf_nprobe_whatif": 9,
         "ann_quality_scoreboard": 30,
+        "ivf_balance_profile": 6,
     }
     for name, cap in budgets.items():
         df = reg[name].fn(spark, sf_dir)

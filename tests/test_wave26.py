@@ -208,3 +208,20 @@ def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
     assert rows["ann_ivf"].recall_at_3 == 0.4833
     assert rows["ann_pq_topk"].recall_at_3 < 0.25
     assert all(r.n_predicted == 60 for r in rows.values())
+
+
+def test_ivf_balance_profile_uniform_corpus(spark):
+    """On the uniform sf0.01 corpus the trained coarse cells must be
+    near-balanced (measured load factors 0.75-1.20 — no cell above
+    2x uniform), every one of the 8 lists present, and the shares a
+    partition of the corpus. The hot-corpus counterpart (one cell at
+    load factor ~7.2) is pinned by measurement in SCALING §41."""
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["ivf_balance_profile"].fn(spark, SF).collect()
+    release_caches()
+    assert len(rows) == 8
+    assert sum(r.n_vectors for r in rows) == 500
+    assert all(r.load_factor < 2.0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
