@@ -1414,26 +1414,30 @@ def _skew_main() -> None:
     # grouped map-side; the exact re-rank stays ≤ pool rows/query),
     # so a 90%-hot list degrades the stacks proportionally, never
     # quadratically.
+    import shutil as _sh
     import tempfile as _tf
 
     ivf_dir = _tf.mkdtemp(prefix="skew_ivf_")
-    spark.range(100_000).selectExpr(
-        "id AS vec_id",
-        "transform(sequence(0, 63), d -> CASE WHEN id % 10 < 9"
-        " THEN 1.0D + cast(pmod(hash(id, d), 1000) AS double) / 1000000.0D"
-        " ELSE cast(pmod(hash(id, d), 2000) - 1000 AS double) / 1000.0D"
-        " END) AS embedding",
-    ).write.mode("overwrite").parquet(f"{ivf_dir}/embeddings.parquet")
-    for q in ("ann_ivf_pq", "ann_ivf_pq_residual"):
-        run(
-            f"{q}_hot_list",
-            load_all()[q].fn(spark, ivf_dir),
-            {
-                "vecs": 100_000,
-                "hot_cluster_frac": 0.9,
-                "shape": "one dominant direction → hot coarse cell(s)",
-            },
-        )
+    try:
+        spark.range(100_000).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63), d -> CASE WHEN id % 10 < 9"
+            " THEN 1.0D + cast(pmod(hash(id, d), 1000) AS double) / 1000000.0D"
+            " ELSE cast(pmod(hash(id, d), 2000) - 1000 AS double) / 1000.0D"
+            " END) AS embedding",
+        ).write.mode("overwrite").parquet(f"{ivf_dir}/embeddings.parquet")
+        for q in ("ann_ivf_pq", "ann_ivf_pq_residual"):
+            run(
+                f"{q}_hot_list",
+                load_all()[q].fn(spark, ivf_dir),
+                {
+                    "vecs": 100_000,
+                    "hot_cluster_frac": 0.9,
+                    "shape": "one dominant direction → hot coarse cell(s)",
+                },
+            )
+    finally:
+        _sh.rmtree(ivf_dir, ignore_errors=True)
 
     print(
         json.dumps(

@@ -988,6 +988,216 @@ IVF_ITERS = 4
 PQ_ITERS = 2
 
 
+def _py_dot(a, b):
+    """The engines' sequential left-fold, op-for-op (exact IEEE
+    parity with aggregate(zip_with(...)) / list_dot_product)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal: repr() round-trips binary64 and Spark's
+    parser is correctly rounded, so the literal is the identical
+    double on both engines."""
+    return f"{x!r}D"
+
+
+def _book_arr_sql(book) -> str:
+    """One codebook ``[(cid, [components...]), ...]`` as a literal
+    SQL array of (cid, cv, cc=‖cv‖²) structs. Expressions are built
+    as single SQL strings — constructing the ~K·dim literal codebook
+    as Column objects costs one py4j round-trip PER literal; one
+    selectExpr string is one round-trip and Catalyst constant-folds
+    the literal array exactly the same."""
+    return (
+        "array("
+        + ", ".join(
+            f"named_struct('cid', {cid}L, "
+            f"'cv', array({', '.join(_dlit(x) for x in cv)}), "
+            f"'cc', {_dlit(_py_dot(cv, cv))})"
+            for cid, cv in book
+        )
+        + ")"
+    )
+
+
+def _book_case_sql(books: dict, keys) -> str:
+    """Keyed codebooks as a CASE over the first key column (the
+    _lloyd_refine per-key form: each key trains independently)."""
+    ks = list(keys)
+    if not ks:
+        return _book_arr_sql(books[()])
+    whens = " ".join(
+        f"WHEN {ks[0]} = {key[0]} THEN {_book_arr_sql(book)}"
+        for key, book in sorted(books.items())
+    )
+    return f"CASE {whens} END"
+
+
+def _rank_sql(book_sql: str, n: int | None = None, with_cv: bool = False,
+              vec: str = "nv") -> str:
+    """Zero-exchange centroid ranking: the codebook (a Catalyst
+    constant) sorted by (L2 distance to column ``vec``, cid) as one
+    per-row projection — no crossJoin fan-out, no row_number window,
+    no shuffle of the corpus (round-10 verdict item 5, applied to
+    every trained-centroid coarse pass). Expects a ``pp`` column
+    holding ‖vec‖²; the (pp − 2·dot) + cc distance and the cid
+    tie-break are exactly the crossJoin+row_number oracle's ORDER BY,
+    so per-rank cids are bit-identical. ``n`` keeps the first n
+    ranks; ``with_cv`` carries each centroid's components through
+    (for residual computation on the ranked rows)."""
+    dot = (
+        f"aggregate(zip_with({vec}, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    fields = f"'d', (pp - 2 * {dot}) + c.cc, 'cid', c.cid"
+    if with_cv:
+        fields += ", 'cv', c.cv"
+    expr = f"array_sort(transform({book_sql}, c -> named_struct({fields})))"
+    if n is not None:
+        expr = f"slice({expr}, 1, {n})"
+    return expr
+
+
+def _argmin_sql(book_sql: str, vec: str = "nv") -> str:
+    """Nearest-centroid cid as one per-row projection (the
+    _lloyd_books assignment expression): array_min over (d, cid)
+    structs — same distance and tie-break as _rank_sql's rank 1,
+    without paying the sort."""
+    dot = (
+        f"aggregate(zip_with({vec}, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    return (
+        f"array_min(transform({book_sql}, c -> named_struct("
+        f"'d', (pp - 2 * {dot}) + c.cc, 'cid', c.cid))).cid"
+    )
+
+
+# --------------------------------------------- IVF hot-cell sub-split
+# Census-gated mitigation for hot inverted lists (round-10 verdict
+# item 2; SCALING §41): a deduplicated-crawl corpus can put most of
+# its mass in ONE coarse cell (bench.py --skew: 90% of 100k vectors →
+# one list, trained sizes 90000/9999/1), and every query probing that
+# list scans O(corpus) ADC candidates — linear, not quadratic, but
+# 4× the uniform cost. The same pay-when-skewed pattern as the LSH
+# bucket cap (_near_dup_from): a ≤N_LISTS-row occupancy census gates
+# the plan; above threshold, hot cells are SUB-SPLIT with
+# IVF_SUB_K extra local centroids (Lloyd-trained on the cell's own
+# members — geometry-preserving, unlike a hash split) and queries
+# probe only their IVF_SUB_NPROBE nearest sub-cells, bounding probed
+# mass at ~load·SUB_NPROBE/SUB_K of the hot cell. Below threshold the
+# sub-split machinery stays out of the plan entirely, so the
+# oracle-compared scales are byte-exact (cap-inactive ≡ plain,
+# pinned in tests/test_wave27).
+IVF_HOT_LOAD = 4.0  # load factor (occupancy ÷ uniform) that engages
+IVF_SUB_K = 8  # local sub-centroids per hot cell
+IVF_SUB_NPROBE = 2  # sub-cells probed within a hot cell
+IVF_SUB_ITERS = 2  # Lloyd rounds for the sub-centroids
+
+
+def _ivf_candidate_cells(et, book):
+    """Shared coarse candidate-cell machinery for the IVF+PQ stacks:
+    corpus assignment, query probe cells, and the census-gated
+    hot-cell sub-split.
+
+    ``et`` is the materialized (vec_id, v, nv) corpus; ``book`` the
+    trained coarse codebook as ``[(cid, [components...]), ...]``.
+    Returns ``(cells, probe_cells)``:
+
+      cells       (vec_id, lid, slid) — every corpus vector's cell
+      probe_cells (query_id, lid, slid) — the cells each query scans
+
+    and candidate generation is the equi-join of the two on
+    (lid, slid). On a balanced corpus slid ≡ 0 on both sides and the
+    relations are exactly the plain coarse assignment/probes — the
+    literal 0 is the only plan difference, so oracle scales are
+    unchanged. The census is one ≤N_LISTS-row aggregate over the
+    cached corpus (the _near_dup_from mass-census pattern); the
+    engaged path trains per-hot-cell local centroids with the same
+    coordinator-pattern _lloyd_books (driver round-trips stay
+    KB-sized: ≤ n_hot·IVF_SUB_K·DIM doubles), and both the member
+    re-assignment and the query sub-ranking are zero-exchange literal
+    projections."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    book_sql = _book_arr_sql(book)
+    base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
+    asg = base.selectExpr(
+        "vec_id", "nv", f"{_argmin_sql(book_sql)} AS lid"
+    )
+    probe_coarse = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            "nv",
+            "pp",
+            f"transform({_rank_sql(book_sql, NPROBE)}, s -> s.cid) AS rc",
+        )
+        .select(
+            "query_id", "nv", "pp", F.explode(F.col("rc")).alias("lid")
+        )
+    )
+    sizes = {
+        r["lid"]: r["n"]
+        for r in asg.groupBy("lid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(sizes.values()) or 1
+    hot = sorted(
+        lid for lid, n in sizes.items() if n * N_LISTS > IVF_HOT_LOAD * total
+    )
+    zero = F.lit(0).cast("bigint").alias("slid")
+    if not hot:
+        return (
+            asg.select("vec_id", "lid", zero),
+            probe_coarse.select("query_id", "lid", zero),
+        )
+    members = materialize(
+        asg.where(F.col("lid").isin(*hot)).select("lid", "vec_id", "nv")
+    )
+    # deterministic seeds: each hot cell's IVF_SUB_K lowest member ids
+    wseed = Window.partitionBy("lid").orderBy("vec_id")
+    seeds = (
+        members.withColumn("r", F.row_number().over(wseed))
+        .where(F.col("r") <= IVF_SUB_K)
+        .select("lid", F.col("r").cast("long").alias("cid"),
+                F.col("nv").alias("cv"))
+    )
+    sub_books = _lloyd_books(
+        members.select("lid", "vec_id", F.col("nv").alias("pv")),
+        seeds,
+        IVF_SUB_ITERS,
+        DIM,
+        keys=("lid",),
+    )
+    sub_case = _book_case_sql(sub_books, ("lid",))
+    mem_cells = (
+        members.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
+        .selectExpr(
+            "vec_id", "lid", f"{_argmin_sql(sub_case)} AS slid"
+        )
+    )
+    cells = asg.where(~F.col("lid").isin(*hot)).select(
+        "vec_id", "lid", zero
+    ).unionByName(mem_cells)
+    hot_probe = (
+        probe_coarse.where(F.col("lid").isin(*hot))
+        .selectExpr(
+            "query_id",
+            "lid",
+            f"transform({_rank_sql(sub_case, IVF_SUB_NPROBE)}, s -> s.cid)"
+            " AS rc",
+        )
+        .select("query_id", "lid", F.explode(F.col("rc")).alias("slid"))
+    )
+    probe_cells = probe_coarse.where(~F.col("lid").isin(*hot)).select(
+        "query_id", "lid", zero
+    ).unionByName(hot_probe)
+    return cells, probe_cells
+
+
 def _lloyd_refine(points, cents, iters, dim, keys=()):
     """Deterministic Lloyd refinement, cross-engine exact: ``iters``
     fixed rounds of assign → mean → carry-over starting from the
@@ -1025,18 +1235,28 @@ def _lloyd_refine(points, cents, iters, dim, keys=()):
     corpus (pmod(hash(id), K) = 0) rather than the full table — at
     test scales the full pass is cheaper than the sample's extra
     stage."""
+    books = _lloyd_books(points, cents, iters, dim, keys)
+    spark = points.sparkSession
+    ks = list(keys)
+    rows = [
+        (*key, cid, cv) for key, book in books.items() for cid, cv in book
+    ]
+    schema = ", ".join(
+        [*[f"{k} INT" for k in ks], "cid BIGINT", "cv ARRAY<DOUBLE>"]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _lloyd_books(points, cents, iters, dim, keys=()):
+    """_lloyd_refine's trainer, returning the raw codebook dict
+    ``{key_tuple: [(cid, [components...]), ...]}`` instead of a
+    DataFrame — the form the literal-projection consumers
+    (_rank_sql / _book_arr_sql) embed directly, skipping the
+    createDataFrame + broadcast-join path entirely."""
     from ingestor_etl_spark.plans.layout import materialize
 
     ks = list(keys)
     pv = F.col("pv")
-
-    def py_dot(a, b):
-        # the engines' sequential left-fold, op-for-op (exact IEEE
-        # parity with aggregate(zip_with(...)) / list_dot_product)
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     # seed centroids: {key_tuple: [(cid, [components...]), ...]}
     books: dict[tuple, list[tuple]] = {}
@@ -1052,45 +1272,15 @@ def _lloyd_refine(points, cents, iters, dim, keys=()):
     # so this cache fills in parallel (see ann_ivf_pq's et).
     points = materialize(points.withColumn("pp", _dot(pv, pv)))
 
-    # expressions are built as single SQL strings — constructing the
-    # ~K·dim literal codebook as Column objects costs one py4j
-    # round-trip PER literal (~0.5 s/round of pure driver overhead);
-    # one selectExpr string is one round-trip and Catalyst
-    # constant-folds the literal array exactly the same.
-    def _d(x: float) -> str:
-        # repr() round-trips binary64 exactly; Spark's parser is
-        # correctly rounded, so the literal is the identical double
-        return f"{x!r}D"
-
-    def cbook_sql() -> str:
-        def arr(book):
-            return (
-                "array("
-                + ", ".join(
-                    f"named_struct('cid', {cid}L, "
-                    f"'cv', array({', '.join(_d(x) for x in cv)}), "
-                    f"'cc', {_d(py_dot(cv, cv))})"
-                    for cid, cv in book
-                )
-                + ")"
-            )
-
-        if not ks:
-            return arr(books[()])
-        whens = " ".join(
-            f"WHEN {ks[0]} = {key[0]} THEN {arr(book)}"
-            for key, book in sorted(books.items())
-        )
-        return f"CASE {whens} END"
-
     dot_sql = (
         "aggregate(zip_with(pv, c.cv, (x, y) -> x * y), 0D,"
         " (acc, x) -> acc + x)"
     )
     for _ in range(iters):
+        cbook = _book_case_sql(books, ks)
         assign = points.selectExpr(
             *ks,
-            f"array_min(transform({cbook_sql()}, c -> named_struct("
+            f"array_min(transform({cbook}, c -> named_struct("
             f"'d', (pp - 2 * {dot_sql}) + c.cc, 'cid', c.cid))).cid AS cid",
             "pv",
         )
@@ -1123,15 +1313,7 @@ def _lloyd_refine(points, cents, iters, dim, keys=()):
             ]
             for key, book in books.items()
         }
-
-    spark = points.sparkSession
-    rows = [
-        (*key, cid, cv) for key, book in books.items() for cid, cv in book
-    ]
-    schema = ", ".join(
-        [*[f"{k} INT" for k in ks], "cid BIGINT", "cv ARRAY<DOUBLE>"]
-    )
-    return spark.createDataFrame(rows, schema)
+    return books
 
 
 def _sql_lloyd(prefix, src, seed_sql, iters, keys, dim):
@@ -1346,18 +1528,14 @@ def ann_ivf_pq(spark, sf_dir):
     score (the standard normalize-then-L2 trick for cosine/IP
     search)."""
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", F.transform("v", lambda x: x / norm))
-    )
-    # training-side twin of e, materialized ONCE: the repartition
-    # sits BELOW the normalize projection, so the small
-    # single-partition parquet scan fans out before the per-element
-    # math and the cache fills in parallel instead of on one task.
-    # Seeds, IVF points, and PQ sub-vectors all project from this
-    # cache, and the IVF and PQ trainings run CONCURRENTLY (they are
-    # data-independent; Spark schedules jobs from both threads).
+    # corpus materialized ONCE: the repartition sits BELOW the
+    # normalize projection, so the small single-partition parquet
+    # scan fans out before the per-element math and the cache fills
+    # in parallel instead of on one task. Seeds, IVF points, PQ
+    # sub-vectors, encode, candidate cells, and the re-rank legs all
+    # project from this cache, and the IVF and PQ trainings run
+    # CONCURRENTLY (they are data-independent; Spark schedules jobs
+    # from both threads).
     from concurrent.futures import ThreadPoolExecutor
 
     from ingestor_etl_spark.plans.layout import materialize
@@ -1382,7 +1560,7 @@ def ann_ivf_pq(spark, sf_dir):
     )
     with ThreadPoolExecutor(2) as pool_:
         fut_ivf = pool_.submit(
-            _lloyd_refine,
+            _lloyd_books,
             et.select("vec_id", F.col("nv").alias("pv")),
             et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
                 F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
@@ -1391,7 +1569,7 @@ def ann_ivf_pq(spark, sf_dir):
             DIM,
         )
         fut_pq = pool_.submit(
-            _lloyd_refine,
+            _lloyd_books,
             tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
             tsubs.where(
                 (F.col("vec_id") >= PQ_SEED_BASE)
@@ -1405,54 +1583,46 @@ def ann_ivf_pq(spark, sf_dir):
             PQ_SUBDIM,
             ("sub",),
         )
-        ivf_cents = fut_ivf.result()
-        pq_cents = fut_pq.result()
-    # --- IVF coarse pass: Lloyd-trained centroids, L2 on nv ---
-    nvc, cvc = F.col("nv"), F.col("cv")
-    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
-    ivf_scored = e.crossJoin(F.broadcast(ivf_cents)).select(
-        "vec_id", "cid", cl2.alias("d2")
-    )
-    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    ivf_ranked = ivf_scored.withColumn("crnk", F.row_number().over(wc))
-    assigned = ivf_ranked.where("crnk = 1").select("vec_id", "cid")
-    probes = ivf_ranked.where(
-        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
+        ivf_book = fut_ivf.result()[()]
+        pq_books = fut_pq.result()
+    # --- coarse candidate cells (census-gated hot-cell sub-split):
+    # zero-exchange argmin/ranking projections against the literal
+    # trained codebook — no crossJoin fan-out, no row_number shuffle
+    cells, probe_cells = _ivf_candidate_cells(et, ivf_book)
     cand = (
-        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        probe_cells.join(
+            cells.withColumnRenamed("vec_id", "neighbor_id"),
+            ["lid", "slid"],
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    # --- PQ encode + ADC tables over NORMALIZED sub-vectors ---
-    subs = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for s in range(PQ_SUBS)
-                ]
-            )
-        ).alias("sub", "sv"),
+    # --- PQ encode + query LUT over NORMALIZED sub-vectors: both are
+    # literal-codebook projections (the encode's old broadcast-join +
+    # per-(vec,sub) min-aggregate was a full corpus shuffle)
+    pq_case = _book_case_sql(pq_books, ("sub",))
+    subs = tsubs.withColumn("pp", _dot(F.col("sv"), F.col("sv")))
+    codes = subs.selectExpr(
+        "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS cid"
     )
-    sv, cv = F.col("sv"), F.col("cv")
-    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
-    codes = (
-        subs.join(F.broadcast(pq_cents), "sub")
-        .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("best"))
-        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    dot_sv = (
+        "aggregate(zip_with(sv, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
     )
     qd = (
         subs.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(pq_cents), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"),
+        .selectExpr(
+            "vec_id AS query_id",
             "sub",
-            "cid",
-            F.round(l2, 4).cast("decimal(12,4)").alias("d"),
+            f"transform({pq_case}, c -> named_struct('cid', c.cid,"
+            f" 'd', (pp - 2 * {dot_sv}) + c.cc)) AS lut",
+        )
+        .select("query_id", "sub", F.explode("lut").alias("l"))
+        .select(
+            "query_id",
+            "sub",
+            F.col("l.cid").alias("cid"),
+            F.round(F.col("l.d"), 4).cast("decimal(12,4)").alias("d"),
         )
     )
     # --- ADC over the IVF candidates only ---
@@ -1467,10 +1637,10 @@ def ann_ivf_pq(spark, sf_dir):
         F.col("prnk") <= IVFPQ_POOL
     )
     # --- exact re-rank of the shortlist only ---
-    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+    qv = et.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    nv = et.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     rerank = (
         pool.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
@@ -1813,11 +1983,6 @@ def ann_ivf_pq_residual(spark, sf_dir):
     from ingestor_etl_spark.plans.layout import materialize
 
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", F.transform("v", lambda x: x / norm))
-    )
     et = materialize(
         load_table(spark, sf_dir, "embeddings")
         .repartition(F.col("vec_id"))
@@ -1826,41 +1991,56 @@ def ann_ivf_pq_residual(spark, sf_dir):
     )
     et.count()
     # --- coarse quantizer first: residuals depend on it ---
-    ivf_cents = _lloyd_refine(
+    ivf_book = _lloyd_books(
         et.select("vec_id", F.col("nv").alias("pv")),
         et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
             F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
         ),
         IVF_ITERS,
         DIM,
-    )
-    nvc, cvc = F.col("nv"), F.col("cv")
-    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
-    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    ivf_ranked = (
-        et.crossJoin(F.broadcast(ivf_cents))
-        .select("vec_id", "nv", "cid", "cv", cl2.alias("d2"))
-        .withColumn("crnk", F.row_number().over(wc))
-    )
-    rv = F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x - y)
-    # one corpus pass: assignment + residual, cached for PQ training
+    )[()]
+    book_sql = _book_arr_sql(ivf_book)
+    base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
+    # one zero-exchange corpus pass: assignment + residual (the
+    # literal-codebook argmin carries the winning centroid's
+    # components through for the subtract), cached for PQ training
     # AND corpus encoding (bit-identical either way — materializing
     # just avoids re-running the argmin)
     resid = materialize(
-        ivf_ranked.where("crnk = 1").select(
-            "vec_id", F.col("cid").alias("lid"), rv.alias("rv")
+        base.selectExpr(
+            "vec_id",
+            "nv",
+            f"element_at({_rank_sql(book_sql, 1, with_cv=True)}, 1) AS b",
+        ).selectExpr(
+            "vec_id",
+            "b.cid AS lid",
+            "zip_with(nv, b.cv, (x, y) -> x - y) AS rv",
         )
     )
-    assigned = resid.select("vec_id", "lid")
-    probes = ivf_ranked.where(
-        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("lid"),
-        rv.alias("rv"),
+    # query-side probes: residual vs EACH probed list's centroid
+    probes = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            "nv",
+            f"{_rank_sql(book_sql, NPROBE, with_cv=True)} AS rc",
+        )
+        .select("query_id", "nv", F.explode("rc").alias("c"))
+        .selectExpr(
+            "query_id",
+            "c.cid AS lid",
+            "zip_with(nv, c.cv, (x, y) -> x - y) AS rv",
+        )
     )
+    # candidate cells: shared census-gated machinery (hot-cell
+    # sub-split confines candidate generation; residual encoding
+    # itself stays keyed on the COARSE list centroid)
+    cells, probe_cells = _ivf_candidate_cells(et, ivf_book)
     cand = (
-        probes.select("query_id", "lid")
-        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "lid")
+        probe_cells.join(
+            cells.withColumnRenamed("vec_id", "neighbor_id"),
+            ["lid", "slid"],
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "lid")
     )
@@ -1876,7 +2056,7 @@ def ann_ivf_pq_residual(spark, sf_dir):
             )
         ).alias("sub", "sv"),
     )
-    pq_cents = _lloyd_refine(
+    pq_books = _lloyd_books(
         rsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
         rsubs.where(
             (F.col("vec_id") >= PQ_SEED_BASE)
@@ -1890,34 +2070,47 @@ def ann_ivf_pq_residual(spark, sf_dir):
         PQ_SUBDIM,
         ("sub",),
     )
-    sv, cv = F.col("sv"), F.col("cv")
-    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
-    codes = (
-        rsubs.join(F.broadcast(pq_cents), "sub")
-        .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("best"))
-        .select("vec_id", "sub", F.col("best.cid").alias("code"))
+    pq_case = _book_case_sql(pq_books, ("sub",))
+    # corpus encode: zero-exchange literal projection (the old
+    # broadcast-join + per-(vec,sub) min-aggregate shuffled the
+    # corpus)
+    codes = rsubs.withColumn("pp", _dot(F.col("sv"), F.col("sv"))).selectExpr(
+        "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS code"
     )
-    # --- per-probe ADC lookup table (20×2×4×16 rows — broadcast) ---
-    qsubs = probes.select(
-        "query_id",
-        "lid",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for s in range(PQ_SUBS)
-                ]
-            )
-        ).alias("sub", "sv"),
+    # --- per-probe ADC lookup table (q×nprobe×subs×pqk rows) ---
+    dot_sv = (
+        "aggregate(zip_with(sv, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
     )
-    qd = qsubs.join(F.broadcast(pq_cents), "sub").select(
-        "query_id",
-        "lid",
-        "sub",
-        F.col("cid").alias("code"),
-        F.round(l2, 4).cast("decimal(12,4)").alias("d"),
+    qd = (
+        probes.select(
+            "query_id",
+            "lid",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("rv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for s in range(PQ_SUBS)
+                    ]
+                )
+            ).alias("sub", "sv"),
+        )
+        .withColumn("pp", _dot(F.col("sv"), F.col("sv")))
+        .selectExpr(
+            "query_id",
+            "lid",
+            "sub",
+            f"transform({pq_case}, c -> named_struct('cid', c.cid,"
+            f" 'd', (pp - 2 * {dot_sv}) + c.cc)) AS lut",
+        )
+        .select("query_id", "lid", "sub", F.explode("lut").alias("l"))
+        .select(
+            "query_id",
+            "lid",
+            "sub",
+            F.col("l.cid").alias("code"),
+            F.round(F.col("l.d"), 4).cast("decimal(12,4)").alias("d"),
+        )
     )
     adc = (
         cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -1929,10 +2122,10 @@ def ann_ivf_pq_residual(spark, sf_dir):
     pool = adc.withColumn("prnk", F.row_number().over(wp)).where(
         F.col("prnk") <= IVFPQ_POOL
     )
-    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+    qv = et.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    nv = et.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     rerank = (
         pool.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
@@ -2066,11 +2259,6 @@ def ivf_nprobe_whatif(spark, sf_dir):
     from ingestor_etl_spark.plans.layout import materialize
 
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", F.transform("v", lambda x: x / norm))
-    )
     et = materialize(
         load_table(spark, sf_dir, "embeddings")
         .repartition(F.col("vec_id"))
@@ -2078,24 +2266,28 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
     et.count()
-    ivf_cents = _lloyd_refine(
+    ivf_book = _lloyd_books(
         et.select("vec_id", F.col("nv").alias("pv")),
         et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
             F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
         ),
         IVF_ITERS,
         DIM,
-    )
-    nvc, cvc = F.col("nv"), F.col("cv")
-    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
-    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    # the scored relation feeds three legs (assignment, query probe
-    # ranking, hit-rank lookup) — materialize it once so the argmin
-    # window never replans per leg
+    )[()]
+    # full centroid ranking as ONE zero-exchange projection against
+    # the literal trained codebook (round-10 verdict item 5: the old
+    # crossJoin+row_number form shuffled the 8×-expanded corpus);
+    # materialized because it feeds three legs (assignment, query
+    # probe ranking, hit-rank lookup)
     ranked = materialize(
-        e.crossJoin(F.broadcast(ivf_cents))
-        .select("vec_id", "cid", cl2.alias("d2"))
-        .withColumn("crnk", F.row_number().over(wc))
+        et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
+        .selectExpr(
+            "vec_id",
+            f"transform({_rank_sql(_book_arr_sql(ivf_book))}, s -> s.cid)"
+            " AS rc",
+        )
+        .select("vec_id", F.posexplode("rc").alias("p", "cid"))
+        .select("vec_id", "cid", (F.col("p") + 1).alias("crnk"))
     )
     assigned = ranked.where("crnk = 1").select(
         "vec_id", F.col("cid").alias("lid")
@@ -2119,10 +2311,10 @@ def ivf_nprobe_whatif(spark, sf_dir):
     )
     # exact top-k leg: broadcast the query side (ann_recall_eval's
     # exact-leg shape)
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
+    q = et.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    c = et.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     we = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), "neighbor_id"
     )
@@ -2146,7 +2338,7 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .select("query_id", F.col("crnk").alias("r"))
     )
     totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
-    nvecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    nvecs = et.agg(F.count(F.lit(1)).alias("n_vecs"))
     sweep = spark.range(1, N_LISTS + 1).select(F.col("id").alias("nprobe"))
     recall = (
         sweep.crossJoin(hitrank)
@@ -2238,11 +2430,6 @@ def ivf_balance_profile(spark, sf_dir):
     from ingestor_etl_spark.plans.layout import materialize
 
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", F.transform("v", lambda x: x / norm))
-    )
     et = materialize(
         load_table(spark, sf_dir, "embeddings")
         .repartition(F.col("vec_id"))
@@ -2250,31 +2437,34 @@ def ivf_balance_profile(spark, sf_dir):
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
     et.count()
-    ivf_cents = _lloyd_refine(
+    ivf_book = _lloyd_books(
         et.select("vec_id", F.col("nv").alias("pv")),
         et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
             F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
         ),
         IVF_ITERS,
         DIM,
+    )[()]
+    # assignment is one zero-exchange projection over the SAME
+    # materialized corpus the trainer scanned (ADVICE r10: the old
+    # form re-ran scan+normalize per consumer), aggregated straight
+    # to ≤N_LISTS observed-size rows; the left join that re-admits
+    # emptied cells then joins two ≤N_LISTS-row relations instead of
+    # the corpus.
+    assigned = et.withColumn("pp", _dot(F.col("nv"), F.col("nv"))).selectExpr(
+        "vec_id", f"{_argmin_sql(_book_arr_sql(ivf_book))} AS lid"
     )
-    nvc, cvc = F.col("nv"), F.col("cv")
-    cl2 = (_dot(nvc, nvc) - 2 * _dot(nvc, cvc)) + _dot(cvc, cvc)
-    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        e.crossJoin(F.broadcast(ivf_cents))
-        .select("vec_id", "cid", cl2.alias("d2"))
-        .withColumn("crnk", F.row_number().over(wc))
-        .where("crnk = 1")
-        .select("vec_id", F.col("cid").alias("lid"))
+    obs = assigned.groupBy("lid").agg(F.count(F.lit(1)).alias("n_obs"))
+    lids = spark.createDataFrame(
+        [(cid,) for cid, _ in ivf_book], "lid BIGINT"
     )
-    sizes = (
-        ivf_cents.select(F.col("cid").alias("lid"))
-        .join(assigned, "lid", "left")
-        .groupBy("lid")
-        .agg(F.count(F.col("vec_id")).alias("n_vectors"))
+    sizes = lids.join(F.broadcast(obs), "lid", "left").select(
+        "lid",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias(
+            "n_vectors"
+        ),
     )
-    total = assigned.agg(F.count(F.lit(1)).alias("n"))
+    total = sizes.agg(F.sum("n_vectors").alias("n"))
     return (
         sizes.crossJoin(F.broadcast(total))
         .select(
