@@ -628,7 +628,17 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 # ---------------------------------------------------------------- IVF
 CENTROID_IDS = (100, 150, 200, 250, 300, 350, 400, 450)
-NPROBE = 2
+# Probe budget shared by ann_ivf / ann_ivf_pq / ann_ivf_pq_residual.
+# Set from ivf_nprobe_whatif's own sweep (round 11 — round-10 verdict
+# item 1): at sf0.01 the trained-coarse recall CEILING per probe is
+# 1→0.333, 2→0.650, 3→0.767, 4→0.883, 5→0.917 — the ceiling gains
+# ~0.117 per probe through 4 and collapse to ~0.033 after, while
+# scan_frac grows a near-constant ~0.127/probe, so nprobe=4 is the
+# knee (0.883 ceiling at 0.505 scan on this 8-list fixture geometry;
+# at production list counts ~√N the same knee sits at a vanishing
+# scan fraction). Measured stack recall@3 at the knee is in the
+# IVFPQ_POOL note below.
+NPROBE = 4
 IVF_TOPK = 3
 
 
@@ -679,7 +689,7 @@ IVF_TOPK = 3
 )
 def ann_ivf(spark, sf_dir):
     """IVF ANN: 8 deterministic seed centroids; every vector joins
-    its nearest centroid's inverted list; queries probe their 2
+    its nearest centroid's inverted list; queries probe their NPROBE
     nearest lists and search exactly within them.
 
     Scale shape: the centroid table is tiny and BROADCAST to both
@@ -967,9 +977,20 @@ def ann_pq_topk(spark, sf_dir):
 
 # ------------------------------------------------------------ IVF + PQ
 # ADC shortlist size fed to the exact re-rank — the FAISS "refine
-# factor" knob, 10× the final k. The re-rank touches ≤30 full
+# factor" knob, ~16× the final k. The re-rank touches ≤50 full
 # vectors per query, a vanishing fraction of the corpus at 100 TB.
-IVFPQ_POOL = 30
+# Raised 30 → 50 with NPROBE 2 → 4 (round 11): once the coarse
+# ceiling moved to 0.883, the ADC shortlist became the binding
+# limiter — measured recall@3 grid at sf0.01 (raw / residual):
+#   nprobe=2 pool=30: 0.500 / 0.483   (the round-10 shipping point)
+#   nprobe=4 pool=30: 0.500 / 0.550   (ceiling up, pool now binds)
+#   nprobe=3 pool=50: 0.583 / 0.600
+#   nprobe=4 pool=50: 0.633 / 0.650   <- shipped: both clear 0.60
+#   nprobe=4 pool=75: 0.717 / 0.767   (the next knob if needed)
+# The extra 20 exact re-ranks per query are noise next to the ADC
+# scan; the residual stack now BEATS raw PQ, consistent with IVFADC
+# theory once candidate sets are large enough (see SCALING).
+IVFPQ_POOL = 50
 
 # Deterministic Lloyd refinement rounds (round 10 — round-9 verdict
 # item 1: the untrained seed quantizers capped recall@3 at 0.35
@@ -983,7 +1004,9 @@ IVFPQ_POOL = 30
 # with the trained-coarse ceiling at 0.650. (4,2) clears the
 # round-9 target (≥ 0.43 = 90% of the old ceiling) with margin;
 # further PQ rounds were flat (±0.02) and further IVF rounds
-# regressed to 0.467 at 5.
+# regressed to 0.467 at 5. (That sweep ran at the then-production
+# NPROBE=2 / pool 30; round 11 moved those knobs — see the NPROBE and
+# IVFPQ_POOL notes — lifting shipped recall@3 to 0.633/0.650.)
 IVF_ITERS = 4
 PQ_ITERS = 2
 
@@ -1508,7 +1531,9 @@ def ann_ivf_pq(spark, sf_dir):
     for the 8 coarse centroids and {pq_iters} per PQ subspace, seeded
     from the same fixed corpus rows as before — see _lloyd_refine for
     the determinism/exactness contract and the measured recall table
-    at IVF_ITERS (0.35 untrained → 0.50 trained at sf0.01). The
+    at IVF_ITERS (0.35 untrained → 0.50 trained at sf0.01; 0.633
+    after round 11 moved NPROBE/pool to the whatif sweep's knee —
+    the grid at IVFPQ_POOL). The
     coarse stage runs entirely on NORMALIZED vectors with L2 argmin —
     the k-means-consistent metric once centroids are means (cosine
     to a non-unit mean ranks differently); on unit inputs

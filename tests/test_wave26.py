@@ -90,12 +90,16 @@ def test_subsplit_unchanged_at_fixed_config():
 
 def test_ann_ivf_pq_recall_floor(spark):
     """The IVF+PQ+refine stack's quality pin (round 9, floor raised
-    round 10): with Lloyd-trained quantizers (IVF_ITERS=4,
-    PQ_ITERS=2) measured recall@3 against the exact brute-force
-    oracle is 0.500 at sf0.01 with pool 30, against the trained
-    coarse restrict's 0.650 ceiling (untrained was 0.35 / 0.483 —
-    round-9 verdict item 1). Exactness of what IS emitted is the
-    oracle row's job; this guards the quality knob."""
+    round 10 and again round 11): with Lloyd-trained quantizers
+    (IVF_ITERS=4, PQ_ITERS=2) and the probe/pool knobs at the whatif
+    sweep's knee (NPROBE=4, pool 50 — round-10 verdict item 1),
+    measured recall@3 against the exact brute-force oracle is 0.6333
+    at sf0.01, against the trained coarse restrict's 0.8833 ceiling
+    (history: 0.35 untrained → 0.500 trained at nprobe=2/pool=30).
+    The measured value is coupled to the deterministic sf0.01
+    fixture — regenerate testdata and this floor must be re-measured.
+    Exactness of what IS emitted is the oracle row's job; this
+    guards the quality knob."""
     from collections import defaultdict
 
     from ingestor_etl_spark.queries import load_all
@@ -114,7 +118,7 @@ def test_ann_ivf_pq_recall_floor(spark):
     }
     release_caches()
     hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
-    assert hits / total >= 0.45, (hits, total)
+    assert hits / total >= 0.60, (hits, total)
 
 
 def test_pq_distortion_training_helps_every_subspace(spark):
@@ -137,13 +141,14 @@ def test_pq_distortion_training_helps_every_subspace(spark):
 
 def test_ann_ivf_pq_residual_recall_floor(spark):
     """IVFADC (residual encoding) quality pin: measured recall@3 vs
-    the exact oracle is 0.483 at sf0.01 — within one hit (1/60) of
-    raw-vector trained PQ's 0.500, against the same trained-coarse
-    0.650 ceiling. At this corpus scale (500 vectors / 8 lists) the
-    residual win shows up in DISTORTION, not recall: trained
-    residual codebooks average 0.172 MSE vs 0.184 raw (−6.5% at
-    equal code size; seeds were 0.242) — the Jégou et al. §IV
-    effect, which compounds as cells densify at real scale."""
+    the exact oracle is 0.650 at sf0.01 with the round-11 knobs
+    (NPROBE=4, pool 50) — now BEATING raw-vector trained PQ's 0.633,
+    the Jégou et al. §IV prediction emerging once the candidate sets
+    are large enough (at the old nprobe=2/pool=30 point the residual
+    stack trailed 0.483 vs 0.500 and its win showed only in
+    distortion: trained residual codebooks 0.172 MSE vs 0.184 raw at
+    equal code size). Measured values are coupled to the
+    deterministic sf0.01 fixture."""
     from collections import defaultdict
 
     from ingestor_etl_spark.queries import load_all
@@ -162,15 +167,19 @@ def test_ann_ivf_pq_residual_recall_floor(spark):
     }
     release_caches()
     hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
-    assert hits / total >= 0.45, (hits, total)
+    assert hits / total >= 0.60, (hits, total)
 
 
 def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
     """The planning sweep must agree with the constants the ANN
-    stacks document: at the production NPROBE=2 the coarse-restrict
-    ceiling is exactly the 0.650 that ann_ivf_pq's recall analysis
-    cites, at ~25% corpus scan; probing all 8 lists is a full scan
-    with ceiling 1.0 (the sweep's own sanity row)."""
+    stacks document: at the round-11 production NPROBE=4 (the
+    sweep's knee — this is the row that justified moving the knob,
+    round-10 verdict item 1) the coarse-restrict ceiling is exactly
+    the 0.8833 that ann_ivf_pq's recall analysis cites, at ~50%
+    corpus scan on this 8-list fixture geometry; the old nprobe=2
+    point reads 0.650; probing all 8 lists is a full scan with
+    ceiling 1.0 (the sweep's own sanity row). Exact floats are
+    coupled to the deterministic sf0.01 fixture."""
     from ingestor_etl_spark.queries import load_all
 
     reg = load_all()
@@ -181,6 +190,8 @@ def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
     release_caches()
     assert rows[2].ceiling_recall == 0.65
     assert 0.2 < rows[2].scan_frac < 0.3
+    assert rows[4].ceiling_recall == 0.8833
+    assert 0.45 < rows[4].scan_frac < 0.55
     assert rows[8].ceiling_recall == 1.0
     assert rows[8].scan_frac == 1.0
     assert all(
@@ -191,11 +202,17 @@ def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
 
 def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
     """The scoreboard's measured ordering must reproduce the round's
-    quality narrative: the Lloyd-trained IVF+PQ+refine stack tops
-    the table at 0.50, the UNTRAINED ann_ivf restrict lands exactly
-    at its documented 0.483 ceiling, and the refine-less raw ADC
-    (ann_pq_topk) trails everything — re-ranking and training are
-    both visible in one table. Exactness is the oracle row's job."""
+    quality narrative at the round-11 knobs (NPROBE=4, pool 50):
+    exact in-list search over the untrained restrict (ann_ivf,
+    0.6833) tops the table because it pays full-vector scans of
+    every probed list; the two trained PQ stacks trade a bounded
+    quality haircut for table-lookup ADC, with the RESIDUAL stack
+    (0.650) now beating raw PQ (0.6333) as IVFADC theory predicts;
+    the refine-less raw ADC (ann_pq_topk) trails everything —
+    re-ranking, training, and residual encoding are all visible in
+    one table. Exact floats are coupled to the deterministic sf0.01
+    fixture; exactness of the emitted numbers is the oracle row's
+    job."""
     from ingestor_etl_spark.queries import load_all
 
     reg = load_all()
@@ -204,8 +221,13 @@ def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
         for r in reg["ann_quality_scoreboard"].fn(spark, SF).collect()
     }
     release_caches()
-    assert rows["ann_ivf_pq"].recall_at_3 == 0.5
-    assert rows["ann_ivf"].recall_at_3 == 0.4833
+    assert rows["ann_ivf"].recall_at_3 == 0.6833
+    assert rows["ann_ivf_pq_residual"].recall_at_3 == 0.65
+    assert rows["ann_ivf_pq"].recall_at_3 == 0.6333
+    assert (
+        rows["ann_ivf_pq_residual"].recall_at_3
+        > rows["ann_ivf_pq"].recall_at_3
+    )
     assert rows["ann_pq_topk"].recall_at_3 < 0.25
     assert all(r.n_predicted == 60 for r in rows.values())
 
