@@ -1406,14 +1406,16 @@ def _skew_main() -> None:
     # every query probing it generates O(list) ADC candidates.
     # Measured through the REGISTERED queries end-to-end (training
     # included) on a temp parquet corpus with the standard layout.
-    # Training does NOT rescue this shape (measured trained list
-    # sizes: 90000 / 9999 / 1 — the cluster is tighter than the
-    # centroid resolution), so the row pins the plan property that
-    # matters instead: candidate cost is LINEAR in probed-list mass
-    # (the ADC join is one lookup row per candidate×subspace,
-    # grouped map-side; the exact re-rank stays ≤ pool rows/query),
-    # so a 90%-hot list degrades the stacks proportionally, never
-    # quadratically.
+    # Coarse training does NOT rescue this shape (measured trained
+    # list sizes: 90000 / 9999 / 1 — the cluster is tighter than the
+    # centroid resolution); since round 11 the census-gated hot-cell
+    # SUB-SPLIT does (_ivf_candidate_cells: load factor 7.2 > 4.0
+    # engages per-cell local centroids, queries probe
+    # IVF_SUB_NPROBE/IVF_SUB_K of the hot cell), so these rows now
+    # pin the mitigation: ann_ivf_pq 10.2 s (r10, uncapped,
+    # nprobe=2) → 3.0 s (capped, nprobe=4), within ~20% of the
+    # uniform-corpus cost, with similarity quality preserved
+    # (tests/test_wave27).
     import shutil as _sh
     import tempfile as _tf
 
