@@ -84,86 +84,42 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-10 window head: pq_distortion_eval (NEW this round —
-    # the per-subspace quantization-error scorecard for the trained
-    # PQ codebooks), then ann_ivf_pq (its quantizers are now
-    # Lloyd-TRAINED — round-9 verdict item 1 — so its plan and oracle
-    # both changed this round), then the r4 stale cohort (20 — the
-    # last cohort whose latest driver row predates r5; round-9
-    # verdict item 2 asks prefix_filter_join and window_zoo first),
-    # then the r5 cohort (32). A ~50 window covers the head + all of
-    # r4 + most of r5; everything after is ordered by staleness
-    # (latest driver round ascending, regenerated from
-    # CORRECTNESS_r01-r09).
-    "pq_distortion_eval",
-    "ann_ivf_pq_residual",
-    "ivf_nprobe_whatif",
-    "ann_quality_scoreboard",
-    "ivf_balance_profile",
+    # --- round-11 window head: the 7 vector queries whose coarse
+    # pass was reworked this round (zero-exchange literal-codebook
+    # ranking + census-gated hot-cell sub-split; NPROBE/pool moved
+    # to the whatif knee — so plans AND outputs changed for the
+    # IVF family), then the 19-query r5/r6 cohort (round-10 verdict
+    # item 2 / round-9's freshness bar: after r11 nothing should
+    # predate r7), then the r7 cohort by staleness. A ~50 window
+    # covers the head + the full r5/r6 cohort + ~24 of the r7
+    # cohort; everything checked in r10 drops to the tail
+    # (staleness order regenerated from CORRECTNESS_r01-r10).
     "ann_ivf_pq",
-    "prefix_filter_join",
-    "window_zoo",
-    "math_functions",
-    "mixture_drift",
-    "multitouch_attribution",
-    "pit_dimension_join",
-    "quality_classifier",
-    "quantile_normalize",
-    "rolling_zscore_outliers",
-    "rrf_hybrid_search",
-    "salted_skew_join",
-    "session_transcripts",
-    "sketch_shard_merge",
-    "snapshot_diff",
-    "source_reputation",
-    "string_functions",
-    "vocab_coverage",
-    "winsorize_scores",
-    "zone_map_prune",
-    "zorder_layout",
-    "ann_cosine_topk",
+    "ann_ivf_pq_residual",
     "ann_ivf",
-    "ann_lsh_bucketed",
-    "merge_upsert",
-    "pagerank_dup_graph",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_fresh_stock_suppliers",
-    "q21_blocking_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "retention_matrix",
-    "rollup_returns",
-    "scd2_history",
-    "set_ops_cohorts",
+    "ann_quality_scoreboard",
+    "ivf_nprobe_whatif",
+    "ivf_balance_profile",
+    "pq_distortion_eval",
+    "salted_hot_agg",
+    "dedup_report",
+    "key_skew_profile",
+    "eval_holdout_split",
+    "score_calibration",
+    "dataset_card",
+    "j7_display_filter",
+    "pcap_flow_stats",
+    "segment_dedup",
+    "bm25_search",
+    "unigram_logprob",
     "shard_pack",
-    "shingle_df_profile",
-    "sql_passthrough",
-    "tfidf_cosine_pairs",
     "value_histogram",
     "window_running_revenue",
-    "bm25_search",
-    "dataset_card",
-    "dedup_report",
-    "eval_holdout_split",
-    "j7_display_filter",
-    "key_skew_profile",
-    "pcap_flow_stats",
-    "salted_hot_agg",
-    "score_calibration",
-    "segment_dedup",
-    "unigram_logprob",
+    "sql_passthrough",
+    "set_ops_cohorts",
+    "scd2_history",
+    "tfidf_cosine_pairs",
+    "shingle_df_profile",
     "ann_dim_truncation_eval",
     "ann_recall_eval",
     "bigram_novelty",
@@ -305,6 +261,49 @@ _DRIVER_SAMPLE_PRIORITY = [
     "url_dedup",
     "url_normalize",
     "window_event_navigation",
+    "prefix_filter_join",
+    "window_zoo",
+    "math_functions",
+    "mixture_drift",
+    "multitouch_attribution",
+    "pit_dimension_join",
+    "quality_classifier",
+    "quantile_normalize",
+    "rolling_zscore_outliers",
+    "rrf_hybrid_search",
+    "salted_skew_join",
+    "session_transcripts",
+    "sketch_shard_merge",
+    "snapshot_diff",
+    "source_reputation",
+    "string_functions",
+    "vocab_coverage",
+    "winsorize_scores",
+    "zone_map_prune",
+    "zorder_layout",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "merge_upsert",
+    "pagerank_dup_graph",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_fresh_stock_suppliers",
+    "q21_blocking_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_matrix",
+    "rollup_returns",
 ]
 
 
