@@ -183,6 +183,10 @@ EXTENDED = [
     "pq_distortion_eval",
     "ivf_nprobe_whatif",
     "ivf_balance_profile",
+    # round-11 addition (the heaviest plan in the repo — composes
+    # all five ANN variants plus the exact leg; timed so its cost
+    # stays pinned round-over-round)
+    "ann_quality_scoreboard",
 ]
 
 

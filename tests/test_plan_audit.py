@@ -195,18 +195,23 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "exact_substring_extend": 4,
         "ngram_jaccard_pairs": 3,
         "embedding_near_dup": 2,
-        # round-10: the new vector family, pinned at their measured
+        # round-10/11: the vector family, pinned at their measured
         # post-AQE executed counts at sf0.01 (the fixture scale;
-        # PLANS.md's sf0.001 rows match except ivf_nprobe_whatif,
-        # where AQE reuses one fewer exchange at the smaller scale —
-        # 12 there vs 9 here). Lloyd training rounds are
-        # broadcast-argmin projections and the eval joins are
-        # KB-sized aggregates, so the budgets are scale-stable.
+        # PLANS.md's sf0.001 rows now match these exactly). Tightened
+        # in round 11 when every trained-centroid coarse pass became
+        # a zero-exchange literal-codebook projection (the old
+        # crossJoin+row_number ranking and the PQ-encode
+        # join+min-aggregate each paid a corpus shuffle): ann_ivf_pq
+        # 9→2, residual 4→2, scoreboard 30→20, whatif 12→9 at
+        # sf0.001. Lloyd training rounds are broadcast-argmin
+        # projections and the eval joins are KB-sized aggregates, so
+        # the budgets are scale-stable.
         "pq_distortion_eval": 5,
-        "ann_ivf_pq_residual": 4,
+        "ann_ivf_pq": 2,
+        "ann_ivf_pq_residual": 2,
         "ivf_nprobe_whatif": 9,
-        "ann_quality_scoreboard": 30,
-        "ivf_balance_profile": 6,
+        "ann_quality_scoreboard": 20,
+        "ivf_balance_profile": 5,
     }
     for name, cap in budgets.items():
         df = reg[name].fn(spark, sf_dir)
