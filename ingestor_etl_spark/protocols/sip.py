@@ -173,7 +173,17 @@ def correlate_sip_legs(
     share an SDP owner (session_id, version); the A rows get the B
     leg's from/to users, originals preserved, and placeholder-owner
     INVITEs patched to the call key first
-    (sip_ingestor.py:398-433)."""
+    (sip_ingestor.py:398-433).
+
+    The decoded input is materialized ONCE up front: downstream it
+    fans into four join branches (the owner aggregate + its join-back,
+    then the A and B leg filters), and without the cache each branch
+    re-executes the whole pcap-decode pandas pipeline — measured 24
+    executed Arrow operators for this plan vs 6 for pcap_sip_calls
+    (round-10 verdict item 8); with it the decode runs once."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    messages = materialize(messages)
     messages = propagate_call_owner(messages)
     with_sdp = messages.where(F.col("sdp_session_id") != "")
     a = with_sdp.where(F.col("src_ip").isin(leg_a_ips) | F.col("dst_ip").isin(leg_a_ips))
