@@ -638,9 +638,12 @@ def _sf1_main() -> None:
 SF03_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".sf1data", "sf0.3"
 )
+SF3_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".sf1data", "sf3"
+)
 
 
-def _jdecomp_main() -> None:
+def _jdecomp_main(include_sf3: bool = False) -> None:
     """`bench.py --jdecomp` (round-8 verdict item 3): bound the
     jaccard-family superlinearity. BENCH_SF1 pins the trio's sf0.1→sf1
     exponents at 1.158/1.136/1.006; SCALING §31 attributes the excess
@@ -662,7 +665,14 @@ def _jdecomp_main() -> None:
     If t_join_count's exponent matches mass's, production is linear
     and any excess lives in (t_pairagg − t_join_count) — the group
     state. Exponent pairs over the two intervals (0.1→0.3, 0.3→1)
-    further separate a smooth power law from a memory threshold."""
+    further separate a smooth power law from a memory threshold.
+
+    ``--jdecomp --sf3`` (round-10 verdict item 7) extends the ladder
+    one more decade past sf0.3: a 30×-sf0.1 replica set (~350 MB
+    parquet) adds the sf1→sf3 exponent interval, testing whether the
+    per-row agg constant's growth flattens — the last inferential
+    step in the 100 TB extrapolation that §33 + JDECOMP_CLUSTER
+    otherwise make by argument."""
     import math
 
     from pyspark.sql import functions as F
@@ -682,9 +692,15 @@ def _jdecomp_main() -> None:
         _gen_scaled(spark, SF1_DIR, _SF1_REPS)
     if not os.path.exists(os.path.join(SF03_DIR, "documents.parquet")):
         _gen_scaled(spark, SF03_DIR, 3)
+    if include_sf3 and not os.path.exists(
+        os.path.join(SF3_DIR, "documents.parquet")
+    ):
+        _gen_scaled(spark, SF3_DIR, 30)
 
     trio = ("ngram_jaccard_pairs", "cross_source_dup_overlap", "dedup_threshold_sweep")
     scales = {"sf0.1": "/root/testdata/sf0.1", "sf0.3": SF03_DIR, "sf1": SF1_DIR}
+    if include_sf3:
+        scales["sf3"] = SF3_DIR
     out: dict[str, dict] = {}
     for label, sf_dir in scales.items():
         row: dict[str, object] = {}
@@ -734,6 +750,11 @@ def _jdecomp_main() -> None:
             "sf0.1->sf0.3": expo(m, "sf0.1", "sf0.3", math.log10(3)),
             "sf0.3->sf1": expo(m, "sf0.3", "sf1", math.log10(10 / 3)),
             "sf0.1->sf1": expo(m, "sf0.1", "sf1", 1.0),
+            **(
+                {"sf1->sf3": expo(m, "sf1", "sf3", math.log10(3))}
+                if include_sf3
+                else {}
+            ),
         }
         for m in metrics
     }
@@ -1467,7 +1488,7 @@ if __name__ == "__main__":
     elif "--headline-cluster" in sys.argv:
         _headline_cluster_main()
     elif "--jdecomp" in sys.argv:
-        _jdecomp_main()
+        _jdecomp_main(include_sf3="--sf3" in sys.argv)
     elif "--haircut" in sys.argv:
         _haircut_main()
     elif "--protocol" in sys.argv:

@@ -1757,13 +1757,13 @@ def pq_distortion_eval(spark, sf_dir):
     exact sums as doubles.
 
     Plan (the 100 TB lens): both codebooks together are
-    {pqk}×{subs}×2 tiny rows — collected once from the trainer,
-    re-emitted as one {subs}-row broadcast table holding BOTH books
-    as struct arrays — so the eval is a SINGLE pass over the
-    sub-vector projection with a per-row array_min (no join
-    explosion, no window), feeding a map-side-combinable aggregation
-    to {subs} groups. Training itself is _lloyd_refine's coordinator
-    pattern: per-round single jobs, KB-sized driver round-trips."""
+    {pqk}×{subs}×2 tiny rows — embedded as literal constant-folded
+    CASE expressions (the r11 zero-exchange pattern every coarse
+    pass uses) — so the eval is a SINGLE pass over the sub-vector
+    projection with two per-row array_mins (no join, no window, no
+    broadcast), feeding a map-side-combinable aggregation to {subs}
+    groups. Training itself is _lloyd_refine's coordinator pattern:
+    per-round single jobs, KB-sized driver round-trips."""
     from ingestor_etl_spark.plans.layout import materialize
 
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
@@ -1792,43 +1792,29 @@ def pq_distortion_eval(spark, sf_dir):
         "sub",
         F.col("sv").alias("cv"),
     )
-    trained = _lloyd_refine(
-        tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
-        seed,
-        PQ_ITERS,
-        PQ_SUBDIM,
-        ("sub",),
-    )
+    pts = tsubs.select("vec_id", "sub", F.col("sv").alias("pv"))
+    # iters=0 returns the seed rows as a codebook dict without
+    # running a round — the seed book IS Lloyd's iteration 0
+    seed_books = _lloyd_books(pts, seed, 0, PQ_SUBDIM, ("sub",))
+    trained_books = _lloyd_books(pts, seed, PQ_ITERS, PQ_SUBDIM, ("sub",))
 
-    def book(cents, name):
-        cvc = F.col("cv")
-        return cents.groupBy("sub").agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("cid"), F.col("cv"), _dot(cvc, cvc).alias("cc")
-                    )
-                )
-            ).alias(name)
+    def min_d(books):
+        dot = (
+            "aggregate(zip_with(sv, c.cv, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)"
+        )
+        case = _book_case_sql(books, ("sub",))
+        return (
+            f"array_min(transform({case}, c -> named_struct("
+            f"'d', (pp - 2 * {dot}) + c.cc, 'cid', c.cid))).d"
         )
 
-    books = book(seed, "book0").join(book(trained, "bookt"), "sub")
-
-    def min_d(bname):
-        return F.expr(
-            f"array_min(transform({bname}, c -> named_struct("
-            "'d', (pp - 2 * aggregate(zip_with(sv, c.cv, (x, y) -> x * y),"
-            " 0D, (acc, x) -> acc + x)) + c.cc, 'cid', c.cid))).d"
-        )
-
-    per_row = (
-        tsubs.join(F.broadcast(books), "sub")
-        .withColumn("pp", _dot(F.col("sv"), F.col("sv")))
-        .select(
-            F.col("sub").cast("long").alias("sub"),
-            F.round(min_d("book0"), 4).cast("decimal(12,4)").alias("d0"),
-            F.round(min_d("bookt"), 4).cast("decimal(12,4)").alias("dt"),
-        )
+    per_row = tsubs.withColumn(
+        "pp", _dot(F.col("sv"), F.col("sv"))
+    ).selectExpr(
+        "CAST(sub AS BIGINT) AS sub",
+        f"CAST(round({min_d(seed_books)}, 4) AS DECIMAL(12,4)) AS d0",
+        f"CAST(round({min_d(trained_books)}, 4) AS DECIMAL(12,4)) AS dt",
     )
     s0 = F.sum("d0").cast("double")
     st = F.sum("dt").cast("double")

@@ -206,7 +206,7 @@ def test_executed_exchange_budgets(spark, sf_dir):
         # sf0.001. Lloyd training rounds are broadcast-argmin
         # projections and the eval joins are KB-sized aggregates, so
         # the budgets are scale-stable.
-        "pq_distortion_eval": 5,
+        "pq_distortion_eval": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,
         "ivf_nprobe_whatif": 9,
