@@ -84,7 +84,8 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-11 window head: the 7 vector queries whose coarse
+    # --- round-11 window head: ann_hamming_topk (NEW — binary
+    # Hamming-sketch ANN), then the 7 vector queries whose coarse
     # pass was reworked this round (zero-exchange literal-codebook
     # ranking + census-gated hot-cell sub-split; NPROBE/pool moved
     # to the whatif knee — so plans AND outputs changed for the
@@ -94,6 +95,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # covers the head + the full r5/r6 cohort + ~24 of the r7
     # cohort; everything checked in r10 drops to the tail
     # (staleness order regenerated from CORRECTNESS_r01-r10).
+    "ann_hamming_topk",
     "ann_ivf_pq",
     "ann_ivf_pq_residual",
     "ann_ivf",

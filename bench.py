@@ -183,10 +183,12 @@ EXTENDED = [
     "pq_distortion_eval",
     "ivf_nprobe_whatif",
     "ivf_balance_profile",
-    # round-11 addition (the heaviest plan in the repo — composes
-    # all five ANN variants plus the exact leg; timed so its cost
-    # stays pinned round-over-round)
+    # round-11 additions: the scoreboard (the heaviest plan in the
+    # repo — composes every ANN variant plus the exact leg; timed so
+    # its cost stays pinned round-over-round) and the binary
+    # Hamming-sketch ANN
     "ann_quality_scoreboard",
+    "ann_hamming_topk",
 ]
 
 

@@ -626,6 +626,152 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- binary-sketch ANN
+# Hyperplane-sign sketch (round 11): 64 sign bits per vector packed
+# into two 32-bit words, Hamming distance as the angle estimator
+# (P(bit differs) = angle/π per hyperplane — the Charikar/SimHash
+# bound), a Hamming shortlist, then exact cosine re-rank. This is
+# the binary-prefilter path FAISS ships as IndexBinaryFlat+refine:
+# at 100 TB the sketch table is 16 bytes/vector (32× smaller than
+# the float32 corpus) and each scanned pair costs 2 xor+popcount
+# long ops instead of a 64-element dot fold, so the brute-force
+# prefilter stays affordable where IVF's recall ceiling won't do.
+# Plane family indices start at HAM_BASE, disjoint by construction
+# from every LSH table range (tables tile [0, N_TABLES·n_planes+4);
+# auto-scaled n_planes stays far below 100).
+HAM_BASE = 1000
+HAM_POOL = 50  # Hamming shortlist fed to the exact re-rank
+
+
+def _ham_word_spark(word: int) -> str:
+    return _spark_bucket_planes(_hyperplanes_at(HAM_BASE + 32 * word, 32))
+
+
+def _ham_word_sql(word: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_hyperplanes_at(HAM_BASE + 32 * word, 32))
+    )
+
+
+@register(
+    "ann_hamming_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sk AS (
+      SELECT vec_id, v,
+             CAST({_ham_word_sql(0)} AS BIGINT) AS w0,
+             CAST({_ham_word_sql(1)} AS BIGINT) AS w1
+      FROM e
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pool AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS prnk
+      FROM pairs
+    ),
+    rerank AS (
+      SELECT p.query_id, p.neighbor_id, p.hamming,
+             round(list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+      FROM pool p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = p.neighbor_id
+      WHERE p.prnk <= {HAM_POOL}
+    )
+    SELECT query_id, neighbor_id, cos_sim, hamming,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM rerank
+    ) WHERE rnk <= {TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("vector", "ann", "hamming", "binary-sketch"),
+)
+def ann_hamming_topk(spark, sf_dir):
+    """Binary-sketch ANN: 64 hyperplane sign bits per vector (two
+    32-bit words, additive bit packing — BIGINT-exact on both
+    engines), Hamming-distance shortlist of HAM_POOL candidates per
+    query (xor + popcount per word — integer math, bit-identical
+    everywhere), exact cosine re-rank of the shortlist only.
+
+    Plan (the 100 TB lens): the sketch is ONE zero-shuffle
+    projection (the 64 plane dots fold over the same scan that reads
+    the vector); query sketches broadcast against the corpus sketch
+    table — 16 bytes/vector, 32× smaller than the float corpus, with
+    per-pair cost 2 long xor+popcounts instead of a 64-element dot —
+    then one window on query_id ranks the Hamming shortlist (the
+    ann_cosine_topk baseline shape; at larger scale the sketch scan
+    composes with the IVF restrict). The exact re-rank touches
+    ≤ HAM_POOL full vectors per query. Parity: bits come from exact
+    '>= 0' sign tests on the shared fold; Hamming is integer;
+    cos_sim rounds to 4 decimals."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sk = e.selectExpr(
+        "vec_id",
+        "v",
+        f"CAST({_ham_word_spark(0)} AS BIGINT) AS w0",
+        f"CAST({_ham_word_spark(1)} AS BIGINT) AS w1",
+    )
+    q = sk.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            sk.select(
+                F.col("vec_id").alias("neighbor_id"), "w0", "w1"
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "CAST(bit_count(q0 ^ w0) + bit_count(q1 ^ w1) AS BIGINT)"
+            " AS hamming",
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    pool = pairs.withColumn("prnk", F.row_number().over(wp)).where(
+        F.col("prnk") <= HAM_POOL
+    )
+    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rerank = (
+        pool.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_sim"),
+            "hamming",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "hamming", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 # ---------------------------------------------------------------- IVF
 CENTROID_IDS = (100, 150, 200, 250, 300, 350, 400, 450)
 # Probe budget shared by ann_ivf / ann_ivf_pq / ann_ivf_pq_residual.
@@ -2502,6 +2648,7 @@ from ingestor_etl_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
 _SCOREBOARD_VARIANTS = (
     "ann_lsh_bucketed",
+    "ann_hamming_topk",
     "ann_ivf",
     "ann_pq_topk",
     "ann_ivf_pq",
@@ -2543,9 +2690,9 @@ _SB_PREDS_SQL = "\n      UNION ALL\n      ".join(
 )
 def ann_quality_scoreboard(spark, sf_dir):
     """The ANN scoreboard — recall@{k} of every approximate variant
-    the engine ships (LSH-bucketed, IVF restrict, raw PQ ADC,
-    IVF+PQ+refine, IVFADC residual) against the exact brute-force
-    top-{k}, in ONE query. This is the evaluation a user runs before
+    the engine ships (LSH-bucketed, binary Hamming sketch, IVF
+    restrict, raw PQ ADC, IVF+PQ+refine, IVFADC residual) against
+    the exact brute-force top-{k}, in ONE query. This is the evaluation a user runs before
     picking an index for a corpus: each variant's registered
     DataFrame plan is composed as a subquery (operators compose
     because they ARE DataFrames — the curation_pipeline pattern),

@@ -15,6 +15,10 @@ from ingestor_etl_spark.plans.audit import audit_all
 # 1-row scalar-subquery cross joins)
 BNL_ALLOWED = {
     "ann_cosine_topk",
+    # 20-row query-sketch side broadcast against the corpus sketch
+    # table with the non-equi self-exclusion — same shape as
+    # ann_cosine_topk (round 11)
+    "ann_hamming_topk",
     "ann_ivf",
     # 8-row IVF-centroid broadcast into the assignment cross join —
     # same shape as ann_ivf (round 9)
@@ -207,10 +211,12 @@ def test_executed_exchange_budgets(spark, sf_dir):
         # projections and the eval joins are KB-sized aggregates, so
         # the budgets are scale-stable.
         "pq_distortion_eval": 2,
+        "ann_hamming_topk": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,
         "ivf_nprobe_whatif": 9,
-        "ann_quality_scoreboard": 20,
+        # 20 post-refactor + 2 for the 6th (binary Hamming) arm
+        "ann_quality_scoreboard": 22,
         "ivf_balance_profile": 5,
     }
     for name, cap in budgets.items():

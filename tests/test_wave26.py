@@ -232,6 +232,36 @@ def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
     assert all(r.n_predicted == 60 for r in rows.values())
 
 
+def test_ann_hamming_topk_recall_floor(spark):
+    """Binary-sketch ANN quality pin (round 11): 64 hyperplane sign
+    bits + HAM_POOL=50 Hamming shortlist + exact re-rank measures
+    recall@3 0.30 vs the exact oracle at sf0.01 — above the
+    LSH-bucketed variant's 0.25 at a comparable ~10% scan budget,
+    which is the sketch's job (cheap integer prefilter, not an IVF
+    replacement). Measured value is coupled to the deterministic
+    sf0.01 fixture. Exactness of what IS emitted is the oracle
+    row's job."""
+    from collections import defaultdict
+
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    exact = reg["ann_cosine_topk"].fn(spark, SF).collect()
+    release_caches()
+    ex = defaultdict(list)
+    for r in exact:
+        if r.rnk <= 3:
+            ex[r.query_id].append(r.neighbor_id)
+    total = sum(len(v) for v in ex.values())
+    rows = reg["ann_hamming_topk"].fn(spark, SF).collect()
+    release_caches()
+    assert len(rows) == 100  # 20 queries x top-5
+    assert all(0 <= r.hamming <= 64 for r in rows)
+    edges = {(r.query_id, r.neighbor_id) for r in rows if r.rnk <= 3}
+    hits = sum(1 for q, ns in ex.items() for n in ns if (q, n) in edges)
+    assert hits / total >= 0.25, (hits, total)
+
+
 def test_ivf_balance_profile_uniform_corpus(spark):
     """On the uniform sf0.01 corpus the trained coarse cells must be
     near-balanced (measured load factors 0.75-1.20 — no cell above
