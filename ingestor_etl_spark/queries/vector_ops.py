@@ -838,26 +838,60 @@ def ann_ivf(spark, sf_dir):
     its nearest centroid's inverted list; queries probe their NPROBE
     nearest lists and search exactly within them.
 
-    Scale shape: the centroid table is tiny and BROADCAST to both
-    the assignment pass and the probe pass (no shuffle of the
-    corpus), the inverted-list join shuffles once on cid, and list
-    sizes stay balanced because centroids partition the space."""
+    Scale shape (round 11): the 8 seed centroids are one KB-sized
+    deterministic collect, re-embedded as a literal codebook carrying
+    precomputed norms, so assignment and probe ranking are
+    zero-exchange per-row projections (cosine DESC via negated-sim
+    struct sort — ties on cid exactly as the oracle's window; the
+    old crossJoin+row_number form shuffled the 8×-expanded corpus).
+    The inverted-list join shuffles once on cid, and list sizes stay
+    balanced because centroids partition the space."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    cents = e.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    crows = sorted(
+        (r["cid"], list(r["cv"]))
+        for r in e.where(F.col("vec_id").isin(*CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
     )
-    sim = cosine(F.col("v"), F.col("cv"))
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", sim.alias("sim")
+    # 'cn' is the centroid norm — math.sqrt is the same correctly
+    # rounded IEEE sqrt both engines apply, so sim = dot/(nrm·cn) is
+    # op-for-op the oracle's cosine; '-sim' keeps array_sort's
+    # ascending struct order equal to (sim DESC, cid)
+    book = (
+        "array("
+        + ", ".join(
+            f"named_struct('cid', {cid}L, "
+            f"'cv', array({', '.join(_dlit(x) for x in cv)}), "
+            f"'cn', {_dlit(math.sqrt(_py_dot(cv, cv)))})"
+            for cid, cv in crows
+        )
+        + ")"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    ranked_c = scored.withColumn("crnk", F.row_number().over(w))
-    assigned = ranked_c.where("crnk = 1").select("vec_id", "v", "cid")
-    probes = ranked_c.where(
-        (F.col("crnk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
+    dot = (
+        "aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    scored = (
+        f"transform({book}, c -> named_struct("
+        f"'ns', -({dot} / (nrm * c.cn)), 'cid', c.cid))"
+    )
+    base = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    assigned = base.selectExpr(
+        "vec_id", "v", f"array_min({scored}).cid AS cid"
+    )
+    probes = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            f"transform(slice(array_sort({scored}), 1, {NPROBE}),"
+            " s -> s.cid) AS rc",
+        )
+        .select("query_id", F.explode("rc").alias("cid"))
+    )
     # only the query vectors are broadcast — broadcasting unfiltered e
     # would ship the whole corpus to every executor.
     q = e.where(F.col("vec_id") < N_QUERIES).select(

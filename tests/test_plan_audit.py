@@ -212,11 +212,14 @@ def test_executed_exchange_budgets(spark, sf_dir):
         # the budgets are scale-stable.
         "pq_distortion_eval": 2,
         "ann_hamming_topk": 2,
+        "ann_ivf": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,
         "ivf_nprobe_whatif": 9,
-        # 20 post-refactor + 2 for the 6th (binary Hamming) arm
-        "ann_quality_scoreboard": 22,
+        # composes every variant arm, so it tightened twice in r11:
+        # 30 → 20 (literal-codebook refactor) → 18 (+2 for the 6th
+        # Hamming arm, −4 when ann_ivf's window went zero-exchange)
+        "ann_quality_scoreboard": 18,
         "ivf_balance_profile": 5,
     }
     for name, cap in budgets.items():
