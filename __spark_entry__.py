@@ -96,6 +96,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # cohort; everything checked in r10 drops to the tail
     # (staleness order regenerated from CORRECTNESS_r01-r10).
     "ann_hamming_topk",
+    "hamming_pool_whatif",
     "ann_ivf_pq",
     "ann_ivf_pq_residual",
     "ann_ivf",

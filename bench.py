@@ -189,6 +189,7 @@ EXTENDED = [
     # Hamming-sketch ANN
     "ann_quality_scoreboard",
     "ann_hamming_topk",
+    "hamming_pool_whatif",
 ]
 
 

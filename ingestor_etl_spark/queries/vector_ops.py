@@ -772,6 +772,173 @@ def ann_hamming_topk(spark, sf_dir):
     )
 
 
+# sweep budgets for hamming_pool_whatif: from "re-rank almost
+# nothing" to "re-rank 40% of the fixture corpus"
+HAM_POOLS = (5, 10, 25, 50, 100, 200)
+_HAM_TOPK = 3  # ceiling measured against exact top-3, like the IVF sweep
+
+
+@register(
+    "hamming_pool_whatif",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sk AS (
+      SELECT vec_id, v,
+             CAST({_ham_word_sql(0)} AS BIGINT) AS w0,
+             CAST({_ham_word_sql(1)} AS BIGINT) AS w1
+      FROM e
+    ),
+    hpairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    hranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS hrnk
+      FROM hpairs
+    ),
+    cpairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM cpairs
+      ) WHERE rnk <= {_HAM_TOPK}
+    ),
+    hitrank AS (
+      SELECT h.hrnk FROM exact3 x
+      JOIN hranked h USING (query_id, neighbor_id)
+    ),
+    totals AS (SELECT count(*) AS n_edges FROM exact3),
+    nvecs AS (SELECT count(*) AS n_vecs FROM e),
+    sweep AS (SELECT unnest(ARRAY{list(HAM_POOLS)}) AS pool),
+    recall AS (
+      SELECT s.pool,
+             sum(CASE WHEN h.hrnk <= s.pool THEN 1 ELSE 0 END) AS hits
+      FROM sweep s CROSS JOIN hitrank h
+      GROUP BY s.pool
+    )
+    SELECT CAST(r.pool AS BIGINT) AS pool,
+           round(CAST(LEAST(r.pool, v.n_vecs - 1) AS DOUBLE)
+                 / (v.n_vecs - 1), 4) AS scan_frac,
+           round(CAST(r.hits AS DOUBLE) / t.n_edges, 4) AS ceiling_recall
+    FROM recall r CROSS JOIN totals t CROSS JOIN nvecs v
+    ORDER BY pool
+    """,
+    tags=("vector", "ann", "hamming", "tuning", "planning"),
+)
+def hamming_pool_whatif(spark, sf_dir):
+    """Hamming shortlist-budget planning sweep — the ivf_nprobe_whatif
+    analog for the binary-sketch family: for each candidate pool size,
+    the recall CEILING the Hamming prefilter imposes on the exact
+    re-rank (fraction of exact top-{k} neighbors whose Hamming rank
+    falls within the pool) next to what that budget costs (the
+    re-ranked fraction of the corpus). This is the measurement that
+    justifies — or indicts — the production HAM_POOL knob
+    ann_hamming_topk ships: the row where the ceiling stops growing
+    faster than scan_frac is the right budget.
+
+    Plan (the 100 TB lens): ONE sketch projection (zero-shuffle),
+    one broadcast-queries Hamming pair relation ranked per query
+    (the ann_hamming_topk shape), one exact-top-{k} leg (the
+    ann_recall_eval broadcast shape — the only O(corpus·dim) term),
+    then the sweep joins KB-sized aggregates; the pool axis adds no
+    passes because every budget reads the same Hamming ranking."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sk = e.selectExpr(
+        "vec_id",
+        "v",
+        f"CAST({_ham_word_spark(0)} AS BIGINT) AS w0",
+        f"CAST({_ham_word_spark(1)} AS BIGINT) AS w1",
+    )
+    q = sk.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hpairs = (
+        F.broadcast(q)
+        .join(
+            sk.select(F.col("vec_id").alias("neighbor_id"), "w0", "w1"),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "CAST(bit_count(q0 ^ w0) + bit_count(q1 ^ w1) AS BIGINT)"
+            " AS hamming",
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    hranked = hpairs.select(
+        "query_id", "neighbor_id", F.row_number().over(wh).alias("hrnk")
+    )
+    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    exact3 = (
+        F.broadcast(qv)
+        .join(cv, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(we))
+        .where(F.col("rnk") <= _HAM_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hitrank = exact3.join(hranked, ["query_id", "neighbor_id"]).select("hrnk")
+    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
+    nvecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    sweep = spark.createDataFrame(
+        [(p,) for p in HAM_POOLS], "pool BIGINT"
+    )
+    recall = (
+        F.broadcast(sweep).crossJoin(hitrank)
+        .groupBy("pool")
+        .agg(
+            F.sum(
+                F.when(F.col("hrnk") <= F.col("pool"), 1).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return (
+        recall.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nvecs))
+        .select(
+            "pool",
+            F.round(
+                F.least(F.col("pool"), F.col("n_vecs") - 1).cast("double")
+                / (F.col("n_vecs") - 1),
+                4,
+            ).alias("scan_frac"),
+            F.round(
+                F.col("hits").cast("double") / F.col("n_edges"), 4
+            ).alias("ceiling_recall"),
+        )
+        .orderBy("pool")
+    )
+
+
+hamming_pool_whatif.__doc__ = hamming_pool_whatif.__doc__.format(k=_HAM_TOPK)
+
+
 # ---------------------------------------------------------------- IVF
 CENTROID_IDS = (100, 150, 200, 250, 300, 350, 400, 450)
 # Probe budget shared by ann_ivf / ann_ivf_pq / ann_ivf_pq_residual.

@@ -19,6 +19,10 @@ BNL_ALLOWED = {
     # table with the non-equi self-exclusion — same shape as
     # ann_cosine_topk (round 11)
     "ann_hamming_topk",
+    # same sketch shape plus the 6-row pool sweep against the 60-row
+    # exact edge set — tiny×tiny by construction (the
+    # ivf_nprobe_whatif pattern)
+    "hamming_pool_whatif",
     "ann_ivf",
     # 8-row IVF-centroid broadcast into the assignment cross join —
     # same shape as ann_ivf (round 9)
@@ -212,6 +216,7 @@ def test_executed_exchange_budgets(spark, sf_dir):
         # the budgets are scale-stable.
         "pq_distortion_eval": 2,
         "ann_hamming_topk": 2,
+        "hamming_pool_whatif": 9,
         "ann_ivf": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,

@@ -262,6 +262,31 @@ def test_ann_hamming_topk_recall_floor(spark):
     assert hits / total >= 0.25, (hits, total)
 
 
+def test_hamming_pool_whatif_pins_the_production_budget(spark):
+    """The sketch-family planning sweep must agree with the shipped
+    stack: the HAM_POOL=50 row's ceiling equals ann_hamming_topk's
+    measured recall@3 exactly (the exact re-rank makes the Hamming
+    prefilter the ONLY approximation, so ceiling == shipped recall),
+    scan_frac is the pool over the corpus, and the ceiling is
+    monotone in the budget. Exact floats are coupled to the
+    deterministic sf0.01 fixture."""
+    from ingestor_etl_spark.queries import load_all
+
+    reg = load_all()
+    rows = {
+        int(r.pool): r
+        for r in reg["hamming_pool_whatif"].fn(spark, SF).collect()
+    }
+    release_caches()
+    assert rows[50].ceiling_recall == 0.3
+    assert abs(rows[50].scan_frac - 50 / 499) < 1e-3
+    pools = sorted(rows)
+    assert all(
+        rows[a].ceiling_recall <= rows[b].ceiling_recall
+        for a, b in zip(pools, pools[1:])
+    )
+
+
 def test_ivf_balance_profile_uniform_corpus(spark):
     """On the uniform sf0.01 corpus the trained coarse cells must be
     near-balanced (measured load factors 0.75-1.20 — no cell above
