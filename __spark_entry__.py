@@ -84,67 +84,21 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-11 window head: ann_hamming_topk (NEW — binary
-    # Hamming-sketch ANN), then the 7 vector queries whose coarse
-    # pass was reworked this round (zero-exchange literal-codebook
-    # ranking + census-gated hot-cell sub-split; NPROBE/pool moved
-    # to the whatif knee — so plans AND outputs changed for the
-    # IVF family), then the 19-query r5/r6 cohort (round-10 verdict
-    # item 2 / round-9's freshness bar: after r11 nothing should
-    # predate r7), then the r7 cohort by staleness. A ~50 window
-    # covers the head + the full r5/r6 cohort + ~24 of the r7
-    # cohort; everything checked in r10 drops to the tail
-    # (staleness order regenerated from CORRECTNESS_r01-r10).
-    "ann_hamming_topk",
-    "hamming_pool_whatif",
+    # --- round-12 window head: ann_ivf_hamming (NEW — binary sketch
+    # under the IVF restrict, the 100 TB many-query shape),
+    # ann_quality_scoreboard (output changed: 7th arm), then the two
+    # IVF+PQ stacks whose plan gained the census-scaled geometry
+    # (identity at sf0.01, so outputs are unchanged — re-pinned out
+    # of caution). Then the freshness rotation (round-11 verdict
+    # item 5): the FULL 24-query r7 cohort followed by the r8 cohort
+    # alphabetically — a 50-name window covers head + all of r7 +
+    # 22 of r8, so after r12 nothing predates r8. Everything checked
+    # r9-r11 drops to the tail (staleness order regenerated from
+    # CORRECTNESS_r01-r11).
+    "ann_ivf_hamming",
+    "ann_quality_scoreboard",
     "ann_ivf_pq",
     "ann_ivf_pq_residual",
-    "ann_ivf",
-    "ann_quality_scoreboard",
-    "ivf_nprobe_whatif",
-    "ivf_balance_profile",
-    "pq_distortion_eval",
-    "salted_hot_agg",
-    "dedup_report",
-    "key_skew_profile",
-    "eval_holdout_split",
-    "score_calibration",
-    "dataset_card",
-    "j7_display_filter",
-    "pcap_flow_stats",
-    "segment_dedup",
-    "bm25_search",
-    "unigram_logprob",
-    "shard_pack",
-    "value_histogram",
-    "window_running_revenue",
-    "sql_passthrough",
-    "set_ops_cohorts",
-    "scd2_history",
-    "tfidf_cosine_pairs",
-    "shingle_df_profile",
-    "ann_dim_truncation_eval",
-    "ann_recall_eval",
-    "bigram_novelty",
-    "clv_by_cohort",
-    "code_detect",
-    "collocation_lift",
-    "containment_pairs",
-    "curation_pipeline",
-    "dedup_cc_clusters",
-    "dup_graph_degree_stats",
-    "dup_graph_triangles",
-    "dup_group_size_profile",
-    "entity_resolution",
-    "er_quality_eval",
-    "events_hourly_heatmap",
-    "exact_substring_dedup",
-    "exact_substring_extend",
-    "fixedwidth_ingest",
-    "fk_integrity_audit",
-    "funnel_conversion",
-    "hard_negative_mining",
-    "join_cardinality_estimator",
     "label_balance_resample",
     "lsh_band_whatif",
     "lsh_dedup_eval",
@@ -264,30 +218,15 @@ _DRIVER_SAMPLE_PRIORITY = [
     "url_dedup",
     "url_normalize",
     "window_event_navigation",
-    "prefix_filter_join",
-    "window_zoo",
-    "math_functions",
-    "mixture_drift",
-    "multitouch_attribution",
-    "pit_dimension_join",
-    "quality_classifier",
-    "quantile_normalize",
-    "rolling_zscore_outliers",
-    "rrf_hybrid_search",
-    "salted_skew_join",
-    "session_transcripts",
-    "sketch_shard_merge",
-    "snapshot_diff",
-    "source_reputation",
-    "string_functions",
-    "vocab_coverage",
-    "winsorize_scores",
-    "zone_map_prune",
-    "zorder_layout",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "math_functions",
     "merge_upsert",
+    "mixture_drift",
+    "multitouch_attribution",
     "pagerank_dup_graph",
+    "pit_dimension_join",
+    "prefix_filter_join",
     "q10_returned_revenue",
     "q11_important_parts",
     "q12_priority_lines",
@@ -305,8 +244,70 @@ _DRIVER_SAMPLE_PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
+    "quality_classifier",
+    "quantile_normalize",
     "retention_matrix",
+    "rolling_zscore_outliers",
     "rollup_returns",
+    "rrf_hybrid_search",
+    "salted_skew_join",
+    "session_transcripts",
+    "sketch_shard_merge",
+    "snapshot_diff",
+    "source_reputation",
+    "string_functions",
+    "vocab_coverage",
+    "window_zoo",
+    "winsorize_scores",
+    "zone_map_prune",
+    "zorder_layout",
+    "ann_dim_truncation_eval",
+    "ann_hamming_topk",
+    "ann_ivf",
+    "ann_recall_eval",
+    "bigram_novelty",
+    "bm25_search",
+    "clv_by_cohort",
+    "code_detect",
+    "collocation_lift",
+    "containment_pairs",
+    "curation_pipeline",
+    "dataset_card",
+    "dedup_cc_clusters",
+    "dedup_report",
+    "dup_graph_degree_stats",
+    "dup_graph_triangles",
+    "dup_group_size_profile",
+    "entity_resolution",
+    "er_quality_eval",
+    "eval_holdout_split",
+    "events_hourly_heatmap",
+    "exact_substring_dedup",
+    "exact_substring_extend",
+    "fixedwidth_ingest",
+    "fk_integrity_audit",
+    "funnel_conversion",
+    "hamming_pool_whatif",
+    "hard_negative_mining",
+    "ivf_balance_profile",
+    "ivf_nprobe_whatif",
+    "j7_display_filter",
+    "join_cardinality_estimator",
+    "key_skew_profile",
+    "pcap_flow_stats",
+    "pq_distortion_eval",
+    "salted_hot_agg",
+    "scd2_history",
+    "score_calibration",
+    "segment_dedup",
+    "set_ops_cohorts",
+    "shard_pack",
+    "shingle_df_profile",
+    "sql_passthrough",
+    "tfidf_cosine_pairs",
+    "unigram_logprob",
+    "value_histogram",
+    "window_running_revenue",
 ]
 
 
