@@ -1481,8 +1481,74 @@ def _skew_main() -> None:
     )
 
 
+# ------------------------------------------------ skew scale ladder
+def _skew_scale_main() -> None:
+    """`bench.py --skew-scale` (round-11 verdict item 6): the
+    hot-inverted-list corpus (the --skew generator: 90% of vectors
+    jittered around ONE direction) at TWO scales, timing the
+    REGISTERED ann_ivf_pq end-to-end, so the census-gated sub-split's
+    ENGAGED path gets a growth exponent instead of a single point.
+    The quadratic fear is every query ADC-scanning the hot cell
+    (O(corpus) candidates/query → superlinear wall time as both the
+    corpus and the cell grow); the sub-split bounds probed mass at
+    ~load·SUB_NPROBE/SUB_K of the hot cell, so measured time should
+    grow ~linearly (exponent ≈ 1) — training and encode passes are
+    one scan each. Since round 12 the geometry census also engages
+    at these corpora (nlist ∝ √N, 256 PQ codes), so this doubles as
+    the first timed run of the SCALED literal-codebook path."""
+    import math
+    import shutil as _sh
+    import tempfile as _tf
+
+    registry = load_all()
+    spark = get_spark("ingestor-etl-spark-skewscale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    out: dict[str, dict] = {}
+    for n in (100_000, 200_000):
+        d = _tf.mkdtemp(prefix="skewscale_")
+        try:
+            spark.range(n).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(0, 63), dd -> CASE WHEN id % 10 < 9"
+                " THEN 1.0D + cast(pmod(hash(id, dd), 1000) AS double)"
+                "      / 1000000.0D"
+                " ELSE cast(pmod(hash(id, dd), 2000) - 1000 AS double)"
+                "      / 1000.0D END) AS embedding",
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            start = time.perf_counter()
+            registry["ann_ivf_pq"].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = round(time.perf_counter() - start, 3)
+            release_caches()
+            out[str(n)] = {"vecs": n, "sec": sec}
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+    expo = round(
+        math.log(out["200000"]["sec"] / out["100000"]["sec"]) / math.log(2), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ivf_hot_list_scale",
+                "unit": "sec",
+                "value": out["200000"]["sec"],
+                "scales": out,
+                "time_exponent_100k_200k": expo,
+                "note": "hot-cluster corpus (90% one direction);"
+                " registered ann_ivf_pq end-to-end incl. training;"
+                " sub-split + scaled geometry engaged at both scales",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--skew" in sys.argv:
+    if "--skew-scale" in sys.argv:
+        _skew_scale_main()
+    elif "--skew" in sys.argv:
         _skew_main()
     elif "--sf1" in sys.argv:
         _sf1_main()

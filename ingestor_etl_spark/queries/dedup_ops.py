@@ -269,6 +269,42 @@ JACCARD_PAIRS_T = 0.5  # the loosest threshold any consumer sweeps
 JACCARD_UNCUT_MASS_MAX = 200e6  # join rows; ≈8 s of codegen count-agg on 32 cores
 JACCARD_HOT_DF = 1024  # df cap defining the "hot head" (HOT_BUCKET_MAX twin)
 
+# Census-gated agg-state bound for the uncut plan's (doc_a, doc_b)
+# group-by (round-12, round-11 verdict item 7; SCALING §46). The
+# JDECOMP sf3 rung localized the per-row agg constant's growth to
+# single-heap GC pressure from ~309M group states; §43's "per-bucket
+# pre-aggregation" prescription was MEASURED DEAD on this relation
+# (the join output's per-partition duplication factor is 1.068 —
+# 93.6% of rows are already unique groups within their partition, so
+# any partial/pre-combine pass reduces nothing and only adds state).
+# What does work is bounding per-task hash state: an explicit
+# group-key repartition before the aggregate so each task's hash map
+# holds ~GROUPS_PER_TASK entries (measured at sf3: 130.3 s default
+# 32-partition agg → 74.2 s at 320 partitions — 119 → 68 ns/row, a
+# 43% cut, knee at ~1M groups/task; 640 partitions is flat at 69.4).
+# Engaged only above the measured single-heap wall so every
+# oracle/bench scale keeps today's plan (sf1's est. 109M groups
+# stays under the 120M gate — §43 measured one 128 GiB heap
+# representative to ~100M groups). Group count is estimated from the
+# census mass the caller already paid for: groups/mass is a stable
+# ~0.28 across the whole JDECOMP ladder (sf0.1→sf3).
+JACCARD_GROUPS_PER_MASS = 0.3  # measured groups/mass, rounded up
+JACCARD_AGG_GROUPS_MAX = 120e6  # single-heap wall (§43: ~100M/executor)
+JACCARD_AGG_GROUPS_PER_TASK = 1e6  # measured knee (§46)
+
+
+def _jaccard_agg_partitions(mass: float) -> int | None:
+    """Agg partition count for the uncut pair group-by, or None to
+    leave the exchange to AQE (every scale below the single-heap
+    wall — the identity path). Pure function of the census mass so
+    the gate is test-pinnable without executing anything."""
+    import math
+
+    est_groups = mass * JACCARD_GROUPS_PER_MASS
+    if est_groups <= JACCARD_AGG_GROUPS_MAX:
+        return None
+    return min(1024, math.ceil(est_groups / JACCARD_AGG_GROUPS_PER_TASK))
+
 
 def _jaccard_sets(spark, shingled: DataFrame) -> DataFrame:
     """(doc_id, shingles, sz), materialized — feeds the df census
@@ -317,33 +353,46 @@ def _jaccard_census(sets: DataFrame) -> tuple[int, float, float]:
     )
 
 
-def _jaccard_pairs_uncut(sets: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_uncut(
+    sets: DataFrame, threshold: float, mass: float = 0.0
+) -> DataFrame:
     """Direct shared-shingle self-join + count-aggregate — the exact
     plan with the smallest constant when Σ C(df,2) is bounded (the
     census guarantees it is before this runs). Sizes ride through
     the join (max() over a per-group constant) so the Jaccard verdict
     needs no post-aggregation size joins.
 
-    Layout note (measured, do not "fix"): leave the join input's
+    Layout note (measured, do not "fix"): leave the join INPUT's
     partitioning to AQE. An explicit mass-scaled repartition(n, "s")
     was tried to flatten the partial-aggregate hash maps at sf1 and
     made BOTH scales ~2.5× slower (sf0.1 1.8 → 5.1 s, sf1 27 → 61 s)
     — the exchange barrier costs more than the GC pressure it was
-    meant to relieve, and AQE already right-sizes the join."""
+    meant to relieve, and AQE already right-sizes the join.
+
+    The join OUTPUT's aggregate is different (round 12, SCALING
+    §46): past the single-heap group-state wall (§43) the agg is
+    repartitioned on its own group keys so per-task hash state stays
+    ~JACCARD_AGG_GROUPS_PER_TASK — below the wall the gate returns
+    None and the plan is today's byte-identical shape."""
     el = sets.select("doc_id", "sz", F.explode("shingles").alias("s"))
     a, b = el.alias("a"), el.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.max("a.sz").alias("na"),
-            F.max("b.sz").alias("nb"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sz").alias("asz"),
+        F.col("b.sz").alias("bsz"),
+    )
+    n_agg = _jaccard_agg_partitions(mass)
+    if n_agg is not None:
+        pairs = pairs.repartition(n_agg, "doc_a", "doc_b")
+    shared = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.max("asz").alias("na"),
+        F.max("bsz").alias("nb"),
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
@@ -437,7 +486,7 @@ def jaccard_pairs(
     _, mass, mass_capped = _jaccard_census(sets)
     if _use_prefix_plan(mass, mass_capped):
         return _jaccard_pairs_prefix(spark, sets, threshold)
-    return _jaccard_pairs_uncut(sets, threshold)
+    return _jaccard_pairs_uncut(sets, threshold, mass)
 
 
 def _use_prefix_plan(mass: float, mass_capped: float) -> bool:

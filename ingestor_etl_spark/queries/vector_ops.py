@@ -3168,8 +3168,8 @@ _SB_PREDS_SQL = "\n      UNION ALL\n      ".join(
 def ann_quality_scoreboard(spark, sf_dir):
     """The ANN scoreboard — recall@{k} of every approximate variant
     the engine ships (LSH-bucketed, binary Hamming sketch, IVF
-    restrict, raw PQ ADC, IVF+PQ+refine, IVFADC residual) against
-    the exact brute-force top-{k}, in ONE query. This is the evaluation a user runs before
+    restrict, sketch-under-IVF, raw PQ ADC, IVF+PQ+refine, IVFADC
+    residual) against the exact brute-force top-{k}, in ONE query. This is the evaluation a user runs before
     picking an index for a corpus: each variant's registered
     DataFrame plan is composed as a subquery (operators compose
     because they ARE DataFrames — the curation_pipeline pattern),

@@ -70,6 +70,47 @@ def test_prefix_routing_needs_both_size_and_concentration():
     assert not _use_prefix_plan(1.0e6, 1.0e3)  # concentrated but tiny
 
 
+def test_agg_partition_gate_calibration():
+    """Round-12 (round-11 verdict item 7, SCALING §46): the uncut
+    pair agg's group-state gate must be the IDENTITY (None — leave
+    the exchange to AQE, today's plan) at every oracle and bench
+    scale, and engage near the measured 320-partition knee at sf3.
+    Pre-aggregation was measured dead (per-partition duplication
+    1.068), so the only lever is agg partition count."""
+    from ingestor_etl_spark.queries.dedup_ops import _jaccard_agg_partitions
+
+    assert _jaccard_agg_partitions(0.0) is None  # no census
+    assert _jaccard_agg_partitions(3.65e7) is None  # sf0.1
+    assert _jaccard_agg_partitions(1.09e8) is None  # sf0.3
+    assert _jaccard_agg_partitions(3.65e8) is None  # sf1 (109M groups)
+    assert _jaccard_agg_partitions(1.094167170e9) == 329  # sf3
+    assert _jaccard_agg_partitions(1e10) == 1024  # capped
+
+
+def test_agg_partition_gate_output_identical(spark):
+    """Engaged vs identity output equality on a small corpus (the
+    cap-inactive ≡ plain pattern): the gate changes WHERE the agg
+    runs, never WHAT it computes."""
+    from ingestor_etl_spark.queries.dedup_ops import (
+        _jaccard_pairs_uncut as _uncut,
+        _jaccard_sets as _sets_fn,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "array_distinct(transform(sequence(0, 9),"
+        " i -> concat('s', pmod(hash(id, i), 300)))) AS shingles",
+    )
+    sets = _sets_fn(spark, df)
+    plain = _uncut(sets, 0.5).orderBy("doc_a", "doc_b").collect()
+    # a mass far past the wall forces the repartition path
+    engaged = (
+        _uncut(sets, 0.5, mass=2e9).orderBy("doc_a", "doc_b").collect()
+    )
+    release_caches()
+    assert plain == engaged
+
+
 def test_gate_routes_hot_corpus_to_prefix_plan(spark):
     """One boilerplate shingle on 1/2 of 50k docs contributes
     C(25000,2) ≈ 3.1e8 uncut join rows > JACCARD_UNCUT_MASS_MAX →
