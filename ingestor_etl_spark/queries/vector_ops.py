@@ -1437,6 +1437,56 @@ def _rank_sql(book_sql: str, n: int | None = None, with_cv: bool = False,
     return expr
 
 
+# -------------------------------------- big-book execution strategy
+# The literal-codebook projection (zero-exchange, cross-engine exact)
+# evaluates O(K·DIM) interpreted higher-order-function ops per row —
+# unbeatable at fixture book sizes (K ≤ 16) but a bad constant once
+# the census-scaled geometry grows the books: the 100k hot-corpus
+# diagnostic measured ann_ivf_pq at 129.7 s with 112-list/256-code
+# literal books (SCALING §47). Above IVF_LITERAL_BOOK_MAX centroids
+# the assignment/ranking switches to an Arrow-batched numpy matmul
+# (argmin / stable top-n over the n×K distance matrix — the BLAS
+# shape FAISS itself uses), still zero-shuffle and
+# broadcast-codebook, just vectorized instead of interpreted.
+# Threshold 64 keeps EVERY oracle- or floor-measured scale on the
+# byte-stable literal path (sf0.01: 8/16; sf0.1: 16/64; sf1 coarse:
+# 50) — the numpy path engages only where no exactness pin exists
+# (≥100k-vector corpora, and PQ encode at 256 codes from sf1 up).
+# Ordering semantics match the literal path: distances tie-break to
+# the lowest cid (books are cid-sorted; np.argmin takes the first
+# minimum, and top-n uses a stable argsort).
+IVF_LITERAL_BOOK_MAX = 64
+
+
+def _np_assign_col(df, books: dict, keys, vec_col: str, out: str):
+    """Nearest-centroid cid as one vectorized batch projection — the
+    big-book twin of _argmin_sql (kernel in _vec_np; that module
+    skips PEP-563 so pandas_udf can resolve its type hints)."""
+    from ingestor_etl_spark.queries._vec_np import np_assign_col
+
+    return np_assign_col(df, books, keys, vec_col, out)
+
+
+def _np_topn_col(df, book: list, vec_col: str, n: int, out: str):
+    """Top-n nearest centroid cids (L2 ascending, cid tie-break) as
+    one vectorized batch projection — the big-book twin of
+    _rank_sql's slice (kernel in _vec_np)."""
+    from ingestor_etl_spark.queries._vec_np import np_topn_col
+
+    return np_topn_col(df, book, vec_col, n, out)
+
+
+def _book_df(spark, book: list):
+    """The codebook as a KB-sized broadcastable relation (cid, cv) —
+    the join-side companion of the numpy path where a consumer needs
+    the centroid COMPONENTS (the residual subtract), not just the
+    cid."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in book],
+        "cid BIGINT, cv ARRAY<DOUBLE>",
+    )
+
+
 def _argmin_sql(book_sql: str, vec: str = "nv") -> str:
     """Nearest-centroid cid as one per-row projection (the
     _lloyd_books assignment expression): array_min over (d, cid)
@@ -1577,23 +1627,42 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE):
     projections."""
     from ingestor_etl_spark.plans.layout import materialize
 
-    book_sql = _book_arr_sql(book)
     base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
-    asg = base.selectExpr(
-        "vec_id", "nv", f"{_argmin_sql(book_sql)} AS lid"
-    )
-    probe_coarse = (
-        base.where(F.col("vec_id") < N_QUERIES)
-        .selectExpr(
-            "vec_id AS query_id",
-            "nv",
-            "pp",
-            f"transform({_rank_sql(book_sql, nprobe)}, s -> s.cid) AS rc",
+    if len(book) > IVF_LITERAL_BOOK_MAX:
+        # big-book strategy (SCALING §47): vectorized batch argmin /
+        # top-n instead of the interpreted literal projections
+        asg = _np_assign_col(
+            base.select("vec_id", "nv"), {(): book}, (), "nv", "lid"
         )
-        .select(
-            "query_id", "nv", "pp", F.explode(F.col("rc")).alias("lid")
+        probe_coarse = (
+            _np_topn_col(
+                base.where(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), "nv", "pp"
+                ),
+                book,
+                "nv",
+                nprobe,
+                "rc",
+            )
+            .select("query_id", "nv", "pp", F.explode(F.col("rc")).alias("lid"))
         )
-    )
+    else:
+        book_sql = _book_arr_sql(book)
+        asg = base.selectExpr(
+            "vec_id", "nv", f"{_argmin_sql(book_sql)} AS lid"
+        )
+        probe_coarse = (
+            base.where(F.col("vec_id") < N_QUERIES)
+            .selectExpr(
+                "vec_id AS query_id",
+                "nv",
+                "pp",
+                f"transform({_rank_sql(book_sql, nprobe)}, s -> s.cid) AS rc",
+            )
+            .select(
+                "query_id", "nv", "pp", F.explode(F.col("rc")).alias("lid")
+            )
+        )
     sizes = {
         r["lid"]: r["n"]
         for r in asg.groupBy("lid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1716,14 +1785,22 @@ def _lloyd_books(points, cents, iters, dim, keys=()):
         "aggregate(zip_with(pv, c.cv, (x, y) -> x * y), 0D,"
         " (acc, x) -> acc + x)"
     )
+    big_book = max(len(b) for b in books.values()) > IVF_LITERAL_BOOK_MAX
     for _ in range(iters):
-        cbook = _book_case_sql(books, ks)
-        assign = points.selectExpr(
-            *ks,
-            f"array_min(transform({cbook}, c -> named_struct("
-            f"'d', (pp - 2 * {dot_sql}) + c.cc, 'cid', c.cid))).cid AS cid",
-            "pv",
-        )
+        if big_book:
+            # big-book strategy (SCALING §47): vectorized batch
+            # argmin instead of the interpreted literal projection
+            assign = _np_assign_col(points, books, ks, "pv", "cid").select(
+                *ks, "cid", "pv"
+            )
+        else:
+            cbook = _book_case_sql(books, ks)
+            assign = points.selectExpr(
+                *ks,
+                f"array_min(transform({cbook}, c -> named_struct("
+                f"'d', (pp - 2 * {dot_sql}) + c.cc, 'cid', c.cid))).cid AS cid",
+                "pv",
+            )
         upd = (
             assign.groupBy(*ks, "cid")
             .agg(
@@ -2056,9 +2133,17 @@ def ann_ivf_pq(spark, sf_dir):
     # per-(vec,sub) min-aggregate was a full corpus shuffle)
     pq_case = _book_case_sql(pq_books, ("sub",))
     subs = tsubs.withColumn("pp", _dot(F.col("sv"), F.col("sv")))
-    codes = subs.selectExpr(
-        "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS cid"
-    )
+    if pqk > IVF_LITERAL_BOOK_MAX:
+        # big-book strategy (SCALING §47) for the corpus-wide encode;
+        # the query-side LUT below stays literal (N_QUERIES rows)
+        codes = _np_assign_col(
+            tsubs.select("vec_id", "sub", "sv"), pq_books, ("sub",), "sv",
+            "cid",
+        ).select("vec_id", "sub", "cid")
+    else:
+        codes = subs.selectExpr(
+            "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS cid"
+        )
     dot_sv = (
         "aggregate(zip_with(sv, c.cv, (x, y) -> x * y), 0D,"
         " (acc, x) -> acc + x)"
@@ -2447,39 +2532,72 @@ def ann_ivf_pq_residual(spark, sf_dir):
         IVF_ITERS,
         DIM,
     )[()]
-    book_sql = _book_arr_sql(ivf_book)
     base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
-    # one zero-exchange corpus pass: assignment + residual (the
-    # literal-codebook argmin carries the winning centroid's
-    # components through for the subtract), cached for PQ training
-    # AND corpus encoding (bit-identical either way — materializing
-    # just avoids re-running the argmin)
-    resid = materialize(
-        base.selectExpr(
-            "vec_id",
-            "nv",
-            f"element_at({_rank_sql(book_sql, 1, with_cv=True)}, 1) AS b",
-        ).selectExpr(
-            "vec_id",
-            "b.cid AS lid",
-            "zip_with(nv, b.cv, (x, y) -> x - y) AS rv",
+    if len(ivf_book) > IVF_LITERAL_BOOK_MAX:
+        # big-book strategy (SCALING §47): vectorized argmin/top-n,
+        # centroid COMPONENTS for the subtract re-admitted via a
+        # broadcast join against the KB-sized codebook relation
+        bdf = F.broadcast(
+            _book_df(spark, ivf_book).withColumnRenamed("cid", "lid")
         )
-    )
-    # query-side probes: residual vs EACH probed list's centroid
-    probes = (
-        base.where(F.col("vec_id") < N_QUERIES)
-        .selectExpr(
-            "vec_id AS query_id",
-            "nv",
-            f"{_rank_sql(book_sql, nprobe, with_cv=True)} AS rc",
+        resid = materialize(
+            _np_assign_col(
+                et.select("vec_id", "nv"), {(): ivf_book}, (), "nv", "lid"
+            )
+            .join(bdf, "lid")
+            .selectExpr(
+                "vec_id", "lid", "zip_with(nv, cv, (x, y) -> x - y) AS rv"
+            )
         )
-        .select("query_id", "nv", F.explode("rc").alias("c"))
-        .selectExpr(
-            "query_id",
-            "c.cid AS lid",
-            "zip_with(nv, c.cv, (x, y) -> x - y) AS rv",
+        probes = (
+            _np_topn_col(
+                et.where(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), "nv"
+                ),
+                ivf_book,
+                "nv",
+                nprobe,
+                "rc",
+            )
+            .select("query_id", "nv", F.explode("rc").alias("lid"))
+            .join(bdf, "lid")
+            .selectExpr(
+                "query_id", "lid", "zip_with(nv, cv, (x, y) -> x - y) AS rv"
+            )
         )
-    )
+    else:
+        book_sql = _book_arr_sql(ivf_book)
+        # one zero-exchange corpus pass: assignment + residual (the
+        # literal-codebook argmin carries the winning centroid's
+        # components through for the subtract), cached for PQ training
+        # AND corpus encoding (bit-identical either way — materializing
+        # just avoids re-running the argmin)
+        resid = materialize(
+            base.selectExpr(
+                "vec_id",
+                "nv",
+                f"element_at({_rank_sql(book_sql, 1, with_cv=True)}, 1) AS b",
+            ).selectExpr(
+                "vec_id",
+                "b.cid AS lid",
+                "zip_with(nv, b.cv, (x, y) -> x - y) AS rv",
+            )
+        )
+        # query-side probes: residual vs EACH probed list's centroid
+        probes = (
+            base.where(F.col("vec_id") < N_QUERIES)
+            .selectExpr(
+                "vec_id AS query_id",
+                "nv",
+                f"{_rank_sql(book_sql, nprobe, with_cv=True)} AS rc",
+            )
+            .select("query_id", "nv", F.explode("rc").alias("c"))
+            .selectExpr(
+                "query_id",
+                "c.cid AS lid",
+                "zip_with(nv, c.cv, (x, y) -> x - y) AS rv",
+            )
+        )
     # candidate cells: shared census-gated machinery (hot-cell
     # sub-split confines candidate generation; residual encoding
     # itself stays keyed on the COARSE list centroid)
@@ -2520,10 +2638,18 @@ def ann_ivf_pq_residual(spark, sf_dir):
     pq_case = _book_case_sql(pq_books, ("sub",))
     # corpus encode: zero-exchange literal projection (the old
     # broadcast-join + per-(vec,sub) min-aggregate shuffled the
-    # corpus)
-    codes = rsubs.withColumn("pp", _dot(F.col("sv"), F.col("sv"))).selectExpr(
-        "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS code"
-    )
+    # corpus); big-book strategy (SCALING §47) above the threshold
+    if len(pq_seeds) > IVF_LITERAL_BOOK_MAX:
+        codes = _np_assign_col(
+            rsubs.select("vec_id", "sub", "sv"), pq_books, ("sub",), "sv",
+            "code",
+        ).select("vec_id", "sub", "code")
+    else:
+        codes = rsubs.withColumn(
+            "pp", _dot(F.col("sv"), F.col("sv"))
+        ).selectExpr(
+            "vec_id", "sub", f"{_argmin_sql(pq_case, vec='sv')} AS code"
+        )
     # --- per-probe ADC lookup table (q×nprobe×subs×pqk rows) ---
     dot_sv = (
         "aggregate(zip_with(sv, c.cv, (x, y) -> x * y), 0D,"

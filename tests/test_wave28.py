@@ -113,6 +113,104 @@ def test_ann_ivf_hamming_beats_full_scan_sketch(spark):
     assert hits / total > fhits / ftotal, (hits, fhits)
 
 
+def test_big_book_strategy_equivalence(spark):
+    """SCALING §47: the vectorized (Arrow-batched numpy) assignment
+    and top-n kernels must reproduce the literal-codebook
+    projections' outputs exactly on the fixture (same distance
+    ordering, same lowest-cid tie-break) — the strategy switch at
+    IVF_LITERAL_BOOK_MAX changes HOW the argmin runs, never what it
+    returns. Verified for the bare assign, the top-n ranking, and
+    the keyed (per-subspace PQ) assign."""
+    from ingestor_etl_spark.catalog import load_table
+
+    e = load_table(spark, SF001, "embeddings").select(
+        "vec_id", vo._as_double(F.col("embedding")).alias("v")
+    )
+    norm = F.sqrt(vo._dot(F.col("v"), F.col("v")))
+    et = e.withColumn("nv", F.transform("v", lambda x: x / norm))
+    book = sorted(
+        (r["vec_id"], list(r["nv"]))
+        for r in et.where(F.col("vec_id").isin(*vo.CENTROID_IDS)).collect()
+    )
+    base = et.withColumn("pp", vo._dot(F.col("nv"), F.col("nv")))
+    book_sql = vo._book_arr_sql(book)
+    lit = {
+        r["vec_id"]: r["lid"]
+        for r in base.selectExpr(
+            "vec_id", f"{vo._argmin_sql(book_sql)} AS lid"
+        ).collect()
+    }
+    npv = {
+        r["vec_id"]: r["lid"]
+        for r in vo._np_assign_col(
+            et.select("vec_id", "nv"), {(): book}, (), "nv", "lid"
+        ).collect()
+    }
+    assert lit == npv
+    litn = {
+        r["vec_id"]: list(r["rc"])
+        for r in base.selectExpr(
+            "vec_id",
+            f"transform({vo._rank_sql(book_sql, 4)}, s -> s.cid) AS rc",
+        ).collect()
+    }
+    npn = {
+        r["vec_id"]: list(r["rc"])
+        for r in vo._np_topn_col(
+            et.select("vec_id", "nv"), book, "nv", 4, "rc"
+        ).collect()
+    }
+    assert litn == npn
+    subs = et.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("nv"), s * 16 + 1, 16) for s in range(4)])
+        ).alias("sub", "sv"),
+    )
+    pq_books = {}
+    for r in subs.where(
+        (F.col("vec_id") >= vo.PQ_SEED_BASE)
+        & (F.col("vec_id") <= vo.PQ_SEED_BASE + vo.PQ_K - 1)
+    ).collect():
+        pq_books.setdefault((r["sub"],), []).append(
+            (r["vec_id"] - vo.PQ_SEED_BASE, list(r["sv"]))
+        )
+    for k in pq_books:
+        pq_books[k].sort()
+    pq_case = vo._book_case_sql(pq_books, ("sub",))
+    litk = {
+        (r["vec_id"], r["sub"]): r["cid"]
+        for r in subs.withColumn("pp", vo._dot(F.col("sv"), F.col("sv")))
+        .selectExpr(
+            "vec_id", "sub", f"{vo._argmin_sql(pq_case, vec='sv')} AS cid"
+        )
+        .collect()
+    }
+    npk = {
+        (r["vec_id"], r["sub"]): r["cid"]
+        for r in vo._np_assign_col(
+            subs, pq_books, ("sub",), "sv", "cid"
+        ).collect()
+    }
+    release_caches()
+    assert litk == npk
+
+
+def test_big_book_threshold_keeps_measured_scales_literal():
+    """Every scale with an exactness or floor pin must stay on the
+    literal path: sf0.001/sf0.01 (8 lists, 16 codes), sf0.1 (16/64),
+    and sf1's coarse book (50) are all ≤ IVF_LITERAL_BOOK_MAX; the
+    numpy path engages only for ≥100k-vector corpora (112 lists at
+    the skew diagnostic) and sf1's 256-code PQ encode."""
+    assert vo._ivf_lists(500) <= vo.IVF_LITERAL_BOOK_MAX
+    assert vo._pq_codes(500) <= vo.IVF_LITERAL_BOOK_MAX
+    assert vo._ivf_lists(2_000) <= vo.IVF_LITERAL_BOOK_MAX
+    assert vo._pq_codes(2_000) <= vo.IVF_LITERAL_BOOK_MAX
+    assert vo._ivf_lists(20_000) <= vo.IVF_LITERAL_BOOK_MAX
+    assert vo._pq_codes(20_000) > vo.IVF_LITERAL_BOOK_MAX  # sf1 PQ
+    assert vo._ivf_lists(100_000) > vo.IVF_LITERAL_BOOK_MAX  # skew rig
+
+
 def test_census_inactive_on_every_oracle_fixture(spark):
     """Round-11 advice: oracle parity must not silently depend on
     the data-dependent hot-cell gate. On BOTH driver-oracle fixtures
