@@ -1517,13 +1517,20 @@ def _skew_scale_main() -> None:
                 " ELSE cast(pmod(hash(id, dd), 2000) - 1000 AS double)"
                 "      / 1000.0D END) AS embedding",
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
-            start = time.perf_counter()
-            registry["ann_ivf_pq"].fn(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sec = round(time.perf_counter() - start, 3)
-            release_caches()
-            out[str(n)] = {"vecs": n, "sec": sec}
+            # warm-up execution first (Arrow/UDF worker spin-up and
+            # codegen otherwise land entirely on the first scale
+            # point and fake a negative exponent), then best-of-2
+            best = float("inf")
+            for i in range(3):
+                start = time.perf_counter()
+                registry["ann_ivf_pq"].fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = round(time.perf_counter() - start, 3)
+                release_caches()
+                if i > 0:
+                    best = min(best, sec)
+            out[str(n)] = {"vecs": n, "sec": best}
         finally:
             _sh.rmtree(d, ignore_errors=True)
     expo = round(
