@@ -1018,11 +1018,14 @@ def ann_ivf(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    crows = sorted(
-        (r["cid"], list(r["cv"]))
-        for r in e.where(F.col("vec_id").isin(*CENTROID_IDS))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        .collect()
+    crows = _coord_memo(
+        ("ivf_seed_rows", sf_dir, CENTROID_IDS),
+        lambda: sorted(
+            (r["cid"], list(r["cv"]))
+            for r in e.where(F.col("vec_id").isin(*CENTROID_IDS))
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            .collect()
+        ),
     )
     # 'cn' is the centroid norm — math.sqrt is the same correctly
     # rounded IEEE sqrt both engines apply, so sim = dot/(nrm·cn) is
@@ -1602,7 +1605,7 @@ def _ids_arr_sql(ids: tuple) -> str:
     return "array(" + ", ".join(f"{i}L" for i in ids) + ")"
 
 
-def _ivf_candidate_cells(et, book, nprobe: int = NPROBE):
+def _ivf_candidate_cells(et, book, nprobe: int = NPROBE, memo_key=None):
     """Shared coarse candidate-cell machinery for the IVF+PQ stacks:
     corpus assignment, query probe cells, and the census-gated
     hot-cell sub-split.
@@ -1663,10 +1666,23 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE):
                 "query_id", "nv", "pp", F.explode(F.col("rc")).alias("lid")
             )
         )
-    sizes = {
-        r["lid"]: r["n"]
-        for r in asg.groupBy("lid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    def _census():
+        return {
+            r["lid"]: r["n"]
+            for r in asg.groupBy("lid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    # the occupancy census is a deterministic function of the trained
+    # book (itself a function of memo_key), so it memoizes under the
+    # same key (round-13: the three IVF stacks share one census
+    # instead of re-running it per build)
+    sizes = (
+        _coord_memo(("cell_census", *memo_key), _census)
+        if memo_key is not None
+        else _census()
+    )
     total = sum(sizes.values()) or 1
     nlist = len(book)
     hot = sorted(
@@ -1681,20 +1697,28 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE):
     members = materialize(
         asg.where(F.col("lid").isin(*hot)).select("lid", "vec_id", "nv")
     )
-    # deterministic seeds: each hot cell's IVF_SUB_K lowest member ids
-    wseed = Window.partitionBy("lid").orderBy("vec_id")
-    seeds = (
-        members.withColumn("r", F.row_number().over(wseed))
-        .where(F.col("r") <= IVF_SUB_K)
-        .select("lid", F.col("r").cast("long").alias("cid"),
-                F.col("nv").alias("cv"))
-    )
-    sub_books = _lloyd_books(
-        members.select("lid", "vec_id", F.col("nv").alias("pv")),
-        seeds,
-        IVF_SUB_ITERS,
-        DIM,
-        keys=("lid",),
+    def _train_sub():
+        # deterministic seeds: each hot cell's IVF_SUB_K lowest
+        # member ids
+        wseed = Window.partitionBy("lid").orderBy("vec_id")
+        seeds = (
+            members.withColumn("r", F.row_number().over(wseed))
+            .where(F.col("r") <= IVF_SUB_K)
+            .select("lid", F.col("r").cast("long").alias("cid"),
+                    F.col("nv").alias("cv"))
+        )
+        return _lloyd_books(
+            members.select("lid", "vec_id", F.col("nv").alias("pv")),
+            seeds,
+            IVF_SUB_ITERS,
+            DIM,
+            keys=("lid",),
+        )
+
+    sub_books = (
+        _coord_memo(("sub_books", *memo_key), _train_sub)
+        if memo_key is not None
+        else _train_sub()
     )
     sub_case = _book_case_sql(sub_books, ("lid",))
     mem_cells = (
@@ -1720,6 +1744,40 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE):
         "query_id", "lid", zero
     ).unionByName(hot_probe)
     return cells, probe_cells
+
+
+# ------------------------------------------- coordinator-work memo
+# Round-13 (round-12 verdict item 1): Lloyd training, the corpus
+# census, and the cell-occupancy census are DETERMINISTIC functions
+# of (data directory, seed ids, iteration count) — yet every
+# IVF-family query re-ran them at DataFrame-build time, and the
+# scoreboard composes four IVF arms that each re-trained identical
+# books on the identical corpus (4× redundant by construction —
+# measured 24.9 s of build for one scoreboard construction at sf0.1
+# split layout, vs ~5 s for a single stack). The memo is
+# PROCESS-scoped (a plain dict — nothing persists across bench or
+# oracle invocations; a fresh process recomputes everything from the
+# parquet inputs) and keyed by the full determining tuple (kind,
+# sf_dir, seed ids, iters), so a hit can only return the
+# bit-identical books the thunk would have produced. Query RESULTS
+# are never memoized — only the KB-sized trained-model parameters
+# and census counts that plan construction embeds as literals.
+_COORD_MEMO: dict[tuple, object] = {}
+_COORD_STATS = {"hits": 0, "misses": 0}
+
+
+def _coord_memo(key: tuple, thunk):
+    """Process-scoped memo for deterministic coordinator work (Lloyd
+    books, censuses). ``_COORD_STATS`` counts hits/misses so tests
+    can pin the no-redundant-training budget (a scoreboard build must
+    train the shared coarse book exactly once)."""
+    if key in _COORD_MEMO:
+        _COORD_STATS["hits"] += 1
+        return _COORD_MEMO[key]
+    _COORD_STATS["misses"] += 1
+    out = thunk()
+    _COORD_MEMO[key] = out
+    return out
 
 
 def _lloyd_books(points, cents, iters, dim, keys=()):
@@ -2069,10 +2127,13 @@ def ann_ivf_pq(spark, sf_dir):
     # doubles as the geometry census (round 12): nlist/pqk/nprobe are
     # identity at oracle scales (N ≤ IVF_IDENTITY_MAX) and
     # √N-scale above — see the _ivf_lists block. NOTE: building this
-    # DataFrame therefore runs eager Spark jobs (census + training)
-    # before any action on the returned plan — callers composing
-    # plans (the scoreboard) should expect the extra jobs.
-    n_corpus = et.count()
+    # DataFrame runs eager Spark jobs (census + training) before any
+    # action on the returned plan — ONCE per (data dir, geometry) per
+    # process: round 13 memoizes the deterministic coordinator work
+    # (_coord_memo), so repeated builds and the scoreboard's four
+    # IVF arms share one census + one training instead of re-running
+    # them per build.
+    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
     nlist = _ivf_lists(n_corpus)
     pqk = _pq_codes(n_corpus)
     nprobe = _ivf_nprobe(nlist)
@@ -2089,37 +2150,47 @@ def ann_ivf_pq(spark, sf_dir):
             )
         ).alias("sub", "sv"),
     )
+    ivf_key = ("ivf_book", sf_dir, ivf_seeds, IVF_ITERS)
     with ThreadPoolExecutor(2) as pool_:
         fut_ivf = pool_.submit(
-            _lloyd_books,
-            et.select("vec_id", F.col("nv").alias("pv")),
-            et.where(F.col("vec_id").isin(*ivf_seeds)).select(
-                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            _coord_memo,
+            ivf_key,
+            lambda: _lloyd_books(
+                et.select("vec_id", F.col("nv").alias("pv")),
+                et.where(F.col("vec_id").isin(*ivf_seeds)).select(
+                    F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+                ),
+                IVF_ITERS,
+                DIM,
             ),
-            IVF_ITERS,
-            DIM,
         )
         fut_pq = pool_.submit(
-            _lloyd_books,
-            tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
-            # array_position − 1 over the sorted seed block reproduces
-            # the historical vec_id − PQ_SEED_BASE labels at identity
-            tsubs.where(F.col("vec_id").isin(*pq_seeds)).selectExpr(
-                f"array_position({_ids_arr_sql(pq_seeds)}, vec_id) - 1"
-                " AS cid",
-                "sub",
-                "sv AS cv",
+            _coord_memo,
+            ("pq_raw_books", sf_dir, pq_seeds, PQ_ITERS),
+            lambda: _lloyd_books(
+                tsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
+                # array_position − 1 over the sorted seed block
+                # reproduces the historical vec_id − PQ_SEED_BASE
+                # labels at identity
+                tsubs.where(F.col("vec_id").isin(*pq_seeds)).selectExpr(
+                    f"array_position({_ids_arr_sql(pq_seeds)}, vec_id)"
+                    " - 1 AS cid",
+                    "sub",
+                    "sv AS cv",
+                ),
+                PQ_ITERS,
+                PQ_SUBDIM,
+                ("sub",),
             ),
-            PQ_ITERS,
-            PQ_SUBDIM,
-            ("sub",),
         )
         ivf_book = fut_ivf.result()[()]
         pq_books = fut_pq.result()
     # --- coarse candidate cells (census-gated hot-cell sub-split):
     # zero-exchange argmin/ranking projections against the literal
     # trained codebook — no crossJoin fan-out, no row_number shuffle
-    cells, probe_cells = _ivf_candidate_cells(et, ivf_book, nprobe=nprobe)
+    cells, probe_cells = _ivf_candidate_cells(
+        et, ivf_book, nprobe=nprobe, memo_key=ivf_key
+    )
     cand = (
         probe_cells.join(
             cells.withColumnRenamed("vec_id", "neighbor_id"),
@@ -2308,9 +2379,19 @@ def pq_distortion_eval(spark, sf_dir):
     )
     pts = tsubs.select("vec_id", "sub", F.col("sv").alias("pv"))
     # iters=0 returns the seed rows as a codebook dict without
-    # running a round — the seed book IS Lloyd's iteration 0
-    seed_books = _lloyd_books(pts, seed, 0, PQ_SUBDIM, ("sub",))
-    trained_books = _lloyd_books(pts, seed, PQ_ITERS, PQ_SUBDIM, ("sub",))
+    # running a round — the seed book IS Lloyd's iteration 0. Both
+    # books memoize under the fixed PQ_K seed block (the trained one
+    # shares its entry with ann_ivf_pq at identity scales, where
+    # _pq_seed_ids returns exactly this block).
+    fixed_seeds = tuple(range(PQ_SEED_BASE, PQ_SEED_BASE + PQ_K))
+    seed_books = _coord_memo(
+        ("pq_raw_books", sf_dir, fixed_seeds, 0),
+        lambda: _lloyd_books(pts, seed, 0, PQ_SUBDIM, ("sub",)),
+    )
+    trained_books = _coord_memo(
+        ("pq_raw_books", sf_dir, fixed_seeds, PQ_ITERS),
+        lambda: _lloyd_books(pts, seed, PQ_ITERS, PQ_SUBDIM, ("sub",)),
+    )
 
     def min_d(books):
         dot = (
@@ -2517,20 +2598,25 @@ def ann_ivf_pq_residual(spark, sf_dir):
     # cache prefill + geometry census (round 12 — identity at oracle
     # scales, √N lists / power-of-two codes above; see _ivf_lists).
     # NOTE: building this DataFrame runs eager Spark jobs (census +
-    # Lloyd training) before any action on the returned plan.
-    n_corpus = et.count()
+    # Lloyd training) before any action on the returned plan — once
+    # per (data dir, geometry) per process (round-13 _coord_memo).
+    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
     nlist = _ivf_lists(n_corpus)
     nprobe = _ivf_nprobe(nlist)
     ivf_seeds = _ivf_seed_ids(n_corpus)
     pq_seeds = _pq_seed_ids(n_corpus)
     # --- coarse quantizer first: residuals depend on it ---
-    ivf_book = _lloyd_books(
-        et.select("vec_id", F.col("nv").alias("pv")),
-        et.where(F.col("vec_id").isin(*ivf_seeds)).select(
-            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    ivf_key = ("ivf_book", sf_dir, ivf_seeds, IVF_ITERS)
+    ivf_book = _coord_memo(
+        ivf_key,
+        lambda: _lloyd_books(
+            et.select("vec_id", F.col("nv").alias("pv")),
+            et.where(F.col("vec_id").isin(*ivf_seeds)).select(
+                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            ),
+            IVF_ITERS,
+            DIM,
         ),
-        IVF_ITERS,
-        DIM,
     )[()]
     base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
     if len(ivf_book) > IVF_LITERAL_BOOK_MAX:
@@ -2601,7 +2687,9 @@ def ann_ivf_pq_residual(spark, sf_dir):
     # candidate cells: shared census-gated machinery (hot-cell
     # sub-split confines candidate generation; residual encoding
     # itself stays keyed on the COARSE list centroid)
-    cells, probe_cells = _ivf_candidate_cells(et, ivf_book, nprobe=nprobe)
+    cells, probe_cells = _ivf_candidate_cells(
+        et, ivf_book, nprobe=nprobe, memo_key=ivf_key
+    )
     cand = (
         probe_cells.join(
             cells.withColumnRenamed("vec_id", "neighbor_id"),
@@ -2622,18 +2710,24 @@ def ann_ivf_pq_residual(spark, sf_dir):
             )
         ).alias("sub", "sv"),
     )
-    pq_books = _lloyd_books(
-        rsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
-        # array_position − 1 over the sorted seed block reproduces
-        # the historical vec_id − PQ_SEED_BASE labels at identity
-        rsubs.where(F.col("vec_id").isin(*pq_seeds)).selectExpr(
-            f"array_position({_ids_arr_sql(pq_seeds)}, vec_id) - 1 AS cid",
-            "sub",
-            "sv AS cv",
+    pq_books = _coord_memo(
+        # residual books depend on the coarse book too, so its
+        # determining params are part of the key
+        ("pq_resid_books", sf_dir, ivf_seeds, IVF_ITERS, pq_seeds, PQ_ITERS),
+        lambda: _lloyd_books(
+            rsubs.select("vec_id", "sub", F.col("sv").alias("pv")),
+            # array_position − 1 over the sorted seed block reproduces
+            # the historical vec_id − PQ_SEED_BASE labels at identity
+            rsubs.where(F.col("vec_id").isin(*pq_seeds)).selectExpr(
+                f"array_position({_ids_arr_sql(pq_seeds)}, vec_id) - 1"
+                " AS cid",
+                "sub",
+                "sv AS cv",
+            ),
+            PQ_ITERS,
+            PQ_SUBDIM,
+            ("sub",),
         ),
-        PQ_ITERS,
-        PQ_SUBDIM,
-        ("sub",),
     )
     pq_case = _book_case_sql(pq_books, ("sub",))
     # corpus encode: zero-exchange literal projection (the old
@@ -2842,19 +2936,25 @@ def ann_ivf_hamming(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    n_corpus = et.count()
+    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
     nlist = _ivf_lists(n_corpus)
     nprobe = _ivf_nprobe(nlist)
     ivf_seeds = _ivf_seed_ids(n_corpus)
-    ivf_book = _lloyd_books(
-        et.select("vec_id", F.col("nv").alias("pv")),
-        et.where(F.col("vec_id").isin(*ivf_seeds)).select(
-            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    ivf_key = ("ivf_book", sf_dir, ivf_seeds, IVF_ITERS)
+    ivf_book = _coord_memo(
+        ivf_key,
+        lambda: _lloyd_books(
+            et.select("vec_id", F.col("nv").alias("pv")),
+            et.where(F.col("vec_id").isin(*ivf_seeds)).select(
+                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            ),
+            IVF_ITERS,
+            DIM,
         ),
-        IVF_ITERS,
-        DIM,
     )[()]
-    cells, probe_cells = _ivf_candidate_cells(et, ivf_book, nprobe=nprobe)
+    cells, probe_cells = _ivf_candidate_cells(
+        et, ivf_book, nprobe=nprobe, memo_key=ivf_key
+    )
     cand = (
         probe_cells.join(
             cells.withColumnRenamed("vec_id", "neighbor_id"),
@@ -3024,14 +3124,17 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    et.count()
-    ivf_book = _lloyd_books(
-        et.select("vec_id", F.col("nv").alias("pv")),
-        et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
-            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    _coord_memo(("n_corpus", sf_dir), et.count)  # cache prefill
+    ivf_book = _coord_memo(
+        ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
+        lambda: _lloyd_books(
+            et.select("vec_id", F.col("nv").alias("pv")),
+            et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            ),
+            IVF_ITERS,
+            DIM,
         ),
-        IVF_ITERS,
-        DIM,
     )[()]
     # full centroid ranking as ONE zero-exchange projection against
     # the literal trained codebook (round-10 verdict item 5: the old
@@ -3195,14 +3298,17 @@ def ivf_balance_profile(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    et.count()
-    ivf_book = _lloyd_books(
-        et.select("vec_id", F.col("nv").alias("pv")),
-        et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
-            F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    _coord_memo(("n_corpus", sf_dir), et.count)  # cache prefill
+    ivf_book = _coord_memo(
+        ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
+        lambda: _lloyd_books(
+            et.select("vec_id", F.col("nv").alias("pv")),
+            et.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+                F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+            ),
+            IVF_ITERS,
+            DIM,
         ),
-        IVF_ITERS,
-        DIM,
     )[()]
     # assignment is one zero-exchange projection over the SAME
     # materialized corpus the trainer scanned (ADVICE r10: the old
