@@ -1720,6 +1720,9 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE, memo_key=None):
         if memo_key is not None
         else _train_sub()
     )
+    # cache prefill (see pq_distortion_eval): a warm-memo build must
+    # still leave the members relation cached
+    members.count()
     sub_case = _book_case_sql(sub_books, ("lid",))
     mem_cells = (
         members.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
@@ -2133,7 +2136,9 @@ def ann_ivf_pq(spark, sf_dir):
     # (_coord_memo), so repeated builds and the scoreboard's four
     # IVF arms share one census + one training instead of re-running
     # them per build.
-    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
+    n_corpus = et.count()  # NOT memoized: the count is also the cache
+    # prefill for the materialized corpus (a warm-memo build must
+    # still leave et cached, or the fill slides into the timed run)
     nlist = _ivf_lists(n_corpus)
     pqk = _pq_codes(n_corpus)
     nprobe = _ivf_nprobe(nlist)
@@ -2392,6 +2397,16 @@ def pq_distortion_eval(spark, sf_dir):
         ("pq_raw_books", sf_dir, fixed_seeds, PQ_ITERS),
         lambda: _lloyd_books(pts, seed, PQ_ITERS, PQ_SUBDIM, ("sub",)),
     )
+    # Build-time twin of _lloyd_books' internal materialize(points):
+    # the timed per-row plan below canonically matches this cached
+    # relation, so cold builds read it as a training side effect. A
+    # warm-memo build must recreate and prefill it or the executed
+    # shape changes (the cache scan degrades to a re-executed subtree
+    # with an extra exchange — caught by the plan-audit budget). On a
+    # cold build the persist is a CacheManager no-op (already cached
+    # by the training thunk) and the count is a cheap cache read.
+    pts_pp = materialize(pts.withColumn("pp", _dot(F.col("pv"), F.col("pv"))))
+    pts_pp.count()
 
     def min_d(books):
         dot = (
@@ -2600,7 +2615,9 @@ def ann_ivf_pq_residual(spark, sf_dir):
     # NOTE: building this DataFrame runs eager Spark jobs (census +
     # Lloyd training) before any action on the returned plan — once
     # per (data dir, geometry) per process (round-13 _coord_memo).
-    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
+    n_corpus = et.count()  # NOT memoized: the count is also the cache
+    # prefill for the materialized corpus (a warm-memo build must
+    # still leave et cached, or the fill slides into the timed run)
     nlist = _ivf_lists(n_corpus)
     nprobe = _ivf_nprobe(nlist)
     ivf_seeds = _ivf_seed_ids(n_corpus)
@@ -2936,7 +2953,9 @@ def ann_ivf_hamming(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    n_corpus = _coord_memo(("n_corpus", sf_dir), et.count)
+    n_corpus = et.count()  # NOT memoized: the count is also the cache
+    # prefill for the materialized corpus (a warm-memo build must
+    # still leave et cached, or the fill slides into the timed run)
     nlist = _ivf_lists(n_corpus)
     nprobe = _ivf_nprobe(nlist)
     ivf_seeds = _ivf_seed_ids(n_corpus)
@@ -3124,7 +3143,7 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    _coord_memo(("n_corpus", sf_dir), et.count)  # cache prefill
+    et.count()  # cache prefill — deliberately NOT memoized (see ann_ivf_pq)
     ivf_book = _coord_memo(
         ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
         lambda: _lloyd_books(
@@ -3298,7 +3317,7 @@ def ivf_balance_profile(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    _coord_memo(("n_corpus", sf_dir), et.count)  # cache prefill
+    et.count()  # cache prefill — deliberately NOT memoized (see ann_ivf_pq)
     ivf_book = _coord_memo(
         ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
         lambda: _lloyd_books(
