@@ -341,8 +341,38 @@ def contamination_check(spark, sf_dir):
     ever shuffling document rows. A partial canary (5 tokens)
     planted in %7==1 docs pins the n-gram-exact semantics."""
     d = load_table(spark, sf_dir, "documents")
+    # Round 13 (guide §2.2 — do less work before the join): building
+    # the 8-token concat at EVERY corpus position only to discard
+    # ~everything in the bench hash join is the query's cost center.
+    # A matching n-gram must share its FIRST token with some bench
+    # n-gram, and the bench suite is a bounded artifact whose first
+    # tokens are a literal handful — so the concat (and the exploded
+    # row) is gated on a 6-literal membership test per position.
+    # Lossless by construction: join equality on the full n-gram
+    # implies first-token equality, so no qualifying gram is dropped.
+    first_words = sorted(
+        {
+            s.split()[i]
+            for s in (_CANARY1, _CANARY2)
+            for i in range(len(s.split()) - _NGRAM_N + 1)
+        }
+    )
+    toks = F.split(F.trim(_doc_text_spark()), r" +")
+    shifted = [
+        F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0))).alias(f"t{i}")
+        for i in range(_NGRAM_N)
+    ]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda x: F.when(
+            x[f"t{_NGRAM_N - 1}"].isNotNull()
+            & x["t0"].isin(*first_words),
+            F.concat_ws(" ", *[x[f"t{i}"] for i in range(_NGRAM_N)]),
+        ),
+    )
     corpus = d.select(
-        "doc_id", F.explode(_ngrams_spark(_doc_text_spark(), _NGRAM_N)).alias("ngram")
+        "doc_id",
+        F.explode(F.filter(grams, lambda s: s.isNotNull())).alias("ngram"),
     )
     bench_rows = [(s,) for s in (_CANARY1, _CANARY2)]
     bench = (

@@ -1365,11 +1365,6 @@ def minhash_jaccard_estimate(spark, sf_dir):
         F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
         for s in SALTS
     )
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", n_equal.alias("n_equal"))
-    )
     xa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -1377,19 +1372,31 @@ def minhash_jaccard_estimate(spark, sf_dir):
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
     ninter = F.size(F.array_intersect("sh_a", "sh_b"))
-    exact = (
-        cand.join(xa, "doc_a")
+    # Round 13 (guide §2.1 — shuffle/execute each relation once):
+    # the estimate and exact legs used to be two separate join trees
+    # over the SAME candidate relation, re-joined at the end on
+    # (doc_a, doc_b) — the candidate bucket join + distinct executed
+    # twice and the merge paid a sixth join. Since every side
+    # relation (sigs, shingled) is unique per doc_id, one fused
+    # four-join chain produces exactly one row per candidate pair
+    # with both legs' columns — row-identical output, one candidate
+    # pass, no merge join.
+    merged = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(xa, "doc_a")
         .join(xb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            n_equal.alias("n_equal"),
             ninter.alias("ninter"),
             F.size("sh_a").alias("na"),
             F.size("sh_b").alias("nb"),
         )
     )
     return (
-        est.join(exact, ["doc_a", "doc_b"])
+        merged
         .select(
             "doc_a",
             "doc_b",
@@ -1815,16 +1822,25 @@ def exact_substring_extend(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .where(F.length("text") >= SUBSTR_K)
     )
-    pos = canon.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, length(text) - {SUBSTR_K - 1})")
-        ).alias("p"),
-        F.col("text"),
-    ).selectExpr(
-        "doc_id",
-        "p",
-        f"{_spark_h60(f'substr(text, p, {SUBSTR_K})')} AS gram_h",
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Round 13 (guide §2.1): pos feeds BOTH the stop-gram census and
+    # the live anti-join input, and the per-position md5 window hash
+    # is the scan's cost center — un-materialized it executed twice
+    # (once per consumer). Persist it so the hash pass runs once;
+    # the cached rows are three longs per position.
+    pos = materialize(
+        canon.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {SUBSTR_K - 1})")
+            ).alias("p"),
+            F.col("text"),
+        ).selectExpr(
+            "doc_id",
+            "p",
+            f"{_spark_h60(f'substr(text, p, {SUBSTR_K})')} AS gram_h",
+        )
     )
     hot = (
         pos.groupBy("gram_h")
@@ -1832,8 +1848,6 @@ def exact_substring_extend(spark, sf_dir):
         .where(F.col("n_docs") > STOP_GRAM_MAX_DOCS)
         .select("gram_h")
     )
-    from ingestor_etl_spark.plans.layout import materialize
-
     live = materialize(pos.join(F.broadcast(hot), "gram_h", "left_anti"))
     a, b = live.alias("a"), live.alias("b")
     m = a.join(

@@ -815,15 +815,34 @@ def schema_profile(spark, sf_dir):
     explode. Numeric min/max format through DECIMAL(12,2) and the
     timestamp through an explicit pattern so both engines print
     identical strings."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # Round 13 (guide §2 — know what your aggregate compiles to):
+    # putting all five countDistinct's in ONE aggregate made Spark
+    # plan the classic Expand — 6× the input rows — and, because the
+    # same aggregate also carries min/max over a STRING column
+    # (variable-length buffers are not HashAggregate-compatible), the
+    # whole expanded relation went through Sort + SortAggregate: a
+    # full sort of 6×|lineitem| wide rows for a 5-row report
+    # (measured 2.4-2.9 s at sf0.1, flat in data size — sort
+    # constant, not data cost). Splitting the query into one global
+    # stats aggregate (no group keys — partial fold per partition,
+    # no sort even with string buffers) plus five independent
+    # countDistinct legs (each a two-stage HashAggregate over ONE
+    # parquet-pruned column) removes the Expand and every Sort;
+    # the six 1-row results meet by broadcast cross-join. Values are
+    # identical — the same aggregates, computed in separate passes.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    stats_aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, fmt, _ in _PROFILE_COLS:
-        aggs += [
+        stats_aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.expr(fmt.format(agg="min")).alias(f"min_{c}"),
             F.expr(fmt.format(agg="max")).alias(f"max_{c}"),
         ]
-    s = load_table(spark, sf_dir, "lineitem").agg(*aggs)
+    s = lineitem.agg(*stats_aggs)
+    for c, _, _ in _PROFILE_COLS:
+        s = s.crossJoin(
+            F.broadcast(lineitem.agg(F.countDistinct(c).alias(f"nd_{c}")))
+        )
     rows = F.array(
         *[
             F.struct(

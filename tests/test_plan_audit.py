@@ -34,6 +34,10 @@ BNL_ALLOWED = {
     "ann_ivf_pq_residual",
     "ivf_nprobe_whatif",
     "ivf_balance_profile",
+    # round 13: the five 1-row countDistinct legs meet the 1-row
+    # stats aggregate by broadcast cross-join (the
+    # Expand+SortAggregate removal) — 1-row × 1-row by construction
+    "schema_profile",
     # composes the five variant plans above, so it inherits exactly
     # their literal-side nested loops
     "ann_quality_scoreboard",
