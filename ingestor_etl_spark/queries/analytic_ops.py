@@ -422,7 +422,12 @@ def cms_heavy_hitters(spark, sf_dir):
     The exact side here is the verification surface; at scale it
     drops and probes come from the application (the sketch also
     merges across streaming micro-batches unchanged)."""
-    toks = (
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Round 13 (guide §2.1): the token stream feeds both the exact
+    # counter and the sketch-cell builder — materialized so the
+    # tokenize+explode pass runs once.
+    toks = materialize(
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.trim("text"), r" +")).alias("w"))
     )

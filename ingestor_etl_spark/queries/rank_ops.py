@@ -157,6 +157,13 @@ def candidate_pairs(segs):
     holds ≤ STOP_SEG_MAX_DOCS rows and per-segment pair fan-out is
     bounded at T². Factored out so the blowup guard is testable on a
     synthetic hot-segment fixture (tests/test_rank_ops.py)."""
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Round 13 (guide §2.1): segs feeds the hot census AND the live
+    # anti-join input — un-materialized, the per-doc segment
+    # construction (concat_ws over slices) executed once per
+    # consumer in every caller of this helper.
+    segs = materialize(segs)
     hot = (
         segs.groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

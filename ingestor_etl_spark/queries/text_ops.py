@@ -628,10 +628,16 @@ def bigram_novelty(spark, sf_dir):
     uniform hashed keys) joined back to the exploded relation, then
     a doc-keyed rollup. No self-joins, no windows; work is linear in
     total shingle count — runnable on the full corpus at any scale."""
+    from ingestor_etl_spark.plans.layout import materialize
     from ingestor_etl_spark.queries.dedup_ops import _shingled
 
-    exploded = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # Round 13 (guide §2.1): the exploded shingle relation feeds both
+    # the df aggregation and the join-back — un-materialized, the
+    # interpreted shingling HOFs executed twice (once per consumer).
+    exploded = materialize(
+        _shingled(spark, sf_dir).select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
     )
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
