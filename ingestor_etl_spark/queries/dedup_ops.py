@@ -1542,7 +1542,10 @@ def exact_substring_dedup(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .where(F.length("text") >= SUBSTR_K)
     )
-    grams = (
+    # Round 13 (guide §2.1): grams feeds the stop-gram census AND the
+    # live anti-join input — materialized so the explode+hash+distinct
+    # pass (a shuffle included) runs once, not once per consumer.
+    grams = materialize(
         canon.select(
             "doc_id",
             F.explode(

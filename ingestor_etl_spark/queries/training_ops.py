@@ -94,8 +94,13 @@ def segment_dedup(spark, sf_dir):
         F.sequence(F.lit(0), n_segs - 1),
         lambda j: F.concat_ws(" ", F.slice(toks, j * SEG_LEN + 1, SEG_LEN)),
     )
-    segs = d.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_no", "seg")
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Round 13 (guide §2.1): segs feeds the first-occurrence
+    # aggregation AND the flag join — materialized so the per-doc
+    # segment construction runs once, not once per consumer.
+    segs = materialize(
+        d.select("doc_id", F.posexplode(seg_arr).alias("seg_no", "seg"))
     )
     firsts = segs.groupBy("seg").agg(
         F.min(F.struct("doc_id", "seg_no")).alias("first")
