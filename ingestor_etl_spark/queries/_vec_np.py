@@ -62,6 +62,55 @@ def np_assign_col(df, books, keys, vec_col, out):
     return df.withColumn(out, assign0(F.col(vec_col)))
 
 
+def np_ham_words(df, planes, vec_col, out0, out1):
+    """The 64-bit hyperplane sign sketch (two packed 32-bit words) as
+    ONE Arrow-batched numpy projection — the vectorized twin of
+    vector_ops._ham_word_spark's 64 interpreted aggregate/zip_with
+    folds (guide §4: heavyweight per-row numeric work belongs in
+    vectorized Arrow batches, not per-element lambda interpretation).
+
+    Bitwise parity with the hof path: the fold computes
+    ((0 + x0·p0) + x1·p1) + … left-to-right, so the kernel
+    accumulates k-SEQUENTIALLY over dimensions (D += outer(X[:,k],
+    P[:,k])) instead of a pairwise-summing matmul — every plane dot
+    is the exact same double, hence the exact same sign bit, as the
+    interpreted fold (pinned in tests/test_wave30.py at every oracle
+    scale). Sign packing is integer and exact; NaN dots pack 0 on
+    both paths (NaN >= 0 is false in numpy and SQL alike)."""
+    import numpy as np
+
+    P = np.array(planes, dtype=np.float64)  # n_planes x DIM, row j = plane j
+
+    @F.pandas_udf("struct<w0:bigint,w1:bigint>")
+    def words(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(v):
+            return pd.DataFrame(
+                {"w0": pd.Series([], dtype="int64"),
+                 "w1": pd.Series([], dtype="int64")}
+            )
+        X = np.array(v.tolist(), dtype=np.float64)
+        D = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+        for k in range(X.shape[1]):
+            D += np.outer(X[:, k], P[:, k])
+        bits = D >= 0.0
+        w0 = np.zeros(X.shape[0], dtype=np.int64)
+        w1 = np.zeros(X.shape[0], dtype=np.int64)
+        for j in range(32):
+            w0 += bits[:, j].astype(np.int64) << j
+            w1 += bits[:, 32 + j].astype(np.int64) << j
+        return pd.DataFrame({"w0": w0, "w1": w1})
+
+    tmp = f"_hw_{out0}"
+    return (
+        df.withColumn(tmp, words(F.col(vec_col)))
+        .withColumn(out0, F.col(tmp)["w0"])
+        .withColumn(out1, F.col(tmp)["w1"])
+        .drop(tmp)
+    )
+
+
 def np_topn_col(df, book, vec_col, n, out):
     """Top-n nearest centroid cids (L2 ascending, cid tie-break) as
     one vectorized batch projection — the big-book twin of

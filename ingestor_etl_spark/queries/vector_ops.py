@@ -647,6 +647,18 @@ def _ham_word_spark(word: int) -> str:
     return _spark_bucket_planes(_hyperplanes_at(HAM_BASE + 32 * word, 32))
 
 
+def _np_ham_words(df, vec_col: str = "v"):
+    """Append the packed sketch words (w0, w1) to ``df`` via the
+    Arrow-batched numpy kernel (see _vec_np.np_ham_words — bitwise-
+    identical to the _ham_word_spark interpreted fold, ~4× cheaper
+    per corpus pass at sf0.1 and growing with N)."""
+    from ingestor_etl_spark.queries._vec_np import np_ham_words
+
+    return np_ham_words(
+        df, _hyperplanes_at(HAM_BASE, 64), vec_col, "w0", "w1"
+    )
+
+
 def _ham_word_sql(word: int) -> str:
     return " + ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) >= 0"
@@ -719,12 +731,7 @@ def ann_hamming_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    sk = e.selectExpr(
-        "vec_id",
-        "v",
-        f"CAST({_ham_word_spark(0)} AS BIGINT) AS w0",
-        f"CAST({_ham_word_spark(1)} AS BIGINT) AS w1",
-    )
+    sk = _np_ham_words(e)
     q = sk.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("w0").alias("q0"),
@@ -858,12 +865,7 @@ def hamming_pool_whatif(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    sk = e.selectExpr(
-        "vec_id",
-        "v",
-        f"CAST({_ham_word_spark(0)} AS BIGINT) AS w0",
-        f"CAST({_ham_word_spark(1)} AS BIGINT) AS w1",
-    )
+    sk = _np_ham_words(e)
     q = sk.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("w0").alias("q0"),
@@ -886,10 +888,21 @@ def hamming_pool_whatif(spark, sf_dir):
     hranked = hpairs.select(
         "query_id", "neighbor_id", F.row_number().over(wh).alias("hrnk")
     )
-    qv = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # Norms hoisted per vector before the pair join (the
+    # ann_cosine_topk trick — sqrt(dot(v,v)) is the same double per
+    # pair or per vector, so cos_sim is bit-identical while each pair
+    # costs ONE interpreted dot-fold instead of three).
+    en = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qv = en.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cv = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     we = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     exact3 = (
         F.broadcast(qv)
@@ -897,7 +910,10 @@ def hamming_pool_whatif(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                4,
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(we))
         .where(F.col("rnk") <= _HAM_TOPK)
@@ -1057,7 +1073,7 @@ def ann_ivf(spark, sf_dir):
     )
     base = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     assigned = base.selectExpr(
-        "vec_id", "v", f"array_min({scored}).cid AS cid"
+        "vec_id", "v", "nrm", f"array_min({scored}).cid AS cid"
     )
     probes = (
         base.where(F.col("vec_id") < N_QUERIES)
@@ -1069,9 +1085,14 @@ def ann_ivf(spark, sf_dir):
         .select("query_id", F.explode("rc").alias("cid"))
     )
     # only the query vectors are broadcast — broadcasting unfiltered e
-    # would ship the whole corpus to every executor.
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # would ship the whole corpus to every executor. Norms ride the
+    # per-vector relations (same doubles as per-pair sqrt(dot(v,v)) —
+    # the ann_cosine_topk trick), so each candidate pair pays one
+    # interpreted dot-fold instead of three.
+    q = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     pairs = (
         probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cid")
@@ -1080,7 +1101,10 @@ def ann_ivf(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -1151,23 +1175,37 @@ def rrf_hybrid_search(spark, sf_dir):
     fusion windows run over ≤ a few thousand candidates per query.
     Parity: ranks are integers; 1/(60+r) is one double division,
     identical on both engines."""
+    # Self-dots hoisted per VECTOR before the pair join (the
+    # ann_cosine_topk trick): dot(v,v) and sqrt(dot(v,v)) are the
+    # same doubles whether computed per pair or per vector, so
+    # cos_sim and l2_sq are bit-identical while each pair pays ONE
+    # interpreted dot-fold (qv·cv) instead of five.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nn", _dot(F.col("v"), F.col("v")))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qnn"),
+        F.sqrt("nn").alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nn").alias("cnn"),
+        F.sqrt("nn").alias("cn"),
+    )
     qv, cv = F.col("qv"), F.col("cv")
+    d = _dot(qv, cv)
     pairs = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(qv, cv), 4).alias("cos_sim"),
+            F.round(d / (F.col("qn") * F.col("cn")), 4).alias("cos_sim"),
             F.round(
-                (_dot(cv, cv) - 2 * _dot(qv, cv)) + _dot(qv, qv), 4
+                (F.col("cnn") - 2 * d) + F.col("qnn"), 4
             ).alias("l2_sq"),
         )
     )
@@ -2982,11 +3020,7 @@ def ann_ivf_hamming(spark, sf_dir):
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    sk = et.selectExpr(
-        "vec_id",
-        f"CAST({_ham_word_spark(0)} AS BIGINT) AS w0",
-        f"CAST({_ham_word_spark(1)} AS BIGINT) AS w1",
-    )
+    sk = _np_ham_words(et).select("vec_id", "w0", "w1")
     qsk = sk.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("w0").alias("q0"),
@@ -3192,10 +3226,19 @@ def ivf_nprobe_whatif(spark, sf_dir):
     )
     # exact top-k leg: broadcast the query side (ann_recall_eval's
     # exact-leg shape)
+    # Norms hoisted per vector (the ann_cosine_topk trick — same
+    # doubles, one interpreted dot-fold per pair instead of three).
+    nrm_c = F.sqrt(_dot(F.col("v"), F.col("v")))
     q = et.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        nrm_c.alias("qn"),
     )
-    c = et.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    c = et.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        nrm_c.alias("cn"),
+    )
     we = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), "neighbor_id"
     )
@@ -3205,7 +3248,10 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                4,
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(we))
         .where(F.col("rnk") <= IVF_TOPK)
@@ -4083,18 +4129,32 @@ def ann_recall_eval(spark, sf_dir):
     recall audits work."""
     from ingestor_etl_spark.plans.layout import materialize
 
+    # Norms ride the materialized per-vector relation (computed once
+    # per vector in the cache fill — the ann_cosine_topk trick, same
+    # doubles as the per-pair sqrt(dot(v,v))), so both pair legs pay
+    # ONE interpreted dot-fold per pair instead of three.
     e = materialize(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("bucket", F.expr(_SPARK_BUCKET))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    cos_hoisted = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+    ).alias("cos_sim")
 
     def topk(pairs):
         return (
@@ -4106,20 +4166,12 @@ def ann_recall_eval(spark, sf_dir):
     exact = topk(
         F.broadcast(q.drop("bucket"))
         .join(c.drop("bucket"), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", cos_hoisted)
     )
     approx = topk(
         q.join(c, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", cos_hoisted)
     )
     a = approx.withColumnRenamed("neighbor_id", "hit_id")
     return (

@@ -106,8 +106,20 @@ BNL_ALLOWED = {
 }
 
 # Python evaluation is legitimate ONLY in the documented Arrow-batch
-# surfaces: packet decode pipelines and the multimodal codec
-PYEVAL_PREFIXES = ("pcap_", "multimodal_", "j7_display_filter")
+# surfaces: packet decode pipelines, the multimodal codec, and the
+# _vec_np numpy kernels (round 13: the 64-plane Hamming sketch is an
+# Arrow-batched k-sequential matmul, bitwise-identical to the old
+# interpreted hof fold — see _vec_np.np_ham_words; the scoreboard
+# composes the two sketch arms)
+PYEVAL_PREFIXES = (
+    "pcap_",
+    "multimodal_",
+    "j7_display_filter",
+    "ann_hamming_topk",
+    "hamming_pool_whatif",
+    "ann_ivf_hamming",
+    "ann_quality_scoreboard",
+)
 
 
 @pytest.fixture(scope="module")
