@@ -426,9 +426,14 @@ def cms_heavy_hitters(spark, sf_dir):
 
     # Round 13 (guide §2.1): the token stream feeds both the exact
     # counter and the sketch-cell builder — materialized so the
-    # tokenize+explode pass runs once.
+    # tokenize+explode pass runs once. Repartition BEFORE the explode
+    # (the _shingled layout fix, guide §2.5): documents.parquet is one
+    # row group → one task, and the downstream 3·|tokens| md5 bucket
+    # hashes would otherwise run on a single core off the
+    # single-partition cache.
     toks = materialize(
         load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(F.split(F.trim("text"), r" +")).alias("w"))
     )
     exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))

@@ -1281,8 +1281,13 @@ def shingle_df_profile(spark, sf_dir):
     exploded = _shingled(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
+    # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION:
+    # _shingled emits array_distinct shingle arrays, so the exploded
+    # (doc_id, shingle) pairs are unique — the distinct-aggregate
+    # rewrite (an extra full shuffle of the pair relation to dedup
+    # rows that cannot repeat) is pure overhead (round 13, guide §2.2).
     dfreq = exploded.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     return (
         dfreq.groupBy(

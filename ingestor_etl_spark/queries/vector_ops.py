@@ -1317,6 +1317,11 @@ def ann_pq_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    # Self-dots hoisted per (vector, sub) row BEFORE the ×PQ_K
+    # centroid join (the ann_cosine_topk trick): dot(sv,sv) and
+    # dot(cv,cv) are the same doubles per join row or per side, so
+    # every distance is bit-identical while each of the |subs|·PQ_K
+    # join rows pays ONE interpreted dot-fold instead of three.
     subs = e.select(
         "vec_id",
         F.posexplode(
@@ -1327,7 +1332,7 @@ def ann_pq_topk(spark, sf_dir):
                 ]
             )
         ).alias("sub", "sv"),
-    )
+    ).withColumn("svv", _dot(F.col("sv"), F.col("sv")))
     cents = subs.where(
         (F.col("vec_id") >= PQ_SEED_BASE)
         & (F.col("vec_id") <= PQ_SEED_BASE + PQ_K - 1)
@@ -1335,9 +1340,10 @@ def ann_pq_topk(spark, sf_dir):
         (F.col("vec_id") - PQ_SEED_BASE).alias("cid"),
         "sub",
         F.col("sv").alias("cv"),
+        F.col("svv").alias("cvv"),
     )
     sv, cv = F.col("sv"), F.col("cv")
-    l2 = (_dot(sv, sv) - 2 * _dot(sv, cv)) + _dot(cv, cv)
+    l2 = (F.col("svv") - 2 * _dot(sv, cv)) + F.col("cvv")
     codes = (
         subs.join(F.broadcast(cents), "sub")
         .select("vec_id", "sub", F.col("cid"), l2.alias("d"))
