@@ -920,8 +920,16 @@ def hamming_pool_whatif(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     hitrank = exact3.join(hranked, ["query_id", "neighbor_id"]).select("hrnk")
-    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
-    nvecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # One-row censuses collected at build and embedded as literals
+    # (round 13, guide §2.1): computing them in-plan made every timed
+    # run execute the O(corpus·dim) exact leg TWICE (hit join +
+    # count) and re-scan the corpus for its count, plus two 1-row
+    # crossJoin broadcasts. Deterministic, memoized per process;
+    # bit-identical output.
+    n_edges = _coord_memo(
+        ("hpw_n_edges", sf_dir, _HAM_TOPK), lambda: exact3.count()
+    )
+    n_vecs = _coord_memo(("hpw_n_vecs", sf_dir), lambda: e.count())
     sweep = spark.createDataFrame(
         [(p,) for p in HAM_POOLS], "pool BIGINT"
     )
@@ -934,18 +942,18 @@ def hamming_pool_whatif(spark, sf_dir):
             ).alias("hits")
         )
     )
+    nv_lit = F.lit(n_vecs).cast("bigint")
     return (
-        recall.crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(nvecs))
-        .select(
+        recall.select(
             "pool",
             F.round(
-                F.least(F.col("pool"), F.col("n_vecs") - 1).cast("double")
-                / (F.col("n_vecs") - 1),
+                F.least(F.col("pool"), nv_lit - 1).cast("double")
+                / (nv_lit - 1),
                 4,
             ).alias("scan_frac"),
             F.round(
-                F.col("hits").cast("double") / F.col("n_edges"), 4
+                F.col("hits").cast("double") / F.lit(n_edges).cast("bigint"),
+                4,
             ).alias("ceiling_recall"),
         )
         .orderBy("pool")
@@ -3183,7 +3191,9 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    et.count()  # cache prefill — deliberately NOT memoized (see ann_ivf_pq)
+    # cache prefill — deliberately NOT memoized (see ann_ivf_pq); the
+    # value doubles as the report's corpus-size literal below.
+    n_vecs = et.count()
     ivf_book = _coord_memo(
         ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
         lambda: _lloyd_books(
@@ -3270,8 +3280,14 @@ def ivf_nprobe_whatif(spark, sf_dir):
         .join(F.broadcast(qprobe), ["query_id", "lid"])
         .select("query_id", F.col("crnk").alias("r"))
     )
-    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
-    nvecs = et.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # One-row censuses as build-time literals (round 13, guide §2.1):
+    # the in-plan totals made every timed run execute the
+    # O(corpus·dim) exact leg TWICE (hit join + count); n_vecs is the
+    # prefill count the build already paid. Bit-identical output,
+    # two fewer tiny jobs + broadcasts per run.
+    n_edges = _coord_memo(
+        ("inw_n_edges", sf_dir, IVF_TOPK), lambda: exact3.count()
+    )
     sweep = spark.range(1, N_LISTS + 1).select(F.col("id").alias("nprobe"))
     recall = (
         sweep.crossJoin(hitrank)
@@ -3282,18 +3298,18 @@ def ivf_nprobe_whatif(spark, sf_dir):
             ).alias("hits")
         )
     )
+    nv_lit = F.lit(n_vecs).cast("bigint")
     return (
         recall.join(cand_avg, "nprobe")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(nvecs))
         .select(
             "nprobe",
             F.round(F.col("avg_c"), 2).alias("avg_candidates"),
-            F.round(F.col("avg_c") / (F.col("n_vecs") - 1), 4).alias(
+            F.round(F.col("avg_c") / (nv_lit - 1), 4).alias(
                 "scan_frac"
             ),
             F.round(
-                F.col("hits").cast("double") / F.col("n_edges"), 4
+                F.col("hits").cast("double") / F.lit(n_edges).cast("bigint"),
+                4,
             ).alias("ceiling_recall"),
         )
         .orderBy("nprobe")
@@ -3369,7 +3385,15 @@ def ivf_balance_profile(spark, sf_dir):
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", F.transform("v", lambda x: x / norm))
     )
-    et.count()  # cache prefill — deliberately NOT memoized (see ann_ivf_pq)
+    # cache prefill — deliberately NOT memoized (see ann_ivf_pq); the
+    # count doubles as the report's denominator below (round 13):
+    # every corpus row is assigned exactly ONE lid from the literal
+    # book (argmin over a non-empty book is never null), so
+    # Σ n_vectors == |et| by construction — embedding the build-time
+    # census as a literal removes the timed plan's total-aggregate +
+    # 1-row crossJoin broadcast (two tiny jobs per run for a 16-row
+    # report; the same census-literal pattern as the IVF geometry).
+    n_corpus = et.count()
     ivf_book = _coord_memo(
         ("ivf_book", sf_dir, CENTROID_IDS, IVF_ITERS),
         lambda: _lloyd_books(
@@ -3400,17 +3424,16 @@ def ivf_balance_profile(spark, sf_dir):
             "n_vectors"
         ),
     )
-    total = sizes.agg(F.sum("n_vectors").alias("n"))
+    n = F.lit(n_corpus).cast("bigint")
     return (
-        sizes.crossJoin(F.broadcast(total))
-        .select(
+        sizes.select(
             "lid",
             "n_vectors",
-            F.round(F.col("n_vectors").cast("double") / F.col("n"), 4).alias(
+            F.round(F.col("n_vectors").cast("double") / n, 4).alias(
                 "share"
             ),
             F.round(
-                F.col("n_vectors").cast("double") * N_LISTS / F.col("n"), 2
+                F.col("n_vectors").cast("double") * N_LISTS / n, 2
             ).alias("load_factor"),
         )
         .orderBy(F.desc("n_vectors"), "lid")
@@ -3493,7 +3516,16 @@ def ann_quality_scoreboard(spark, sf_dir):
         .where(F.col("rnk") <= IVF_TOPK)
         .select("query_id", "neighbor_id")
     )
-    totals = exact3.agg(F.count(F.lit(1)).alias("n_edges"))
+    # The denominator is a one-row census of the exact leg; computing
+    # it in-plan made every timed run execute the O(corpus·dim) exact
+    # leg TWICE (once for the hit join, once for the count) plus a
+    # 1-row crossJoin broadcast. Collected once at build instead
+    # (deterministic — the memo collapses repeat builds), embedded as
+    # a literal: bit-identical recall, one exact-leg execution per
+    # run (round 13, guide §2.1).
+    n_edges = _coord_memo(
+        ("sb_n_edges", sf_dir, IVF_TOPK), lambda: exact3.count()
+    )
     preds = None
     for n in _SCOREBOARD_VARIANTS:
         p = (
@@ -3517,13 +3549,14 @@ def ann_quality_scoreboard(spark, sf_dir):
             F.count(F.lit(1)).alias("n_predicted"),
             F.sum(hit).alias("hits"),
         )
-        .crossJoin(F.broadcast(totals))
         .select(
             "variant",
             "n_predicted",
             "hits",
             F.round(
-                F.col("hits").cast("double") / F.col("n_edges"), 4
+                F.col("hits").cast("double")
+                / F.lit(n_edges).cast("bigint"),
+                4,
             ).alias("recall_at_3"),
         )
         .orderBy(F.desc("recall_at_3"), "variant")
@@ -3773,7 +3806,10 @@ def _knn_graph_from(e, n_planes: int = KNN_PLANES, auto_scale: bool = False):
     )
     sa = env.select(F.col("vec_fp").alias("fp_a"), F.col("nv").alias("nva"))
     sb = env.select(F.col("vec_fp").alias("fp_b"), F.col("nv").alias("nvb"))
-    pair_scored = (
+    # Materialized (round 13, guide §2.1): both direction legs of
+    # `directed` consume this relation — unpersisted, the candidate
+    # join + scoring fold executed twice per run.
+    pair_scored = materialize(
         rep_cand.join(sa, "fp_a")
         .join(sb, "fp_b")
         .select(
@@ -3816,6 +3852,25 @@ def _knn_graph_from(e, n_planes: int = KNN_PLANES, auto_scale: bool = False):
         pair_scored.select(
             F.col("fp_b").alias("src_fp"), F.col("fp_a").alias("dst_fp"), "cos_sim"
         )
+    )
+    # LOSSLESS pre-prune BEFORE member expansion (round 13, guide
+    # §2.2 — do less work before the join): rank the directed rep
+    # pairs per src cluster by score and keep only the KNN_K+1 best
+    # (rank(), so score ties are all kept). Domination proof: a pair
+    # at rank > KNN_K+1 has ≥ KNN_K+1 pairs with STRICTLY greater
+    # cos_sim, and every kept pair contributes at least one edge (its
+    # dst cluster is non-empty) to EVERY member of the src cluster —
+    # so any edge the dropped pair would expand to is preceded by
+    # ≥ KNN_K+1 strictly-better edges and can never enter a top-KNN_K
+    # list (intra edges only displace it further). Output is
+    # bit-identical to the unpruned expansion; the two expansion
+    # joins and the per-member rank window now see ≤ (KNN_K+1+ties)
+    # rep pairs per cluster instead of every candidate.
+    wpre = Window.partitionBy("src_fp").orderBy(F.desc("cos_sim"))
+    directed = (
+        directed.withColumn("prnk", F.rank().over(wpre))
+        .where(F.col("prnk") <= KNN_K + 1)
+        .drop("prnk")
     )
     inter = (
         directed.join(
