@@ -398,7 +398,7 @@ def j7_display_filter(spark, sf_dir):
     incomplete begin, and a combined form exercising the extended
     grammar (protocol presence + len() + slice) on the same
     transaction as the IMSI filter."""
-    from ingestor_etl_spark.operators.displayfilter import filter_transactions_str
+    from ingestor_etl_spark.operators.displayfilter import compile_filter
     from ingestor_etl_spark.plans.layout import materialize
 
     # two filter branches × (transactions + messages) would otherwise
@@ -409,20 +409,57 @@ def j7_display_filter(spark, sf_dir):
         decode_gsm_map(expand_l4(read_pcap(spark, _gsm_map_capture())))
     )
     tas = materialize(tcap_transactions(msgs, keep_incomplete=True))
-    by_imsi = filter_transactions_str(tas, msgs, 'e212.imsi contains "33402"')
-    by_op = filter_transactions_str(tas, msgs, "gsm_old.localValue == 45")
-    by_new = filter_transactions_str(
-        tas, msgs, 'tcap && len(e212.imsi) == 15 && e212.imsi[0:2] == "33"'
+    # Round 13 (guide §2.1): the three branches each re-ran the
+    # filter→explode→dedup→semi-join→semi-join chain over the SAME
+    # two cached relations (~15 tiny exchanges of KB data per run).
+    # Fused into ONE pass: all three compiled predicates evaluate as
+    # flag columns on one message scan, one per-frame max-flag
+    # aggregate replaces the three dedups, one join against the
+    # exploded transactions replaces the six semi-joins, and the
+    # per-branch labels explode from the flag array. A transaction
+    # row appears once per matching filter with the same label —
+    # exactly the old 3-branch union's output.
+    filters = (
+        ("imsi", 'e212.imsi contains "33402"'),
+        ("newforms", 'tcap && len(e212.imsi) == 15 && e212.imsi[0:2] == "33"'),
+        ("opcode45", "gsm_old.localValue == 45"),
     )
-    out = (
-        by_imsi.withColumn("matched_by", F.lit("imsi"))
-        .unionByName(by_op.withColumn("matched_by", F.lit("opcode45")))
-        .unionByName(by_new.withColumn("matched_by", F.lit("newforms")))
+    cols = set(msgs.columns)
+    flag_cols = [
+        compile_filter(e, cols).alias(f"f_{n}") for n, e in filters
+    ]
+    frame_col = (
+        F.explode("frames_list").alias("frame_no")
+        if "frames_list" in msgs.columns
+        else F.col("frame_no")
     )
-    return out.select(
-        "txn", "n_messages", F.concat_ws(" ", "frames").alias("frames"),
-        "matched_by",
-    ).orderBy("txn", "matched_by")
+    fhit = (
+        msgs.select("file", frame_col, *flag_cols)
+        .groupBy("file", "frame_no")
+        .agg(*[F.max(f"f_{n}").alias(f"f_{n}") for n, _ in filters])
+    )
+    ex = tas.select("file", "txn", F.explode("frames").alias("frame_no"))
+    thit = (
+        ex.join(fhit, ["file", "frame_no"])
+        .groupBy("file", "txn")
+        .agg(*[F.max(f"f_{n}").alias(f"f_{n}") for n, _ in filters])
+    )
+    labels = F.array_compact(
+        F.array(*[
+            F.when(F.col(f"f_{n}"), F.lit(n)) for n, _ in filters
+        ])
+    )
+    hits = thit.select(
+        "file", "txn", F.explode(labels).alias("matched_by")
+    )
+    return (
+        tas.join(hits, ["file", "txn"])
+        .select(
+            "txn", "n_messages", F.concat_ws(" ", "frames").alias("frames"),
+            "matched_by",
+        )
+        .orderBy("txn", "matched_by")
+    )
 
 
 @register(
