@@ -477,8 +477,17 @@ def pcap_http_ocs_linked(spark, sf_dir):
     """HTTP-OCS pipeline: R5/R6 reassembly + pairing, P31 XML
     extraction, J4 linking with pre-generated response ids (S9
     redesign) and bidirectional enrichment."""
-    msgs = http_messages(expand_l4(read_pcap(spark, _http_ocs_capture())))
-    linked = link_http(extract_ocs(msgs), enrich_cols=["msisdn", "calling", "called"])
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # Round 13 (guide §2.1): link_http's req/res split + enrichment
+    # consume the decoded relation from three subtrees — unpersisted,
+    # the Arrow decode chain executed 3× per run (PLANS x-py was 3).
+    msgs = materialize(
+        extract_ocs(
+            http_messages(expand_l4(read_pcap(spark, _http_ocs_capture())))
+        )
+    )
+    linked = link_http(msgs, enrich_cols=["msisdn", "calling", "called"])
     # Same partition key as link_http's pair window (pair_id is only
     # unique within a conversation anyway) — the status projection
     # reuses that exchange instead of re-shuffling on bare pair_id.
