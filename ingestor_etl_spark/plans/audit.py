@@ -145,7 +145,8 @@ def render_markdown(audit: dict[str, dict[str, object]]) -> str:
         "(sort-merge joins), bnl (broadcast nested loop — only legitimate",
         "for literal-few-row sides), cart (cartesian products — never",
         "legitimate), pyeval (Arrow/Pandas operators — only legitimate in",
-        "the documented decode/multimodal surfaces). A non-zero `cached`",
+        "the documented decode/multimodal surfaces and the _vec_np",
+        "Arrow-batch numeric kernels). A non-zero `cached`",
         "means the plan reuses materialized stages: the PARSED",
         "exchange/pyeval counts then overstate what executes (formatted",
         "explain nests the full lineage under every cache reuse).",

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 
-def np_books(books, keys):
+def np_books(books):
     """{key_tuple: (cids ndarray, K×D matrix, K-vector of ‖c‖²)}."""
     import numpy as np
 
@@ -29,10 +29,25 @@ def np_books(books, keys):
     return out
 
 
+def _as_matrix(v, dim):
+    """Arrow batch of array<double> → (n, dim) float64 matrix; an
+    EMPTY batch yields shape (0, dim) so downstream matmuls return
+    empty instead of raising on a (0,)-shaped array (ADVICE r12)."""
+    import numpy as np
+
+    if not len(v):
+        return np.empty((0, dim), dtype=np.float64)
+    return np.array(v.tolist(), dtype=np.float64)
+
+
 def np_assign_col(df, books, keys, vec_col, out):
     """Nearest-centroid cid as one vectorized batch projection —
-    the big-book twin of vector_ops._argmin_sql."""
-    nb = np_books(books, tuple(keys))
+    the big-book twin of vector_ops._argmin_sql. The keyed path
+    supports exactly ONE key column (asserted — a silent first-key
+    mask would mis-assign a 2-key caller; ADVICE r12)."""
+    assert len(keys) <= 1, f"np_assign_col supports at most one key: {keys}"
+    nb = np_books(books)
+    dim = max(len(v) for b in books.values() for _, v in b)
     if keys:
         key_col = list(keys)[0]
 
@@ -40,7 +55,7 @@ def np_assign_col(df, books, keys, vec_col, out):
         def assign(k: pd.Series, v: pd.Series) -> pd.Series:
             import numpy as np
 
-            X = np.array(v.tolist(), dtype=np.float64)
+            X = _as_matrix(v, dim)
             res = np.empty(len(X), dtype=np.int64)
             for kk in pd.unique(k):
                 m = (k == kk).values
@@ -56,7 +71,7 @@ def np_assign_col(df, books, keys, vec_col, out):
     def assign0(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        X = np.array(v.tolist(), dtype=np.float64)
+        X = _as_matrix(v, dim)
         return pd.Series(cids0[np.argmin(-2.0 * X @ mat0.T + cc0, axis=1)])
 
     return df.withColumn(out, assign0(F.col(vec_col)))
@@ -115,14 +130,15 @@ def np_topn_col(df, book, vec_col, n, out):
     """Top-n nearest centroid cids (L2 ascending, cid tie-break) as
     one vectorized batch projection — the big-book twin of
     vector_ops._rank_sql's slice."""
-    nb = np_books({(): book}, ())
+    nb = np_books({(): book})
     cids0, mat0, cc0 = nb[()]
+    dim = mat0.shape[1]
 
     @F.pandas_udf("array<bigint>")
     def topn(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        X = np.array(v.tolist(), dtype=np.float64)
+        X = _as_matrix(v, dim)
         d = -2.0 * X @ mat0.T + cc0
         idx = np.argsort(d, axis=1, kind="stable")[:, :n]
         return pd.Series([cids0[row].tolist() for row in idx])

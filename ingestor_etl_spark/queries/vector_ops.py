@@ -1835,7 +1835,7 @@ def _coord_memo(key: tuple, thunk):
     return out
 
 
-def _lloyd_books(points, cents, iters, dim, keys=()):
+def _lloyd_books(points, cents, iters, dim, keys=(), n_seeds=None):
     """Deterministic Lloyd refinement, cross-engine exact: ``iters``
     fixed rounds of assign → mean → carry-over starting from the
     seed-row centroids, returning the raw codebook dict
@@ -1887,6 +1887,17 @@ def _lloyd_books(points, cents, iters, dim, keys=()):
         books.setdefault(key, []).append((row["cid"], list(row["cv"])))
     for key in books:
         books[key].sort()
+    if n_seeds is not None:
+        # Fail fast if the caller's isin() seed filter silently
+        # matched fewer rows than the census geometry requested —
+        # _spaced_seed_ids assumes a contiguous [0, n) vec_id range,
+        # and a gapped corpus would otherwise train degraded books
+        # with no error (ADVICE r12).
+        for key, book in books.items():
+            assert len(book) == n_seeds, (
+                f"seed filter matched {len(book)} of {n_seeds} requested"
+                f" centroids for key {key} — non-contiguous vec_id corpus?"
+            )
 
     # ‖p‖² once per point so the per-pair distance is one zip-fold;
     # the left-assoc (pp − 2·pc) + cc is exactly the oracle's
@@ -2219,6 +2230,7 @@ def ann_ivf_pq(spark, sf_dir):
                 ),
                 IVF_ITERS,
                 DIM,
+                n_seeds=len(ivf_seeds),
             ),
         )
         fut_pq = pool_.submit(
@@ -2238,6 +2250,7 @@ def ann_ivf_pq(spark, sf_dir):
                 PQ_ITERS,
                 PQ_SUBDIM,
                 ("sub",),
+                n_seeds=len(pq_seeds),
             ),
         )
         ivf_book = fut_ivf.result()[()]
@@ -2685,6 +2698,7 @@ def ann_ivf_pq_residual(spark, sf_dir):
             ),
             IVF_ITERS,
             DIM,
+            n_seeds=len(ivf_seeds),
         ),
     )[()]
     base = et.withColumn("pp", _dot(F.col("nv"), F.col("nv")))
@@ -2796,6 +2810,7 @@ def ann_ivf_pq_residual(spark, sf_dir):
             PQ_ITERS,
             PQ_SUBDIM,
             ("sub",),
+            n_seeds=len(pq_seeds),
         ),
     )
     pq_case = _book_case_sql(pq_books, ("sub",))
@@ -3021,6 +3036,7 @@ def ann_ivf_hamming(spark, sf_dir):
             ),
             IVF_ITERS,
             DIM,
+            n_seeds=len(ivf_seeds),
         ),
     )[()]
     cells, probe_cells = _ivf_candidate_cells(
@@ -3203,7 +3219,7 @@ def ivf_nprobe_whatif(spark, sf_dir):
             ),
             IVF_ITERS,
             DIM,
-        ),
+                    ),
     )[()]
     # full centroid ranking as ONE zero-exchange projection against
     # the literal trained codebook (round-10 verdict item 5: the old
@@ -3403,7 +3419,7 @@ def ivf_balance_profile(spark, sf_dir):
             ),
             IVF_ITERS,
             DIM,
-        ),
+                    ),
     )[()]
     # assignment is one zero-exchange projection over the SAME
     # materialized corpus the trainer scanned (ADVICE r10: the old
