@@ -208,7 +208,9 @@ def test_executed_exchange_budgets(spark, sf_dir):
 
     reg = load_all()
     budgets = {
-        "pcap_http_ocs_linked": 7,
+        # round 13: the decode relation is materialized once — the
+        # req/res split + enrichment reuse it (was 7)
+        "pcap_http_ocs_linked": 4,
         "fk_integrity_audit": 5,
         # round-8 (round-7 verdict item 6): the r7/r8 additions and
         # the census-gated jaccard family, pinned at their measured
@@ -232,20 +234,23 @@ def test_executed_exchange_budgets(spark, sf_dir):
         # the budgets are scale-stable.
         "pq_distortion_eval": 2,
         "ann_hamming_topk": 2,
-        "hamming_pool_whatif": 9,
+        # round 13: census-literal report tails removed the totals
+        # aggregates + 1-row crossJoin broadcasts (whatifs 9 → 6/7,
+        # balance 5 → 3, scoreboard 19 → 17)
+        "hamming_pool_whatif": 6,
         "ann_ivf": 2,
         "ann_ivf_hamming": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,
-        "ivf_nprobe_whatif": 9,
+        "ivf_nprobe_whatif": 7,
         # composes every variant arm, so it tightened twice in r11:
         # 30 → 20 (literal-codebook refactor) → 18 (+2 for the 6th
         # Hamming arm, −4 when ann_ivf's window went zero-exchange);
         # +1 in r12 for the 7th arm (ann_ivf_hamming — its candidate
         # join and rank windows reuse the shared coarse machinery,
         # so the whole arm costs ONE extra executed exchange)
-        "ann_quality_scoreboard": 19,
-        "ivf_balance_profile": 5,
+        "ann_quality_scoreboard": 17,
+        "ivf_balance_profile": 3,
     }
     for name, cap in budgets.items():
         df = reg[name].fn(spark, sf_dir)
