@@ -295,11 +295,45 @@ def _time_query(df, n_runs: int) -> float:
     return round(best, 3)
 
 
+def _time_query_cold(build_thunk, n_runs: int) -> tuple[float, float]:
+    """(steady_best, first_run) — round-14 (round-13 verdict item 1).
+
+    The steady number is methodology-identical to _time_query
+    (warm-up + best-of-N noop writes), so the ``queries`` dict stays
+    comparable round-over-round. first_run_sec ADDITIONALLY times the
+    COLD cost the warm-up used to hide: DataFrame construction (eager
+    coordinator jobs — training censuses, plan-shape probes) PLUS the
+    first noop execution (which populates every materialize() cache).
+    Nothing is prefetched outside these two timed spans: the caches a
+    query needs are filled inside first_run_sec or inside the timed
+    steady runs, never off-clock."""
+    t0 = time.perf_counter()
+    df = build_thunk()
+    build = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    first = build + (time.perf_counter() - t1)
+    best = float("inf")
+    for _ in range(n_runs):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3), round(first, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry = load_all()
-    spark = get_spark("ingestor-etl-spark-bench")
+    # No console progress bars in the bench session (round-13 verdict
+    # item 2): the driver captures stdout and parses the single JSON
+    # line; progress-bar escape sequences interleaving with it are the
+    # prime suspect for the r12 parse failure. (Everything else Spark
+    # prints goes to stderr at log level ERROR.)
+    spark = get_spark(
+        "ingestor-etl-spark-bench",
+        **{"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM + parquet footer cache with a trivial job.
@@ -318,10 +352,18 @@ def main() -> None:
 
     # Raw-layout headline: the driver's own parquet (one row group
     # per table → single-task scans). Comparable round-over-round
-    # with BENCH_r01-r04.
+    # with BENCH_r01-r04. Round 14 additionally records
+    # first_run_sec per query (build + first execution, i.e. the
+    # cold cost including every cache fill — round-13 verdict item
+    # 1); the steady best-of-N methodology and the ``queries`` /
+    # ``raw_layout_queries`` / ``extended_queries`` dicts are
+    # unchanged and stay comparable round-over-round.
     raw_timings: dict[str, float] = {}
+    raw_first: dict[str, float] = {}
     for name in names:
-        raw_timings[name] = _time_query(registry[name].fn(spark, sf_dir), 3)
+        raw_timings[name], raw_first[name] = _time_query_cold(
+            lambda: registry[name].fn(spark, sf_dir), 3
+        )
         release_caches()  # query-scoped cache contract
 
     # Split-layout headline: a splittable multi-row-group copy (the
@@ -332,20 +374,24 @@ def main() -> None:
     # permanently (round-4 verdict item 5, SCALING.md §15).
     split_dir = _split_copy_dir(sf_dir)
     split_timings: dict[str, float] = {}
+    split_first: dict[str, float] = {}
     if split_dir:
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(_SPLIT_MAX_PARTITION_BYTES)
         )
         for name in names:
-            split_timings[name] = _time_query(
-                registry[name].fn(spark, split_dir), 3
+            split_timings[name], split_first[name] = _time_query_cold(
+                lambda: registry[name].fn(spark, split_dir), 3
             )
             release_caches()
 
     extended: dict[str, float] = {}
+    extended_first: dict[str, float] = {}
     ext_dir = split_dir or sf_dir
     for name in (n for n in EXTENDED if n in registry):
-        extended[name] = _time_query(registry[name].fn(spark, ext_dir), 2)
+        extended[name], extended_first[name] = _time_query_cold(
+            lambda: registry[name].fn(spark, ext_dir), 2
+        )
         release_caches()
     if split_dir:
         spark.conf.set(
@@ -367,29 +413,50 @@ def main() -> None:
     raw_total = round(sum(raw_timings.values()), 3)
     split_total = round(sum(split_timings.values()), 3) if split_timings else None
     primary = split_total if split_total is not None else raw_total
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": primary,
-                "unit": "sec",
-                "queries": split_timings or raw_timings,
-                "raw_layout_queries": raw_timings,
-                "raw_layout_total": raw_total,
-                "layout_delta_sec": (
-                    round(raw_total - split_total, 3)
-                    if split_total is not None
-                    else None
-                ),
-                "extended_queries": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "extended_layout": "split" if split_dir else "raw",
-                "protocol_throughput": protocol,
-                "layout_note": _layout_note(sf_dir),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_set_total",
+        "value": primary,
+        "unit": "sec",
+        "queries": split_timings or raw_timings,
+        "raw_layout_queries": raw_timings,
+        "raw_layout_total": raw_total,
+        "layout_delta_sec": (
+            round(raw_total - split_total, 3)
+            if split_total is not None
+            else None
+        ),
+        "extended_queries": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_layout": "split" if split_dir else "raw",
+        # Cold cost per query (round-13 verdict item 1): DataFrame
+        # build (eager coordinator jobs) + FIRST noop execution (all
+        # cache fills) — the spend the steady best-of-N deliberately
+        # amortizes away. Additive keys; the steady dicts above are
+        # methodology-unchanged.
+        "first_run_queries": split_first or raw_first,
+        "first_run_total": round(
+            sum((split_first or raw_first).values()), 3
+        ),
+        "raw_layout_first_run": raw_first,
+        "extended_first_run": extended_first,
+        "extended_first_run_total": round(sum(extended_first.values()), 3),
+        "protocol_throughput": protocol,
+        "layout_note": _layout_note(sf_dir),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    # One-line-JSON contract hardening (round-13 verdict item 2): the
+    # r12 driver capture failed to parse an apparently valid line —
+    # make the line the ONLY stdout the process emits, flushed in one
+    # write (console progress is off for this session, Spark logs go
+    # to stderr), and drop a byte-identical copy where the env asks so
+    # a mangled capture can be diagnosed against it.
+    copy_path = os.environ.get("SPARK_GRAFT_BENCH_COPY")
+    if copy_path:
+        with open(copy_path, "w") as fh:
+            fh.write(line + "\n")
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 # number of request/answer transactions per generated capture file
@@ -1456,7 +1523,11 @@ def _skew_main() -> None:
             " ELSE cast(pmod(hash(id, d), 2000) - 1000 AS double) / 1000.0D"
             " END) AS embedding",
         ).write.mode("overwrite").parquet(f"{ivf_dir}/embeddings.parquet")
-        for q in ("ann_ivf_pq", "ann_ivf_pq_residual"):
+        # round 14 (round-12 verdict item 7, carried through r13 item
+        # 9): ann_ivf_hamming joins the hot-list rows — it shares the
+        # coarse machinery (census-gated sub-split) but scores via the
+        # Hamming sketch, so its hot-cell behavior needs its own pin.
+        for q in ("ann_ivf_pq", "ann_ivf_pq_residual", "ann_ivf_hamming"):
             run(
                 f"{q}_hot_list",
                 load_all()[q].fn(spark, ivf_dir),

@@ -90,8 +90,13 @@ def np_ham_words(df, planes, vec_col, out0, out1):
     P[:,k])) instead of a pairwise-summing matmul — every plane dot
     is the exact same double, hence the exact same sign bit, as the
     interpreted fold (pinned in tests/test_wave30.py at every oracle
-    scale). Sign packing is integer and exact; NaN dots pack 0 on
-    both paths (NaN >= 0 is false in numpy and SQL alike)."""
+    scale). Sign packing is integer and exact. FINITE INPUTS ONLY
+    (asserted per batch — ADVICE r13): a NaN dot would pack bit 1 in
+    the SQL fold (Spark orders NaN greater than any double, so
+    NaN >= 0 is TRUE) but 0 here (numpy NaN >= 0 is False), and a
+    NULL vector element converts to NaN — the assert turns a silent
+    oracle divergence into a loud task failure (a fully-NULL vector
+    already fails the ragged float64 conversion)."""
     import numpy as np
 
     P = np.array(planes, dtype=np.float64)  # n_planes x DIM, row j = plane j
@@ -106,6 +111,11 @@ def np_ham_words(df, planes, vec_col, out0, out1):
                  "w1": pd.Series([], dtype="int64")}
             )
         X = np.array(v.tolist(), dtype=np.float64)
+        assert np.isfinite(X).all(), (
+            "np_ham_words requires finite embeddings: NaN sign bits "
+            "diverge between numpy (NaN >= 0 False) and the SQL fold "
+            "(Spark NaN >= 0 TRUE); NULL elements convert to NaN"
+        )
         D = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
         for k in range(X.shape[1]):
             D += np.outer(X[:, k], P[:, k])

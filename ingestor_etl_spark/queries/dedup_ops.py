@@ -1281,11 +1281,16 @@ def shingle_df_profile(spark, sf_dir):
     exploded = _shingled(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION:
-    # _shingled emits array_distinct shingle arrays, so the exploded
-    # (doc_id, shingle) pairs are unique — the distinct-aggregate
-    # rewrite (an extra full shuffle of the pair relation to dedup
-    # rows that cannot repeat) is pure overhead (round 13, guide §2.2).
+    # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION on TWO
+    # invariants (ADVICE r13): (a) _shingled emits array_distinct
+    # shingle arrays, so one doc contributes each shingle once; and
+    # (b) doc_id is unique across documents.parquet rows — a
+    # duplicated doc_id row would double-count where the oracle's
+    # count(DISTINCT doc_id) would not. (a) holds by construction,
+    # (b) is a fixture invariant pinned in tests/test_wave31 — so the
+    # distinct-aggregate rewrite (an extra full shuffle of the pair
+    # relation to dedup rows that cannot repeat) stays pure overhead
+    # (round 13, guide §2.2).
     dfreq = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )

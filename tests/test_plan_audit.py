@@ -236,8 +236,15 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "ann_hamming_topk": 2,
         # round 13: census-literal report tails removed the totals
         # aggregates + 1-row crossJoin broadcasts (whatifs 9 → 6/7,
-        # balance 5 → 3, scoreboard 19 → 17)
-        "hamming_pool_whatif": 6,
+        # balance 5 → 3, scoreboard 19 → 17). Round 14 (r13 verdict
+        # items 1/4): the build-time prefill contract and every
+        # count-census memo are gone — these are now COLD-plan
+        # executed counts (first execution, caches filled in-plan).
+        # hamming_pool_whatif 6 → 7: the corpus size is an in-plan
+        # 1-row count aggregate again (one tiny exchange) instead of
+        # a build-time collected literal; the exact-leg denominator
+        # stayed off-plan as a PLAN CONSTANT (N_QUERIES × TOPK).
+        "hamming_pool_whatif": 7,
         "ann_ivf": 2,
         "ann_ivf_hamming": 2,
         "ann_ivf_pq": 2,

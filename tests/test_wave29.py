@@ -1,13 +1,14 @@
 """Wave-29 (round 13, optimization): process-scoped memoization of
 the IVF family's deterministic coordinator work (round-12 verdict
-item 1). Lloyd training, the corpus census, and the cell-occupancy
-census are pure functions of (data dir, seed ids, iteration count),
-yet every IVF-family build re-ran them — and the scoreboard's four
-IVF arms re-trained the identical coarse book 3× over (measured:
-24.9 s of build for one scoreboard construction at sf0.1 split
-layout). _coord_memo collapses that to once per process; outputs
-cannot change because the memoized values are the deterministic
-inputs the plans embed as literals.
+item 1). Lloyd training is a pure function of (data fingerprint,
+seed ids, iteration count), yet every IVF-family build re-trained —
+and the scoreboard's four IVF arms re-trained the identical coarse
+book 3× over (measured: 24.9 s of build for one scoreboard
+construction at sf0.1 split layout). _coord_memo collapses that to
+once per process; outputs cannot change because the memoized values
+are the deterministic inputs the plans embed as literals. (Round 14,
+r13 verdict item 4: censuses are no longer memoized — the memo holds
+trained-model parameters only; see tests/test_wave31.)
 
 Pins here:
 - the no-redundant-training budget (verdict item 6): one scoreboard
