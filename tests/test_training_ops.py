@@ -27,6 +27,7 @@ def seg_rows(spark):
     return REGISTRY["segment_dedup"].fn(spark, SF).collect()
 
 
+@pytest.mark.slow
 def test_segment_counts_match_token_math(spark, seg_rows):
     """n_segs must equal ceil(tokens/SEG_LEN) per document."""
     from ingestor_etl_spark.catalog import load_table
@@ -90,6 +91,7 @@ def test_bm25_more_terms_usually_scores_higher(spark):
 
 
 # ----------------------------------------------------- unigram_logprob
+@pytest.mark.slow
 def test_unigram_nll_matches_manual_doc(spark):
     """Recompute one document's nll by hand from the corpus counts."""
     from collections import Counter
@@ -113,6 +115,7 @@ def test_unigram_nll_matches_manual_doc(spark):
     assert abs(row.nll - round(nll, 4)) < 1e-9
 
 
+@pytest.mark.slow
 def test_unigram_rare_tokens_raise_nll(spark):
     """Docs full of common tokens must score lower nll than the
     corpus max — i.e. the score actually discriminates."""
@@ -132,6 +135,7 @@ def test_shard_pack_partitions_every_doc_exactly_once(spark):
     assert len({r.docs_fp for r in rows}) == len(rows)  # manifests distinct
 
 
+@pytest.mark.slow
 def test_shard_pack_is_stable_under_repartition(spark):
     """Hash sharding must not depend on input partitioning."""
     fn = REGISTRY["shard_pack"].fn
@@ -141,6 +145,7 @@ def test_shard_pack_is_stable_under_repartition(spark):
 
 
 # ------------------------------------------------------ value_histogram
+@pytest.mark.slow
 def test_value_histogram_covers_all_events(spark):
     from ingestor_etl_spark.catalog import load_table
 

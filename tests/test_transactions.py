@@ -66,6 +66,7 @@ def test_tcap_transactions_keep_incomplete(spark, tcap_msgs):
     assert sorted(tas.txn) == [1, 2]  # stray end still unresolvable
 
 
+@pytest.mark.slow
 def test_filter_and_orderings(spark, tcap_msgs):
     tas = tcap_transactions(tcap_msgs, keep_incomplete=True)
     match = spark.createDataFrame([("f", 2)], "file string, frame_no long")

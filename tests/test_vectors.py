@@ -5,10 +5,13 @@ and the plans must be free of all-pairs joins / corpus broadcasts."""
 
 from __future__ import annotations
 
+import pytest
+
 from ingestor_etl_spark.plans.layout import plan_facts
 from ingestor_etl_spark.queries import vector_ops as V
 
 
+@pytest.mark.slow
 def test_near_dup_lsh_recall_vs_exact(spark, sf_dir):
     lsh = {(r.vec_a, r.vec_b) for r in V.embedding_near_dup(spark, sf_dir).collect()}
     exact = {
@@ -27,6 +30,7 @@ def _plan_text(df):
     return df._jdf.queryExecution().explainString(mode)
 
 
+@pytest.mark.slow
 def test_near_dup_plan_has_no_all_pairs_join(spark, sf_dir):
     txt = _plan_text(V.embedding_near_dup(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in txt

@@ -5,6 +5,8 @@ registry-wide sweep in test_oracle_parity.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window, functions as F
 
 from ingestor_etl_spark.queries import load_all
@@ -91,6 +93,7 @@ def test_inverted_index_shards_bound_posting_lists(spark, sf_dir):
             )
 
 
+@pytest.mark.slow
 def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """availableNow processing of the events table through the
     native stream-stream interval join must equal the equivalent

@@ -17,6 +17,7 @@ def registry():
     return load_all()
 
 
+@pytest.mark.slow
 def test_exact_substring_seed_guarantee(spark, tmp_path, registry):
     """Any shared verbatim run of >= K + stride - 1 chars must
     produce a pair; unrelated docs must not."""
@@ -43,6 +44,7 @@ def test_exact_substring_seed_guarantee(spark, tmp_path, registry):
     assert not any(3 in p for p in pairs)
 
 
+@pytest.mark.slow
 def test_lsh_band_whatif_monotone(spark, registry):
     """Fewer rows per band can only keep MORE candidates: with the 6
     salts laid out as 1x6 / 2x3 / 3x2 / 6x1, kept counts must be

@@ -18,6 +18,7 @@ def registry():
     return load_all()
 
 
+@pytest.mark.slow
 def test_extend_covers_every_seed_pair(spark, registry):
     """The extend stage reports exactly the seed stage's pair set
     (both are 'share ≥1 live gram'), and every pair's longest run is
@@ -31,6 +32,7 @@ def test_extend_covers_every_seed_pair(spark, registry):
     assert (ext.n_runs >= 1).all()
 
 
+@pytest.mark.slow
 def test_extend_recovers_planted_run_length(spark, tmp_path, registry):
     """A planted shared quote must be recovered with max_run_chars
     equal to the full quote length (one clean run, no flanking
@@ -59,6 +61,7 @@ def test_extend_recovers_planted_run_length(spark, tmp_path, registry):
     assert got[(1, 2)] == len(quote)
 
 
+@pytest.mark.slow
 def test_cross_source_matrix_accounts_for_every_pair(spark, registry):
     """The overlap matrix partitions the verified near-dup pair set:
     cell counts sum to the total pair count, and the matrix is in
@@ -71,6 +74,7 @@ def test_cross_source_matrix_accounts_for_every_pair(spark, registry):
     assert mat.avg_jaccard.between(0.5, 1.0).all()
 
 
+@pytest.mark.slow
 def test_near_dup_bucket_cap_consistency(spark, registry):
     """The hot-bucket sub-split (bucket_cap) may only DROP candidate
     pairs, never invent them: capped output ⊆ uncapped output, and a

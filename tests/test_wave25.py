@@ -87,6 +87,7 @@ def test_agg_partition_gate_calibration():
     assert _jaccard_agg_partitions(1e10) == 1024  # capped
 
 
+@pytest.mark.slow
 def test_agg_partition_gate_output_identical(spark):
     """Engaged vs identity output equality on a small corpus (the
     cap-inactive ≡ plain pattern): the gate changes WHERE the agg
@@ -111,6 +112,7 @@ def test_agg_partition_gate_output_identical(spark):
     assert plain == engaged
 
 
+@pytest.mark.slow
 def test_gate_routes_hot_corpus_to_prefix_plan(spark):
     """One boilerplate shingle on 1/2 of 50k docs contributes
     C(25000,2) ≈ 3.1e8 uncut join rows > JACCARD_UNCUT_MASS_MAX →
@@ -130,6 +132,7 @@ def test_gate_routes_hot_corpus_to_prefix_plan(spark):
     assert "row_number" not in plan_small  # direct join path
 
 
+@pytest.mark.slow
 def test_prefix_and_uncut_plans_agree_exactly(spark):
     """Byte-identical pair relations from both plans on a corpus with
     planted near-dups at several similarity levels AND a hot shingle
@@ -184,6 +187,7 @@ def test_near_dup_occupancy_rule_calibration():
     assert _near_dup_planes(200_000) > _near_dup_planes(20_000)
 
 
+@pytest.mark.slow
 def test_near_dup_auto_equals_uncapped_at_oracle_scale(spark):
     """Below the mass budget the auto census must leave the plan on
     the plain bucket join — output byte-identical to the

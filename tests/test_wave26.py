@@ -8,6 +8,8 @@ rule is the identity."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ingestor_etl_spark.plans.layout import release_caches
@@ -39,6 +41,7 @@ def test_knn_occupancy_rule_calibration():
     assert _knn_planes(200_000) > _knn_planes(20_000)
 
 
+@pytest.mark.slow
 def test_knn_auto_equals_fixed_at_oracle_scale(spark):
     """Inside the identity range the auto census must leave the plan
     on the fixed plane count — output identical to the
@@ -88,6 +91,7 @@ def test_subsplit_unchanged_at_fixed_config():
     assert _spark_bucket_at(N_TABLES * N_PLANES, 4) == _spark_bucket(N_TABLES, 4)
 
 
+@pytest.mark.slow
 def test_ann_ivf_pq_recall_floor(spark):
     """The IVF+PQ+refine stack's quality pin (round 9, floor raised
     round 10 and again round 11): with Lloyd-trained quantizers
@@ -121,6 +125,7 @@ def test_ann_ivf_pq_recall_floor(spark):
     assert hits / total >= 0.60, (hits, total)
 
 
+@pytest.mark.slow
 def test_pq_distortion_training_helps_every_subspace(spark):
     """The round-10 distortion scorecard behind the recall fix:
     PQ_ITERS Lloyd rounds must REDUCE mean quantization error in
@@ -139,6 +144,7 @@ def test_pq_distortion_training_helps_every_subspace(spark):
         assert r.improvement_pct >= 10.0, r
 
 
+@pytest.mark.slow
 def test_ann_ivf_pq_residual_recall_floor(spark):
     """IVFADC (residual encoding) quality pin: measured recall@3 vs
     the exact oracle is 0.650 at sf0.01 with the round-11 knobs
@@ -170,6 +176,7 @@ def test_ann_ivf_pq_residual_recall_floor(spark):
     assert hits / total >= 0.60, (hits, total)
 
 
+@pytest.mark.slow
 def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
     """The planning sweep must agree with the constants the ANN
     stacks document: at the round-11 production NPROBE=4 (the
@@ -200,6 +207,7 @@ def test_ivf_nprobe_whatif_pins_the_production_ceiling(spark):
     )
 
 
+@pytest.mark.slow
 def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
     """The scoreboard's measured ordering must reproduce the round's
     quality narrative at the round-11 knobs (NPROBE=4, pool 50):
@@ -232,6 +240,7 @@ def test_ann_quality_scoreboard_ranks_trained_above_untrained(spark):
     assert all(r.n_predicted == 60 for r in rows.values())
 
 
+@pytest.mark.slow
 def test_ann_hamming_topk_recall_floor(spark):
     """Binary-sketch ANN quality pin (round 11): 64 hyperplane sign
     bits + HAM_POOL=50 Hamming shortlist + exact re-rank measures
@@ -262,6 +271,7 @@ def test_ann_hamming_topk_recall_floor(spark):
     assert hits / total >= 0.25, (hits, total)
 
 
+@pytest.mark.slow
 def test_hamming_pool_whatif_pins_the_production_budget(spark):
     """The sketch-family planning sweep must agree with the shipped
     stack: the HAM_POOL=50 row's ceiling equals ann_hamming_topk's
@@ -287,6 +297,7 @@ def test_hamming_pool_whatif_pins_the_production_budget(spark):
     )
 
 
+@pytest.mark.slow
 def test_ivf_balance_profile_uniform_corpus(spark):
     """On the uniform sf0.01 corpus the trained coarse cells must be
     near-balanced (measured load factors 0.75-1.20 — no cell above

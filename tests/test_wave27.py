@@ -80,6 +80,7 @@ def _cand_set(et, book):
     return set(map(tuple, cand.collect()))
 
 
+@pytest.mark.slow
 def test_subsplit_inactive_on_uniform_corpus(spark, monkeypatch):
     """On the balanced sf0.01 fixture the census must NOT engage:
     the candidate set equals the cap-disabled run's exactly
@@ -98,6 +99,7 @@ def test_subsplit_inactive_on_uniform_corpus(spark, monkeypatch):
     assert default == disabled
 
 
+@pytest.mark.slow
 def test_subsplit_bounds_hot_candidate_mass(spark, hot_dir, monkeypatch):
     """On the hot corpus the census engages and the sub-split may
     only DROP candidates, never invent them (engaged ⊆ plain — the
@@ -116,6 +118,7 @@ def test_subsplit_bounds_hot_candidate_mass(spark, hot_dir, monkeypatch):
     assert len(engaged) < 0.4 * len(plain), (len(engaged), len(plain))
 
 
+@pytest.mark.slow
 def test_subsplit_preserves_similarity_quality(spark, hot_dir,
                                                registry, monkeypatch):
     """End-to-end ann_ivf_pq on the hot corpus: the engaged run must

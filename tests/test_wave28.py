@@ -15,6 +15,8 @@ never silently depend on the data-dependent sub-split gate."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 from pyspark.sql import functions as F
@@ -82,6 +84,7 @@ def _recall_at_3(spark, sf, query_name, reg):
     return hits, total
 
 
+@pytest.mark.slow
 def test_scaled_geometry_recall_floor_sf01(spark):
     """THE number round 11 flagged: at sf0.1 (2,000 vectors — above
     the identity range, so 16 lists / 64 codes / nprobe 6 engage)
@@ -97,6 +100,7 @@ def test_scaled_geometry_recall_floor_sf01(spark):
     assert hits / total >= 0.60, (hits, total)
 
 
+@pytest.mark.slow
 def test_ann_ivf_hamming_beats_full_scan_sketch(spark):
     """The composed sketch (round-11 verdict item 4: Hamming
     shortlist UNDER the IVF restrict) must beat the full-corpus
@@ -113,6 +117,7 @@ def test_ann_ivf_hamming_beats_full_scan_sketch(spark):
     assert hits / total > fhits / ftotal, (hits, fhits)
 
 
+@pytest.mark.slow
 def test_big_book_strategy_equivalence(spark):
     """SCALING §47: the vectorized (Arrow-batched numpy) assignment
     and top-n kernels must reproduce the literal-codebook
@@ -211,6 +216,7 @@ def test_big_book_threshold_keeps_measured_scales_literal():
     assert vo._ivf_lists(100_000) > vo.IVF_LITERAL_BOOK_MAX  # skew rig
 
 
+@pytest.mark.slow
 def test_census_inactive_on_every_oracle_fixture(spark):
     """Round-11 advice: oracle parity must not silently depend on
     the data-dependent hot-cell gate. On BOTH driver-oracle fixtures

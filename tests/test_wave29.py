@@ -19,6 +19,8 @@ Pins here:
 
 from __future__ import annotations
 
+import pytest
+
 from ingestor_etl_spark.plans.layout import release_caches
 from ingestor_etl_spark.queries import load_all
 from ingestor_etl_spark.queries import vector_ops as vo
@@ -32,6 +34,7 @@ def _reset_memo():
     vo._COORD_STATS["misses"] = 0
 
 
+@pytest.mark.slow
 def test_scoreboard_coordinator_budget(spark):
     """Building the 7-arm scoreboard must not repeat coordinator
     work: every distinct (kind, dir, seeds, iters) key is computed
@@ -52,6 +55,7 @@ def test_scoreboard_coordinator_budget(spark):
     release_caches()
 
 
+@pytest.mark.slow
 def test_memo_hit_equals_memo_miss(spark):
     """The memo can only return what the thunk would have computed:
     a stack built on a warm memo must emit byte-identical rows to
