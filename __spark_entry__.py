@@ -84,83 +84,38 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # so plan changes get pinned immediately and no query sits
 # unsampled on an evolved tree for more than ~3 rounds.
 _DRIVER_SAMPLE_PRIORITY = [
-    # --- round-13 window head: the 12 queries whose Spark-side
-    # internals changed this optimization round (timed-plan
-    # restructures: schema_profile de-sort, minhash_jaccard_estimate
-    # leg fusion, contamination_check gram gating; materialize
-    # additions: exact_substring_extend/_dedup, bigram_novelty,
-    # the three dup-graph queries via candidate_pairs,
-    # cms_heavy_hitters, segment_dedup; pq_distortion_eval's
-    # explicit pts+pp materialization) — outputs verified identical
-    # against the DuckDB oracle locally, re-pinned by the driver out
-    # of caution. Then the freshness rotation (round-12 verdict item
-    # 3): the FULL 24-query r8-stale cohort (the flagship protocol
-    # rows), then r9/r10/r11/r12 cohorts in staleness order — a
-    # 50-name window covers head + all of r8 + 14 of r9, so after
-    # r13 nothing predates r9.
-    # (head extended mid-round: the second optimization session added
-    # 14 more Spark-side restructures — the numpy Hamming sketch
-    # kernel, norm/self-dot hoists, census-literal report tails, the
-    # knn_graph pre-expansion prune, the j7 branch fusion and the
-    # HTTP-OCS decode materialization — all verified output-identical
-    # against the DuckDB oracle locally, re-pinned by the driver out
-    # of caution. Head 26 + the 24-query r8 cohort fill the 50-name
-    # window exactly.)
-    "ann_hamming_topk",
+    # --- round-14 window head: the 13 queries whose Spark-side
+    # internals changed this optimization round (plan-constant /
+    # in-plan recall denominators in the whatifs + scoreboard +
+    # balance profile; the dropped prefill counts in the IVF stacks
+    # and pq_distortion_eval; the materialized keys relation in
+    # embedding_near_dup; the one-pass combined LSH caches in
+    # containment_pairs / minhash_contamination; the folded
+    # convergence probe under dedup_cc_clusters / canonical_docs) —
+    # all verified output-identical against the DuckDB oracle
+    # locally, re-pinned by the driver out of caution. Then the
+    # freshness rotation (ADVICE r13 item 5): the r9-stale cohort —
+    # which the r13 window left unsampled — fills the rest of the
+    # ~50-name window (13 + 37 of it), then r10/r11 cohorts, then
+    # the r13-verified names (old r13 head + the r8 cohort re-pinned
+    # in r13) at the back.
     "hamming_pool_whatif",
-    "ann_ivf_hamming",
-    "ann_quality_scoreboard",
-    "rrf_hybrid_search",
-    "ann_recall_eval",
-    "ann_ivf",
     "ivf_nprobe_whatif",
-    "ann_pq_topk",
     "ivf_balance_profile",
-    "shingle_df_profile",
-    "knn_graph",
-    "j7_display_filter",
-    "pcap_http_ocs_linked",
-    "schema_profile",
-    "minhash_jaccard_estimate",
-    "exact_substring_extend",
-    "contamination_check",
-    "bigram_novelty",
-    "dup_graph_degree_stats",
-    "dup_graph_triangles",
-    "pagerank_dup_graph",
-    "cms_heavy_hitters",
-    "segment_dedup",
-    "exact_substring_dedup",
+    "ann_quality_scoreboard",
     "pq_distortion_eval",
-    "j6_sessionize",
-    "j7_error_sessions",
-    "jsonl_ingest",
-    "lang_id",
-    "minhash_signatures",
-    "multimodal_batch_shape",
-    "pcap_diameter_correlated",
-    "pcap_diameter_transactions",
-    "pcap_gsm_map_decoded",
-    "pcap_gtp_enriched",
-    "pcap_http_camel_diameter",
-    "pcap_http_ss7sms",
-    "pcap_sip_calls",
-    "pcap_sip_leg_rewrite",
-    "pcap_smpp_transactions",
-    "pcap_tcap_transactions",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "topk_accounts",
-    "tshark_cap_camel",
-    "xml_ingest",
+    "ann_ivf_pq",
+    "ann_ivf_pq_residual",
+    "ann_ivf_hamming",
+    "embedding_near_dup",
+    "containment_pairs",
+    "minhash_contamination",
+    "dedup_cc_clusters",
+    "canonical_docs",
     "active_user_stickiness",
     "ann_pq_topk",
     "array_functions",
     "bloom_join_filter",
-    "canonical_docs",
     "char_entropy",
     "compaction_plan",
     "conditional_functions",
@@ -168,7 +123,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "cube_revenue",
     "datetime_functions",
     "dedup_threshold_sweep",
-    "embedding_near_dup",
     "embedding_outliers",
     "embedding_quantize_int8",
     "embedding_stats",
@@ -254,10 +208,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "clv_by_cohort",
     "code_detect",
     "collocation_lift",
-    "containment_pairs",
     "curation_pipeline",
     "dataset_card",
-    "dedup_cc_clusters",
     "dedup_report",
     "dup_group_size_profile",
     "entity_resolution",
@@ -267,10 +219,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "fixedwidth_ingest",
     "fk_integrity_audit",
     "funnel_conversion",
-    "hamming_pool_whatif",
     "hard_negative_mining",
-    "ivf_balance_profile",
-    "ivf_nprobe_whatif",
     "j7_display_filter",
     "join_cardinality_estimator",
     "key_skew_profile",
@@ -288,10 +237,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "window_running_revenue",
     "a1_counters",
     "a2_unmatched_census",
-    "ann_ivf_hamming",
-    "ann_ivf_pq",
-    "ann_ivf_pq_residual",
-    "ann_quality_scoreboard",
     "asof_attribution",
     "bpe_pair_counts",
     "corpus_top_ngrams",
@@ -314,7 +259,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "label_balance_resample",
     "lsh_band_whatif",
     "lsh_dedup_eval",
-    "minhash_contamination",
     "minhash_lsh_pairs",
     "mixture_token_allocation",
     "multimodal_decode_audio",
@@ -333,6 +277,41 @@ _DRIVER_SAMPLE_PRIORITY = [
     "stream_zscore_parity",
     "supplier_lead_time",
     "vocab_coverage_curve",
+    "schema_profile",
+    "minhash_jaccard_estimate",
+    "exact_substring_extend",
+    "contamination_check",
+    "bigram_novelty",
+    "dup_graph_degree_stats",
+    "dup_graph_triangles",
+    "pagerank_dup_graph",
+    "cms_heavy_hitters",
+    "segment_dedup",
+    "exact_substring_dedup",
+    "j6_sessionize",
+    "j7_error_sessions",
+    "jsonl_ingest",
+    "lang_id",
+    "minhash_signatures",
+    "multimodal_batch_shape",
+    "pcap_diameter_correlated",
+    "pcap_diameter_transactions",
+    "pcap_gsm_map_decoded",
+    "pcap_gtp_enriched",
+    "pcap_http_camel_diameter",
+    "pcap_http_ss7sms",
+    "pcap_sip_calls",
+    "pcap_sip_leg_rewrite",
+    "pcap_smpp_transactions",
+    "pcap_tcap_transactions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "topk_accounts",
+    "tshark_cap_camel",
+    "xml_ingest",
 ]
 
 

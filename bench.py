@@ -325,14 +325,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry = load_all()
-    # No console progress bars in the bench session (round-13 verdict
-    # item 2): the driver captures stdout and parses the single JSON
-    # line; progress-bar escape sequences interleaving with it are the
-    # prime suspect for the r12 parse failure. (Everything else Spark
-    # prints goes to stderr at log level ERROR.)
+    # One-line-JSON stdout purity (round-13 verdict item 2): the
+    # driver captures stdout and parses the single JSON line. TWO
+    # polluters exist and both are disabled for the bench session:
+    # (a) console progress bars; (b) the ACTUAL r12-parse-killer,
+    # reproduced this round — JVM unified logging writes gc warnings
+    # to STDOUT under memory pressure ("[262.5s][warning][gc,alloc]
+    # ... Retried waiting for GCLocker too often"), observed
+    # mid-round on a heavy --jdecomp run. -Xlog:all=warning:stderr
+    # keeps the warnings but moves them off the parsed stream.
     spark = get_spark(
         "ingestor-etl-spark-bench",
-        **{"spark.ui.showConsoleProgress": "false"},
+        **{
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

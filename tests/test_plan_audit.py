@@ -249,7 +249,11 @@ def test_executed_exchange_budgets(spark, sf_dir):
         "ann_ivf_hamming": 2,
         "ann_ivf_pq": 2,
         "ann_ivf_pq_residual": 2,
-        "ivf_nprobe_whatif": 7,
+        # 7 at sf0.01 (this suite's fixture), 8 at sf0.001 (PLANS.md's
+        # scale — the round-14 in-plan corpus-count aggregate lands in
+        # its own exchange under sf0.001's AQE coalescing); pinned at
+        # the max so the budget is scale-stable
+        "ivf_nprobe_whatif": 8,
         # composes every variant arm, so it tightened twice in r11:
         # 30 → 20 (literal-codebook refactor) → 18 (+2 for the 6th
         # Hamming arm, −4 when ann_ivf's window went zero-exchange);
